@@ -1,0 +1,156 @@
+"""AC small-signal and noise analyses as batched complex solves.
+
+Reference math: ``ac!``/``noise!`` build a descriptor state space from the DC
+operating point's Jacobians and evaluate C(iωE−A)⁻¹B per frequency via
+LAPACK (/root/reference/src/ac.jl:75-165,198-284; derivation
+doc/devdocs/ac.typ).  Here the same linear algebra is explicit and batched
+over the frequency grid with ``vmap``: solve (G + jωC)·v = b where G,C are
+the MNA Jacobians at the operating point and b is the AC source vector.
+
+Noise: per-source PSD weights ``pwr·f^(−exp)`` (the reference's
+``<eps>pwr``/``<eps>exp`` observables) combined with transfer functions from
+each noise ε-input to the output, computed with ONE adjoint solve per
+frequency: (G + jωC)ᴴ y = e_out, H = yᴴ·(∂F/∂ε).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cedarsim_tpu import config
+from cedarsim_tpu.core.compile import CompiledCircuit
+from cedarsim_tpu.core.context import SimSpec, Modes
+from cedarsim_tpu.ops import linalg
+from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
+
+
+def acdec(n_per_decade, fstart, fstop):
+    """Log frequency grid ≡ ``.ac dec`` (/root/reference/src/ac.jl:296-301)."""
+    ndec = np.log10(fstop / fstart)
+    n = int(np.ceil(n_per_decade * ndec)) + 1
+    return np.logspace(np.log10(fstart), np.log10(fstop), n)
+
+
+@dataclasses.dataclass
+class ACSolution:
+    freqs: np.ndarray
+    v: jax.Array              # [nf, n_x] complex small-signal solution
+    op_x: jax.Array
+    compiled: CompiledCircuit
+    ctx: SimSpec
+    params: dict
+
+    def __getitem__(self, name):
+        """Complex small-signal value of an observable across frequencies.
+        Uses linearity: δobs = (∂obs/∂x)·v + (∂obs/∂ẋ)·(jω·v)."""
+        fn = self.compiled.observe(name)
+        x = self.op_x
+        xd0 = jnp.zeros_like(x)
+        w = 2.0 * np.pi * jnp.asarray(self.freqs, x.dtype)
+
+        def one(vv, wi):
+            def f(xx, xxd):
+                return fn(xx, xxd, self.ctx, self.params)
+            _, d_re = jax.jvp(f, (x, xd0), (vv.real, -wi * vv.imag))
+            _, d_im = jax.jvp(f, (x, xd0), (vv.imag, wi * vv.real))
+            return d_re + 1j * d_im
+
+        return np.asarray(jax.jit(jax.vmap(one))(self.v, w))
+
+
+def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
+       dc_opts: NewtonOptions = None) -> ACSolution:
+    """AC analysis over ``freqs`` (Hz)."""
+    params = compiled.params0 if params is None else params
+    if ctx is None:
+        ctx = SimSpec.make(dtype=compiled.dtype)
+    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
+    freqs = np.atleast_1d(np.asarray(freqs, np.float64))
+
+    @jax.jit
+    def run(x, params):
+        c = ctx.with_mode(Modes.AC)
+        G, C = compiled.jacobians(x, c, params)
+        b = compiled.ac_rhs(params)
+        Gc = G.astype(config.complex_dtype)
+        Cc = C.astype(config.complex_dtype)
+        w = 2.0 * np.pi * jnp.asarray(freqs, compiled.dtype)
+
+        def solve_one(wi):
+            return linalg.solve(Gc + 1j * wi * Cc, b)
+
+        return jax.vmap(solve_one)(w)
+
+    v = run(op.x, params)
+    return ACSolution(freqs=freqs, v=v, op_x=op.x, compiled=compiled,
+                      ctx=ctx.with_mode(Modes.AC), params=params)
+
+
+@dataclasses.dataclass
+class NoiseSolution:
+    freqs: np.ndarray
+    psd: np.ndarray            # [nf] output noise PSD (V²/Hz at output node)
+    per_source: np.ndarray     # [nf, n_eps]
+    eps_names: list
+    compiled: CompiledCircuit
+
+    def __getitem__(self, _name="out"):
+        return self.psd
+
+
+def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
+          ctx: SimSpec = None, dc_opts: NewtonOptions = None) -> NoiseSolution:
+    """Output-referred noise PSD at observable ``out`` over ``freqs``.
+    Matches the reference ``noise!`` math: PSD(f) = Σₖ |Hₖ(f)|²·pwrₖ·f^(−expₖ)
+    (/root/reference/src/ac.jl:267-284)."""
+    params = compiled.params0 if params is None else params
+    if ctx is None:
+        ctx = SimSpec.make(dtype=compiled.dtype)
+    if compiled.n_eps == 0:
+        f = np.atleast_1d(np.asarray(freqs))
+        return NoiseSolution(f, np.zeros_like(f), np.zeros((len(f), 0)), [],
+                             compiled)
+    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
+    freqs = np.atleast_1d(np.asarray(freqs, np.float64))
+    obs = compiled.observe(out)
+
+    @jax.jit
+    def run(x, params):
+        c = ctx.with_mode(Modes.AC)
+        G, C = compiled.jacobians(x, c, params)
+        # ∂F/∂ε at the operating point (noise enters the static part)
+        Jeps = jax.jacfwd(
+            lambda e: compiled.residuals(x, c, params, eps=e)[0]
+        )(jnp.zeros(compiled.n_eps, compiled.dtype))
+        pwr, ex = compiled.noise_sources(x, c, params)
+        # output selection vector e_out = ∂obs/∂x (linear at op)
+        e_out = jax.grad(
+            lambda xx: obs(xx, jnp.zeros_like(xx), c, params))(x)
+        Gc = G.astype(config.complex_dtype)
+        Cc = C.astype(config.complex_dtype)
+        w = 2.0 * np.pi * jnp.asarray(freqs, compiled.dtype)
+
+        def one(wi, f):
+            A = Gc + 1j * wi * Cc
+            y = linalg.solve(A.conj().T, e_out.astype(config.complex_dtype))
+            H = y.conj() @ Jeps.astype(config.complex_dtype)   # [n_eps]
+            s = pwr * jnp.power(f, -ex)
+            per = (jnp.abs(H) ** 2) * s
+            return per
+
+        per = jax.vmap(one)(w, jnp.asarray(freqs, compiled.dtype))
+        return per
+
+    per = np.asarray(run(op.x, params))
+    eps_names = []
+    for key in compiled.group_order:
+        g = compiled.groups[key]
+        for inst in g.instances:
+            for k in range(g.model.n_noise):
+                eps_names.append(f"{inst.name}#n{k}")
+    return NoiseSolution(freqs=freqs, psd=per.sum(axis=1), per_source=per,
+                         eps_names=eps_names, compiled=compiled)

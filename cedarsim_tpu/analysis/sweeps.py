@@ -1,0 +1,178 @@
+"""Sweep combinators and batched execution.
+
+Iterator semantics mirror the reference (/root/reference/src/sweeps.jl:40-354,
+test/sweep.jl): ``Sweep`` is one parameter × value list; ``ProductSweep`` is
+the cartesian product; ``TandemSweep`` zips; ``SerialSweep`` concatenates
+(missing params fall back to defaults, the reference's ``nothing`` fill).
+
+Execution is where the TPU build departs: instead of the reference's serial
+``remake`` broadcast loop (sweeps.jl:471-502 — compiled once, solved one at a
+time), the sweep points are stacked into a batched parameter pytree and the
+whole batch solves as ONE ``vmap``-ed XLA program, optionally sharded over a
+device mesh (see cedarsim_tpu.parallel.mesh).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cedarsim_tpu.core.compile import CompiledCircuit
+from cedarsim_tpu.core.context import SimSpec, Modes
+from cedarsim_tpu.analysis.dc import dc_core, NewtonOptions, DCResult
+
+
+class AbstractSweep:
+    def __iter__(self):
+        raise NotImplementedError
+
+    def __len__(self):
+        raise NotImplementedError
+
+    @property
+    def names(self):
+        raise NotImplementedError
+
+
+class Sweep(AbstractSweep):
+    def __init__(self, name, values):
+        self.name = name
+        self.values = list(values)
+
+    def __iter__(self):
+        for v in self.values:
+            yield {self.name: v}
+
+    def __len__(self):
+        return len(self.values)
+
+    @property
+    def names(self):
+        return [self.name]
+
+
+class ProductSweep(AbstractSweep):
+    def __init__(self, *sweeps):
+        self.sweeps = [sweepify(s) for s in sweeps]
+
+    def __iter__(self):
+        for combo in itertools.product(*self.sweeps):
+            d = {}
+            for c in combo:
+                d.update(c)
+            yield d
+
+    def __len__(self):
+        n = 1
+        for s in self.sweeps:
+            n *= len(s)
+        return n
+
+    @property
+    def names(self):
+        return [n for s in self.sweeps for n in s.names]
+
+
+class TandemSweep(AbstractSweep):
+    def __init__(self, *sweeps):
+        self.sweeps = [sweepify(s) for s in sweeps]
+        lens = {len(s) for s in self.sweeps}
+        if len(lens) != 1:
+            raise ValueError("TandemSweep requires equal-length sweeps")
+
+    def __iter__(self):
+        for combo in zip(*self.sweeps):
+            d = {}
+            for c in combo:
+                d.update(c)
+            yield d
+
+    def __len__(self):
+        return len(self.sweeps[0])
+
+    @property
+    def names(self):
+        return [n for s in self.sweeps for n in s.names]
+
+
+class SerialSweep(AbstractSweep):
+    def __init__(self, *sweeps):
+        self.sweeps = [sweepify(s) for s in sweeps]
+
+    def __iter__(self):
+        for s in self.sweeps:
+            yield from s
+
+    def __len__(self):
+        return sum(len(s) for s in self.sweeps)
+
+    @property
+    def names(self):
+        seen = []
+        for s in self.sweeps:
+            for n in s.names:
+                if n not in seen:
+                    seen.append(n)
+        return seen
+
+
+def sweepify(obj):
+    """Shorthand coercion (reference ``sweepify``, sweeps.jl:349-354):
+    dict of name→values → ProductSweep of Sweeps; (name, values) tuple →
+    Sweep; AbstractSweep passes through."""
+    if isinstance(obj, AbstractSweep):
+        return obj
+    if isinstance(obj, dict):
+        return ProductSweep(*[Sweep(k, v) for k, v in obj.items()])
+    if isinstance(obj, tuple) and len(obj) == 2:
+        return Sweep(obj[0], obj[1])
+    raise TypeError(f"cannot sweepify {obj!r}")
+
+
+# ------------------------------------------------------------------ batching
+
+def batch_params(compiled: CompiledCircuit, sweep, params=None):
+    """Stack a sweep into a batched parameter pytree: every leaf gains a
+    leading axis of len(sweep).  Returns (batched_params, points)."""
+    base = compiled.params0 if params is None else params
+    points = list(sweepify(sweep))
+    trees = []
+    for pt in points:
+        p = base
+        for name, v in pt.items():
+            if v is None:
+                continue
+            p = compiled.set_param(p, name, v)
+        trees.append(p)
+    batched = jax.tree.map(lambda *leaves: jnp.stack(leaves), *trees)
+    return batched, points
+
+
+def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
+             ctx: SimSpec = None, opts: NewtonOptions = None,
+             mode=Modes.DCOP) -> DCResult:
+    """Batched DC sweep: all points solve concurrently in one vmapped XLA
+    program (the reference's ``dc!.(CircuitSweep(...))`` made parallel)."""
+    opts = opts or NewtonOptions()
+    if ctx is None:
+        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+    else:
+        ctx = ctx.with_mode(mode)
+    bp, _ = batch_params(compiled, sweep, params)
+    n_pts = len(sweepify(sweep))
+    x0 = jnp.zeros((n_pts, compiled.n_x), compiled.dtype)
+
+    fn = _get_sweep_jit(compiled, opts)
+    return fn(bp, ctx, x0)
+
+
+def _get_sweep_jit(compiled, opts):
+    cache = compiled.__dict__.setdefault("_dcsweep_jit_cache", {})
+    if opts not in cache:
+        f = jax.vmap(lambda p, c, x: dc_core(compiled, p, c, x, opts),
+                     in_axes=(0, None, 0))
+        cache[opts] = jax.jit(f)
+    return cache[opts]

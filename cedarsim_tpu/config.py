@@ -1,0 +1,46 @@
+"""Global configuration for cedarsim_tpu.
+
+Circuit simulation needs f64: conductances span ~15 decades (gmin=1e-12 up to
+k-ohm-level conductances) and Newton convergence tolerances are ~1e-6 relative.
+TPUs execute f64 elementwise/matmul via software emulation, which is acceptable
+for the scalar-ish device models; the dense linear solves use our own
+dtype-generic LU (``cedarsim_tpu.ops.linalg``) because XLA:TPU's builtin
+LuDecomposition expander only supports f32/c64.
+
+Set CEDARSIM_TPU_NO_X64=1 to opt out of enabling x64 globally (e.g. when
+embedding into an ML program that must stay f32).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+if not os.environ.get("CEDARSIM_TPU_NO_X64"):
+    jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: circuit solvers are large traced programs
+# (Newton + continuation + adaptive stepping); caching compiled executables
+# across processes addresses the reference's known weak point — compile
+# latency "often exceeding simulation time" (/root/reference/README-CedarSim.md:28).
+_cache_dir = os.environ.get(
+    "CEDARSIM_TPU_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "cedarsim_tpu", "xla"))
+if _cache_dir and _cache_dir != "0":
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+#: Default real dtype for simulator state.
+real_dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
+
+#: Default complex dtype (AC / noise analyses).
+complex_dtype = jnp.complex128 if jax.config.read("jax_enable_x64") else jnp.complex64
+
+#: Boltzmann constant (J/K) — matches reference usage for thermal noise
+#: (/root/reference/src/simpledevices.jl:49-77).
+K_BOLTZMANN = 1.380649e-23
+#: Elementary charge (C).
+Q_CHARGE = 1.602176634e-19
+#: 0 Celsius in Kelvin.
+T_ZERO_C = 273.15

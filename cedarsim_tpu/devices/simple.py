@@ -1,0 +1,408 @@
+"""Built-in SPICE device models, batched TPU-native stamps.
+
+Behavioral reference: /root/reference/src/simpledevices.jl — SimpleResistor
+(:49-77, value-or-sheet resistance + 4kT/R thermal noise), SimpleCapacitor
+(:99-109), SimpleInductor (:122-132), SimpleDiode (:134-271, Berkeley-style
+exp/breakdown regions + junction & diffusion capacitance), Voltage/Current
+sources with mode-switched dc/tran/ac values (:274-339), controlled sources
+(:341-373).  The math is re-derived from standard SPICE semantics; only the
+observable behavior matches.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cedarsim_tpu import config
+from cedarsim_tpu.core.context import Modes
+from cedarsim_tpu.devices.base import DeviceModel
+from cedarsim_tpu.devices import waveforms as wf
+
+
+def _limexp(x, lim=40.0):
+    """exp with linear continuation beyond ``lim`` — keeps Newton finite for
+    large junction voltages (standard SPICE limexp; reference relies on
+    NaNMath-safe exp, /root/reference/src/va_env.jl:35-75)."""
+    xe = jnp.exp(jnp.minimum(x, lim))
+    return jnp.where(x <= lim, xe, jnp.exp(lim) * (1.0 + (x - lim)))
+
+
+class Resistor(DeviceModel):
+    terminals = ("p", "n")
+    n_noise = 1
+    params = dict(r=None, rsh=0.0, l=0.0, w=1e-6, short=0.0, narrow=0.0)
+    given_params = ("r",)
+
+    @staticmethod
+    def resistance(p):
+        den = p["w"] - p["narrow"]
+        den = jnp.where(jnp.abs(den) < 1e-15, 1e-15, den)
+        r_sheet = p["rsh"] * (p["l"] - p["short"]) / den
+        r = jnp.where(p["r$given"] > 0, p["r"], r_sheet)
+        return jnp.where(jnp.abs(r) < 1e-12, 1e-12, r)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn = lv[0], lv[1]
+        g = 1.0 / Resistor.resistance(p)
+        i = g * (vp - vn) + eps[0]
+        static = jnp.stack([i, -i])
+        return static, jnp.zeros_like(static)
+
+    @classmethod
+    def noise(cls, lv, p, ctx):
+        r = cls.resistance(p)
+        pwr = 4.0 * config.K_BOLTZMANN * ctx.temp / jnp.abs(r)
+        return jnp.stack([pwr]), jnp.zeros((1,))
+
+    @classmethod
+    def prepare(cls, raw):
+        raw = dict(raw)
+        if raw.get("r") is None:
+            raw.pop("r", None)
+        p = super().prepare(raw)
+        if p["r"] is None:
+            p["r"] = 0.0
+        return p
+
+
+class Capacitor(DeviceModel):
+    terminals = ("p", "n")
+    params = dict(c=0.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn = lv[0], lv[1]
+        q = p["c"] * (vp - vn)
+        zero = jnp.zeros_like(q)
+        return jnp.stack([zero, zero]), jnp.stack([q, -q])
+
+
+class Inductor(DeviceModel):
+    terminals = ("p", "n")
+    n_branch = 1
+    params = dict(l=0.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, il = lv[0], lv[1], lv[2]
+        zero = jnp.zeros_like(il)
+        # branch eq: (vp - vn) - d/dt (L·i) = 0
+        static = jnp.stack([il, -il, vp - vn])
+        dynamic = jnp.stack([zero, zero, -p["l"] * il])
+        return static, dynamic
+
+
+# ------------------------------------------------------------------- sources
+
+def _source_value(p, ctx, wave):
+    """Mode-dependent source value (reference sim_mode switching,
+    /root/reference/src/simpledevices.jl:274-300).  ``wave`` is None for pure
+    DC sources, else a function of t."""
+    dc = p["dc"]
+    if wave is None:
+        val = dc
+    elif ctx.mode in (Modes.DCOP, Modes.AC):
+        val = jnp.where(p["dc$given"] > 0, dc, wave(jnp.zeros_like(ctx.time)))
+    elif ctx.mode == Modes.TRANOP:
+        val = wave(jnp.zeros_like(ctx.time))
+    else:  # TRAN
+        val = wave(ctx.time)
+    return val * ctx.sourcefac
+
+
+class _VSourceBase(DeviceModel):
+    terminals = ("p", "n")
+    n_branch = 1
+    wave_params: tuple = ()
+
+    @classmethod
+    def _wave(cls, p):
+        return None
+
+    @classmethod
+    def eval_with_wave(cls, lv, p, ctx, eps):
+        vp, vn, ib = lv[0], lv[1], lv[2]
+        v = _source_value(p, ctx, cls._wave(p))
+        static = jnp.stack([ib, -ib, vp - vn - v])
+        return static, jnp.zeros_like(static)
+
+    @classmethod
+    def ac_rhs(cls, p):
+        mag = p["ac"]
+        ph = p["acphase"] * (jnp.pi / 180.0)
+        b = mag * jnp.exp(1j * ph)
+        zero = jnp.zeros_like(b)
+        return jnp.stack([zero, zero, b])
+
+
+class VSource(_VSourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0)
+    given_params = ("dc",)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return VSource.eval_with_wave(lv, p, ctx, eps)
+
+
+class VSourcePWL(_VSourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, ts=(), ys=())
+    given_params = ("dc",)
+
+    @classmethod
+    def group_key(cls, inst_params):
+        return f"{cls.__name__}[{len(inst_params['ts'])}]"
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.pwl_value(p["ts"], p["ys"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return VSourcePWL.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.pwl_breakpoints(p["ts"], tstop)
+
+
+class VSourcePULSE(_VSourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, v1=0.0, v2=0.0, td=0.0,
+                  tr=1e-15, tf=1e-15, pw=jnp.inf, per=jnp.inf)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.pulse_value(
+            p["v1"], p["v2"], p["td"], p["tr"], p["tf"], p["pw"], p["per"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return VSourcePULSE.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        import numpy as np
+        return wf.pulse_breakpoints(
+            float(p["v1"]), float(p["v2"]), float(p["td"]), float(p["tr"]),
+            float(p["tf"]), float(np.minimum(p["pw"], 1e30)),
+            float(np.minimum(p["per"], 1e30)) if np.isfinite(p["per"]) else np.inf,
+            tstop)
+
+
+class VSourceSIN(_VSourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, vo=0.0, va=0.0, freq=0.0,
+                  td=0.0, theta=0.0, phase=0.0)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.sin_value(
+            p["vo"], p["va"], p["freq"], p["td"], p["theta"], p["phase"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return VSourceSIN.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.sin_breakpoints(float(p["td"]), tstop)
+
+
+class _ISourceBase(DeviceModel):
+    terminals = ("p", "n")
+
+    @classmethod
+    def _wave(cls, p):
+        return None
+
+    @classmethod
+    def eval_with_wave(cls, lv, p, ctx, eps):
+        i = _source_value(p, ctx, cls._wave(p))
+        static = jnp.stack([i, -i])
+        return static, jnp.zeros_like(static)
+
+    @classmethod
+    def ac_rhs(cls, p):
+        mag = p["ac"]
+        ph = p["acphase"] * (jnp.pi / 180.0)
+        b = mag * jnp.exp(1j * ph)
+        return jnp.stack([-b, b])
+
+
+class ISource(_ISourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0)
+    given_params = ("dc",)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return ISource.eval_with_wave(lv, p, ctx, eps)
+
+
+class ISourcePWL(_ISourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, ts=(), ys=())
+    given_params = ("dc",)
+
+    @classmethod
+    def group_key(cls, inst_params):
+        return f"{cls.__name__}[{len(inst_params['ts'])}]"
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.pwl_value(p["ts"], p["ys"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return ISourcePWL.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.pwl_breakpoints(p["ts"], tstop)
+
+
+class ISourcePULSE(_ISourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, v1=0.0, v2=0.0, td=0.0,
+                  tr=1e-15, tf=1e-15, pw=jnp.inf, per=jnp.inf)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.pulse_value(
+            p["v1"], p["v2"], p["td"], p["tr"], p["tf"], p["pw"], p["per"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return ISourcePULSE.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return VSourcePULSE.breakpoints.__func__(cls, p, tstop)
+
+
+class ISourceSIN(_ISourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, vo=0.0, va=0.0, freq=0.0,
+                  td=0.0, theta=0.0, phase=0.0)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.sin_value(
+            p["vo"], p["va"], p["freq"], p["td"], p["theta"], p["phase"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return ISourceSIN.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.sin_breakpoints(float(p["td"]), tstop)
+
+
+# --------------------------------------------------------- controlled sources
+
+class VCVS(DeviceModel):
+    """E element: V(p,n) = gain·V(cp,cn)
+    (/root/reference/src/simpledevices.jl:341-356)."""
+    terminals = ("p", "n", "cp", "cn")
+    n_branch = 1
+    params = dict(gain=1.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, vcp, vcn, ib = lv[0], lv[1], lv[2], lv[3], lv[4]
+        zero = jnp.zeros_like(ib)
+        static = jnp.stack([ib, -ib, zero, zero, vp - vn - p["gain"] * (vcp - vcn)])
+        return static, jnp.zeros_like(static)
+
+
+class VCCS(DeviceModel):
+    """G element: I(p→n) = gm·V(cp,cn)."""
+    terminals = ("p", "n", "cp", "cn")
+    params = dict(gm=1.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vcp, vcn = lv[2], lv[3]
+        i = p["gm"] * (vcp - vcn)
+        zero = jnp.zeros_like(i)
+        static = jnp.stack([i, -i, zero, zero])
+        return static, jnp.zeros_like(static)
+
+
+class CCVS(DeviceModel):
+    """H element: V(p,n) = r·I(ctrl_vsource).  The control is a gathered
+    branch-current unknown (n_control=1, resolved by the compiler)."""
+    terminals = ("p", "n")
+    n_branch = 1
+    n_control = 1
+    params = dict(r=1.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, ib, ictrl = lv[0], lv[1], lv[2], lv[3]
+        static = jnp.stack([ib, -ib, vp - vn - p["r"] * ictrl])
+        return static, jnp.zeros_like(static)
+
+
+class CCCS(DeviceModel):
+    """F element: I(p→n) = f·I(ctrl_vsource)."""
+    terminals = ("p", "n")
+    n_control = 1
+    params = dict(f=1.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        ictrl = lv[2]
+        i = p["f"] * ictrl
+        static = jnp.stack([i, -i])
+        return static, jnp.zeros_like(static)
+
+
+# --------------------------------------------------------------------- diode
+
+class Diode(DeviceModel):
+    """Berkeley-style junction diode (behavior per
+    /root/reference/src/simpledevices.jl:134-271): exponential forward region,
+    saturation reverse region, exponential breakdown beyond -bv; depletion
+    (cj0/vj/m/fc) + diffusion (tt) charge; shot noise 2qI."""
+    terminals = ("p", "n")
+    n_noise = 1
+    params = dict(**{"is": 1e-14}, n=1.0, cj0=0.0, vj=1.0, m=0.5, fc=0.5,
+                  tt=0.0, bv=jnp.inf, ibv=1e-3, area=1.0)
+    given_params = ("bv",)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn = lv[0], lv[1]
+        v = vp - vn
+        vte = p["n"] * ctx.vt
+        isat = p["is"] * p["area"]
+        # forward / reverse-saturation
+        i_fwd = isat * (_limexp(v / vte) - 1.0)
+        # breakdown (only if bv given): current pulls v back above -bv
+        i_brk = -isat * _limexp(-(p["bv"] + v) / vte)
+        use_brk = jnp.logical_and(p["bv$given"] > 0, v < -p["bv"])
+        i = jnp.where(use_brk, i_brk, i_fwd) + ctx.gmin * v + eps[0]
+
+        # depletion charge, linearized beyond fc·vj (standard SPICE)
+        cj0 = p["cj0"] * p["area"]
+        vj, mj, fc = p["vj"], p["m"], p["fc"]
+        qdep_below = cj0 * vj / (1.0 - mj) * (
+            1.0 - jnp.power(jnp.maximum(1.0 - v / vj, 1e-6), 1.0 - mj))
+        f1 = vj / (1.0 - mj) * (1.0 - jnp.power(1.0 - fc, 1.0 - mj))
+        f2 = jnp.power(1.0 - fc, -(1.0 + mj))
+        qdep_above = cj0 * (f1 + f2 * ((1.0 - fc * (1.0 + mj)) * (v - fc * vj)
+                                       + 0.5 * mj / vj * (v * v - fc * fc * vj * vj)))
+        qdep = jnp.where(v < fc * vj, qdep_below, qdep_above)
+        # diffusion charge
+        qdiff = p["tt"] * i_fwd
+        q = qdep + qdiff
+        return jnp.stack([i, -i]), jnp.stack([q, -q])
+
+    @classmethod
+    def noise(cls, lv, p, ctx):
+        v = lv[0] - lv[1]
+        vte = p["n"] * ctx.vt
+        i = p["is"] * p["area"] * (_limexp(v / vte) - 1.0)
+        pwr = 2.0 * config.Q_CHARGE * jnp.abs(i)
+        return jnp.stack([pwr]), jnp.zeros((1,))
