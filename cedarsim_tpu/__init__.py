@@ -32,5 +32,8 @@ from cedarsim_tpu.analysis.ac import ac, acdec, noise
 from cedarsim_tpu.analysis.sweeps import (
     Sweep, ProductSweep, TandemSweep, SerialSweep, sweepify, dc_sweep,
 )
+from cedarsim_tpu.frontend.parser import parse_spice
+from cedarsim_tpu.frontend.elaborate import load_spice, elaborate
+from cedarsim_tpu.api import simulate
 
 __version__ = "0.1.0"

@@ -1,0 +1,92 @@
+"""High-level netlist-in → results-out API.
+
+The reference's equivalents: ``tran!(::ParsedCircuit)`` reads the tspan from
+the netlist's ``.tran`` via ``find_default_tspan`` and
+``solve(ps::ParsedCircuit)`` (/root/reference/src/circsummary.jl:109-128,
+src/sweeps.jl:450-465).
+"""
+
+from __future__ import annotations
+
+from cedarsim_tpu.core.compile import compile_circuit
+from cedarsim_tpu.core.context import SimSpec
+from cedarsim_tpu.frontend.elaborate import load_spice, elaborate
+from cedarsim_tpu.frontend.parser import parse_spice
+from cedarsim_tpu.analysis.dc import solve_dc
+from cedarsim_tpu.analysis.tran import tran, TranOptions
+from cedarsim_tpu.analysis import ac as ac_mod
+
+
+def find_tran_directive(circuit):
+    """(tstep, tstop, tstart, hmax) from the netlist ``.tran`` or None."""
+    for cmd, args, kw in circuit.directives:
+        if cmd == "tran":
+            nums = [a for a in args if isinstance(a, (int, float))]
+            uic = any(isinstance(a, str) and a.lower() == "uic" for a in args)
+            tstep = nums[0] if len(nums) > 0 else None
+            tstop = nums[1] if len(nums) > 1 else (nums[0] if nums else None)
+            tstart = nums[2] if len(nums) > 2 else 0.0
+            hmax = nums[3] if len(nums) > 3 else None
+            return dict(tstep=tstep, tstop=tstop, tstart=tstart, hmax=hmax,
+                        uic=uic)
+    return None
+
+
+def find_ac_directive(circuit):
+    for cmd, args, kw in circuit.directives:
+        if cmd == "ac":
+            mode = args[0] if args and isinstance(args[0], str) else "dec"
+            nums = [a for a in args if isinstance(a, (int, float))]
+            n, f1, f2 = int(nums[0]), nums[1], nums[2]
+            return dict(mode=mode.lower(), n=n, fstart=f1, fstop=f2)
+    return None
+
+
+def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
+             tran_opts: TranOptions = None, file="<netlist>", mc_seed=None):
+    """Run the analyses requested by the netlist's directives.
+
+    Returns a dict: ``{"op": DCResult, "tran": TranSolution, "ac": ACSolution}``
+    with only the requested entries.
+    """
+    if isinstance(text_or_circuit, str):
+        circuit = load_spice(text_or_circuit, file=file,
+                             include_paths=include_paths, params=params,
+                             mc_seed=mc_seed)
+    else:
+        circuit = text_or_circuit
+    temp = temp if temp is not None else circuit.options.get("temp", 27.0)
+    gmin = circuit.options.get("gmin", 1e-12)
+    compiled = compile_circuit(circuit)
+    ctx = SimSpec.make(temp_c=temp, gmin=gmin, dtype=compiled.dtype)
+    out = {"circuit": circuit, "compiled": compiled}
+    ran_any = False
+    for cmd, args, kw in circuit.directives:
+        if cmd == "op" and "op" not in out:
+            out["op"] = solve_dc(compiled, ctx=ctx)
+            ran_any = True
+        elif cmd == "tran" and "tran" not in out:
+            d = find_tran_directive(circuit)
+            opts = tran_opts
+            if opts is None:
+                okw = {}
+                if d["hmax"]:
+                    okw["hmax_frac"] = d["hmax"] / max(
+                        d["tstop"] - (d["tstart"] or 0.0), 1e-30)
+                if d["uic"]:
+                    okw["uic"] = True
+                opts = TranOptions(**okw)
+            out["tran"] = tran(compiled, (0.0, d["tstop"]), ctx=ctx, opts=opts)
+            ran_any = True
+        elif cmd == "ac" and "ac" not in out:
+            d = find_ac_directive(circuit)
+            if d["mode"] == "dec":
+                freqs = ac_mod.acdec(d["n"], d["fstart"], d["fstop"])
+            else:
+                import numpy as np
+                freqs = np.linspace(d["fstart"], d["fstop"], d["n"])
+            out["ac"] = ac_mod.ac(compiled, freqs, ctx=ctx)
+            ran_any = True
+    if not ran_any:
+        out["op"] = solve_dc(compiled, ctx=ctx)
+    return out

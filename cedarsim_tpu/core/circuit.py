@@ -49,6 +49,8 @@ class Circuit:
         self._names: set[str] = set()
         #: user initial conditions: net name -> voltage (SPICE .ic)
         self.ics: dict[str, float] = {}
+        #: initial guesses only (SPICE .nodeset)
+        self.nodesets: dict[str, float] = {}
         #: analysis directives collected by the frontend (.tran/.ac/.dc/.option)
         self.directives: list = []
         self.options: dict = {}

@@ -60,6 +60,10 @@ class CompiledCircuit:
 
     def _build(self):
         ckt = self.circuit
+        if not ckt.instances:
+            raise ValueError(
+                "circuit is empty — no device instances (check that the "
+                "netlist's first line is a title line, not a component)")
         n_nodes = ckt.n_nodes
         self.node_names = list(ckt.net_names)
 

