@@ -12,3 +12,6 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin prepends itself to jax_platforms regardless of the
+# JAX_PLATFORMS env var; an explicit config update is the reliable override.
+jax.config.update("jax_platforms", "cpu")

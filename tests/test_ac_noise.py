@@ -1,0 +1,109 @@
+"""AC / noise / sensitivity analytic golden tests.
+
+Ported behaviors: AC magnitude/phase vs analytic transfer functions
+(/root/reference/test/ac.jl:17-66, Butterworth /root/reference/test/
+transients.jl:96-180), resistor thermal-noise PSD
+(/root/reference/test/ac.jl:100-170), divider forward sensitivities
+(/root/reference/test/sensitivity.jl:14-100)."""
+
+import numpy as np
+
+from cedarsim_tpu import (
+    Circuit, Resistor, Capacitor, Inductor, VSource,
+    compile_circuit, ac, acdec, noise,
+)
+from cedarsim_tpu.analysis.sensitivity import dc_sensitivity
+from cedarsim_tpu.frontend.elaborate import load_spice
+
+K = 1.380649e-23
+T = 300.15  # 27C
+
+
+def test_rc_lowpass_ac():
+    r, c = 1e3, 1e-6
+    ckt = Circuit()
+    vin, vout = ckt.net("vin"), ckt.net("vout")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=0.0, ac=1.0))
+    ckt.add(Resistor, "R1", (vin, vout), dict(r=r))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=c))
+    comp = compile_circuit(ckt)
+    freqs = acdec(10, 1.0, 1e5)
+    sol = ac(comp, freqs)
+    h = sol["vout"]
+    w = 2 * np.pi * freqs
+    href = 1.0 / (1.0 + 1j * w * r * c)
+    assert np.allclose(np.abs(h), np.abs(href), rtol=1e-8)
+    assert np.allclose(np.angle(h), np.angle(href), rtol=1e-6, atol=1e-9)
+
+
+def test_butterworth_ac():
+    # 3rd-order Butterworth: L1=3/2, C2=4/3, L3=1/2, R4=1
+    # |H(jω)| = 0.5/sqrt(1+ω^6) into the loaded divider (source->R4 gain 1/2
+    # at DC)  (reference test/transients.jl:96-180, test/ac.jl)
+    ckt = Circuit()
+    vin = ckt.net("vin")
+    n1 = ckt.net("n1")
+    vout = ckt.net("vout")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=0.0, ac=1.0))
+    ckt.add(Inductor, "L1", (vin, n1), dict(l=1.5))
+    ckt.add(Capacitor, "C2", (n1, ckt.gnd), dict(c=4.0 / 3.0))
+    ckt.add(Inductor, "L3", (n1, vout), dict(l=0.5))
+    ckt.add(Resistor, "R4", (vout, ckt.gnd), dict(r=1.0))
+    comp = compile_circuit(ckt)
+    w = np.logspace(-2, 1, 40)           # rad/s
+    freqs = w / (2 * np.pi)
+    sol = ac(comp, freqs)
+    h = sol["vout"]
+    gref = 1.0 / np.sqrt(1.0 + w ** 6)
+    assert np.allclose(np.abs(h), gref, rtol=1e-8)
+
+
+def test_resistor_noise_psd():
+    # divider: output noise PSD = 4kT·(R1 || R2), flat
+    r1, r2 = 1e3, 3e3
+    code = f"""* noise divider
+V1 vin 0 0
+R1 vin vout {r1}
+R2 vout 0 {r2}
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    freqs = np.array([1.0, 1e3, 1e6])
+    ns = noise(comp, "vout", freqs)
+    rpar = r1 * r2 / (r1 + r2)
+    ref = 4 * K * T * rpar
+    assert np.allclose(ns.psd, ref, rtol=1e-6)
+    # per-source split: R1 contributes 4kT/R1·|Zout|², same for R2 → both
+    # equal 4kT·rpar²/Ri
+    assert np.allclose(ns.per_source[:, 0], 4 * K * T * rpar ** 2 / r1,
+                       rtol=1e-6)
+
+
+def test_rc_noise_rolloff():
+    # kT/C total: PSD(f) = 4kTR/(1+(2πfRC)²)
+    r, c = 1e3, 1e-9
+    ckt = Circuit()
+    vout = ckt.net("vout")
+    ckt.add(Resistor, "R1", (vout, ckt.gnd), dict(r=r))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=c))
+    comp = compile_circuit(ckt)
+    freqs = acdec(5, 1e3, 1e8)
+    ns = noise(comp, "vout", freqs)
+    ref = 4 * K * T * r / (1 + (2 * np.pi * freqs * r * c) ** 2)
+    assert np.allclose(ns.psd, ref, rtol=1e-6)
+
+
+def test_divider_sensitivity():
+    # vmid = V·R2/(R1+R2); dvmid/dR1 = -V·R2/(R1+R2)², dvmid/dR2 = +V·R1/(R1+R2)²
+    code = """* divider
+V1 vin 0 2
+R1 vin vmid 1k
+R2 vmid 0 1k
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    val, g = dc_sensitivity(comp, "vmid", ["r1.r", "r2.r"])
+    v, r1, r2 = 2.0, 1e3, 1e3
+    assert np.isclose(float(val), 1.0, rtol=1e-9)
+    assert np.isclose(float(g["r1.r"]), -v * r2 / (r1 + r2) ** 2, rtol=1e-6)
+    assert np.isclose(float(g["r2.r"]), v * r1 / (r1 + r2) ** 2, rtol=1e-6)

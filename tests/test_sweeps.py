@@ -1,0 +1,68 @@
+"""Sweep combinator semantics (reference test/sweep.jl:30-250) and batched
+vmapped execution with per-point physics (test/sweep.jl:252-330)."""
+
+import numpy as np
+
+from cedarsim_tpu import (
+    Sweep, ProductSweep, TandemSweep, SerialSweep, sweepify,
+    compile_circuit, dc_sweep,
+)
+from cedarsim_tpu.frontend.elaborate import load_spice
+
+
+def test_combinator_iteration():
+    s1 = Sweep("a", [1, 2])
+    s2 = Sweep("b", [10, 20, 30])
+    prod = ProductSweep(s1, s2)
+    assert len(prod) == 6
+    pts = list(prod)
+    assert pts[0] == {"a": 1, "b": 10}
+    assert pts[-1] == {"a": 2, "b": 30}
+
+    tand = TandemSweep(Sweep("a", [1, 2, 3]), Sweep("b", [4, 5, 6]))
+    assert len(tand) == 3
+    assert list(tand)[1] == {"a": 2, "b": 5}
+
+    ser = SerialSweep(s1, s2)
+    assert len(ser) == 5
+    assert list(ser)[0] == {"a": 1}
+    assert list(ser)[2] == {"b": 10}
+    assert set(ser.names) == {"a", "b"}
+
+    # dict shorthand is a product (reference sweepify, sweeps.jl:349-354)
+    sw = sweepify({"a": [1, 2], "b": [3]})
+    assert len(sw) == 2
+
+
+def test_batched_dc_sweep_divider():
+    code = """* divider
+V1 vin 0 1
+R1 vin vmid 1k
+R2 vmid 0 1k
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    r2s = np.array([500.0, 1000.0, 2000.0, 4000.0])
+    res = dc_sweep(comp, Sweep("r2.r", r2s))
+    assert np.asarray(res.converged).all()
+    i = comp.node_names.index("vmid")
+    v = np.asarray(res.x)[:, i]
+    ref = r2s / (1000.0 + r2s)
+    assert np.allclose(v, ref, rtol=1e-8)
+
+
+def test_product_sweep_2d():
+    code = """* divider2
+V1 vin 0 {vv}
+R1 vin vmid 1k
+R2 vmid 0 1k
+.param vv=1
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    sweep = ProductSweep(Sweep("v1.dc", [1.0, 2.0]),
+                         Sweep("r1.r", [1e3, 3e3]))
+    res = dc_sweep(comp, sweep)
+    v = np.asarray(res.x)[:, comp.node_names.index("vmid")]
+    ref = [1 * 1e3 / 2e3, 1 * 1e3 / 4e3, 2 * 1e3 / 2e3, 2 * 1e3 / 4e3]
+    assert np.allclose(v, ref, rtol=1e-8)
