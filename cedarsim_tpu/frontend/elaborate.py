@@ -242,6 +242,16 @@ class Elaborator:
                     if not isinstance(v, (int, float)) else float(v))
                 for k, v in st.kwargs.items()}))
             return
+        if st.cmd in ("hdl", "va"):
+            from cedarsim_tpu.va.codegen import load_va
+            path = self._resolve_file(st.args[0].strip('"'), st.loc)
+            with open(path, "r", errors="replace") as f:
+                mods = load_va(f.read(), path,
+                               include_paths=self.include_paths)
+            vam = scope.setdefault("va_modules", {})
+            for name, cls in mods.items():
+                vam[name.lower()] = cls
+            return
         if st.cmd in ("print", "plot", "save", "probe", "width", "meas",
                       "measure", "end", "backanno", "temp"):
             return  # stored/no-op for now
@@ -493,9 +503,25 @@ class Elaborator:
                             el.loc)
         self.ckt.add(cls, name, nets, p, m=m)
 
+    def _va_module(self, name, scope):
+        n = name.lower()
+        sc = scope
+        while sc is not None:
+            vam = sc.get("va_modules")
+            if vam and n in vam:
+                return vam[n]
+            sc = sc.get("parent")
+        return None
+
     def _instantiate_subckt(self, el, scope, prefix, nodemap, mfac, kw):
         entry = self._subckt(el.model, scope, el.loc)
         if entry is None:
+            cls = self._va_module(el.model, scope)
+            if cls is not None:
+                name = prefix + el.name.lower()
+                nets = [self._net(n, prefix, nodemap) for n in el.nodes]
+                self.ckt.add(cls, name, nets, kw, m=mfac)
+                return
             raise ElabError(f"subcircuit {el.model!r} not found", el.loc)
         sub, def_scope = entry
         if len(el.nodes) != len(sub.nodes):

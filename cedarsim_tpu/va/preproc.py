@@ -139,6 +139,8 @@ def preprocess(text: str, file="<va>", include_paths=(), defines=None,
         i += 1
     if active_stack:
         raise VAPreprocError(f"{file}: unterminated `ifdef")
+    if _depth == 0:
+        out.append(Tok("eof", "", toks[-1].line, toks[-1].col))
     return out
 
 

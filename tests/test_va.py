@@ -1,0 +1,235 @@
+"""Verilog-A pipeline tests: parse → compile → simulate, mirroring the
+reference's inline-VA regression style (/root/reference/test/varegress.jl)."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from cedarsim_tpu import (Circuit, VSource, Resistor, compile_circuit,
+                          solve_dc, tran, ac, acdec, noise)
+from cedarsim_tpu.va.codegen import load_va, VACodegenError
+from cedarsim_tpu.va.parser import parse_va
+
+K = 1.380649e-23
+T = 300.15
+
+VA_RES = """
+`define TWO 2
+module vares(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter real r = 1.0 from (0:inf);
+  analog begin
+    I(p, n) <+ V(p, n) / r;
+    I(p, n) <+ white_noise(4.0 * `P_K * $temperature / r, "thermal");
+  end
+endmodule
+"""
+
+VA_HEADER = "`define P_K 1.380649e-23\n"
+
+
+def test_va_parse_basic():
+    mods = parse_va(VA_HEADER + VA_RES)
+    assert len(mods) == 1
+    m = mods[0]
+    assert m.name == "vares"
+    assert m.ports == ["p", "n"]
+    assert m.parameters[0].name == "r"
+    assert m.parameters[0].ranges[0].kind == "from"
+
+
+def test_va_resistor_divider():
+    devs = load_va(VA_HEADER + VA_RES)
+    VaRes = devs["vares"]
+    ckt = Circuit()
+    vin, mid = ckt.net("vin"), ckt.net("mid")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=2.0))
+    ckt.add(VaRes, "R1", (vin, mid), dict(r=1000.0))
+    ckt.add(VaRes, "R2", (mid, ckt.gnd), dict(r=3000.0))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    assert bool(res.converged)
+    assert np.isclose(np.asarray(res.x)[c.node_names.index("mid")], 1.5,
+                      rtol=1e-9)
+    # thermal noise from the VA white_noise: 4kT·(R1||R2)
+    ns = noise(c, "mid", [1e3])
+    rpar = 750.0
+    assert np.isclose(ns.psd[0], 4 * K * T * rpar, rtol=1e-6)
+
+
+VA_CAP = """
+module vacap(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter real c = 1e-12;
+  analog I(p, n) <+ ddt(c * V(p, n));
+endmodule
+"""
+
+
+def test_va_capacitor_rc_transient():
+    devs = load_va(VA_CAP)
+    VaCap = devs["vacap"]
+    ckt = Circuit()
+    vin, out = ckt.net("vin"), ckt.net("out")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=5.0))
+    ckt.add(Resistor, "R1", (vin, out), dict(r=1000.0))
+    ckt.add(VaCap, "C1", (out, ckt.gnd), dict(c=1e-6))
+    ckt.ic("out", 0.0)
+    c = compile_circuit(ckt)
+    sol = tran(c, (0.0, 5e-3))
+    assert sol.converged
+    tau = 1e-3
+    ref = 5.0 * (1 - np.exp(-sol.ts / tau))
+    assert np.allclose(sol["out"], ref, atol=0.03)
+
+
+VA_DIODE = """
+module vadiode(a, c);
+  inout a, c;
+  electrical a, c;
+  parameter real is_ = 1e-14 from (0:1];
+  parameter real n = 1.0;
+  real id, vd;
+  analog begin
+    vd = V(a, c);
+    if (vd > -5.0 * n * $vt)
+      id = is_ * (limexp(vd / (n * $vt)) - 1.0);
+    else
+      id = -is_;
+    I(a, c) <+ id;
+  end
+endmodule
+"""
+
+
+def test_va_diode_conditional():
+    devs = load_va(VA_DIODE)
+    ckt = Circuit()
+    a, b = ckt.net("a"), ckt.net("b")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=5.0))
+    ckt.add(Resistor, "R1", (a, b), dict(r=1000.0))
+    ckt.add(devs["vadiode"], "D1", (b, ckt.gnd), dict(is_=1e-14))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    assert bool(res.converged)
+    vb = float(np.asarray(res.x)[c.node_names.index("b")])
+    vt = K * T / 1.602176634e-19
+    i_r = (5 - vb) / 1e3
+    i_d = 1e-14 * (np.exp(vb / vt) - 1)
+    assert np.isclose(i_r, i_d, rtol=1e-4)
+
+
+VA_VCVS = """
+module vavcvs(op, on, cp, cn);
+  inout op, on, cp, cn;
+  electrical op, on, cp, cn;
+  parameter real gain = 2.0;
+  analog V(op, on) <+ gain * V(cp, cn);
+endmodule
+"""
+
+
+def test_va_voltage_contribution():
+    devs = load_va(VA_VCVS)
+    ckt = Circuit()
+    i1, o1 = ckt.net("i1"), ckt.net("o1")
+    ckt.add(VSource, "V1", (i1, ckt.gnd), dict(dc=1.5))
+    ckt.add(devs["vavcvs"], "E1", (o1, ckt.gnd, i1, ckt.gnd),
+            dict(gain=3.0))
+    ckt.add(Resistor, "RL", (o1, ckt.gnd), dict(r=1e3))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    assert bool(res.converged)
+    assert np.isclose(np.asarray(res.x)[c.node_names.index("o1")], 4.5,
+                      rtol=1e-9)
+
+
+VA_FUNC = """
+module vafunc(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter real r = 100.0;
+  analog function real doubler;
+    input x;
+    real x;
+    doubler = 2.0 * x;
+  endfunction
+  analog begin : main
+    real g;
+    g = doubler(1.0 / r);
+    I(p, n) <+ g * V(p, n);
+  end
+endmodule
+"""
+
+
+def test_va_analog_function_and_named_block():
+    devs = load_va(VA_FUNC)
+    ckt = Circuit()
+    a = ckt.net("a")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=1.0))
+    ckt.add(devs["vafunc"], "X1", (a, ckt.gnd), dict(r=100.0))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    obs = c.observe("X1.I")
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    i = float(obs(res.x, jnp.zeros_like(res.x), SimSpec.make(), None))
+    # g = 2/r = 0.02 → I = 20 mA
+    assert np.isclose(i, 0.02, rtol=1e-9)
+
+
+VA_PARAM_DEP = """
+module vapd(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter real w = 1e-6;
+  parameter real l = 1e-6;
+  parameter real rsh = 100.0;
+  parameter real r = rsh * l / w;
+  analog I(p, n) <+ V(p, n) / r;
+endmodule
+"""
+
+
+def test_va_param_default_dependency_and_given():
+    devs = load_va(VA_PARAM_DEP)
+    p = devs["vapd"].prepare({"l": 2e-6})
+    assert p["r"] == pytest.approx(200.0)
+    assert p["l$given"] == 1.0 and p["r$given"] == 0.0
+    p2 = devs["vapd"].prepare({"r": 50.0})
+    assert p2["r"] == 50.0
+
+
+def test_va_hdl_in_netlist(tmp_path):
+    va = tmp_path / "res.va"
+    va.write_text(VA_HEADER + VA_RES)
+    code = f"""* hdl test
+.hdl "{va}"
+V1 vin 0 2
+X1 vin mid vares r=1k
+X2 mid 0 vares r=1k
+.op
+"""
+    from cedarsim_tpu import simulate
+    res = simulate(code)
+    c = res["compiled"]
+    assert np.isclose(np.asarray(res["op"].x)[c.node_names.index("mid")],
+                      1.0, rtol=1e-9)
+
+
+def test_va_switch_branch_rejected():
+    bad = """
+module sw(p, n);
+  inout p, n; electrical p, n;
+  analog begin
+    if (V(p, n) > 0) V(p, n) <+ 0.0;
+    else I(p, n) <+ 1e-9;
+  end
+endmodule
+"""
+    with pytest.raises(VACodegenError):
+        load_va(bad)
