@@ -48,12 +48,24 @@ class Group:
     row_idx: np.ndarray      # [n_inst, n_lrow] int32, n_x = trash row
     kcl_mask: np.ndarray     # [n_lrow] bool: True for KCL rows (scaled by m)
     eps_idx: np.ndarray      # [n_inst, n_noise] int32 into global eps vector
+    #: params uniform across the group and not requested dynamic: kept as
+    #: concrete Python/numpy constants so model conditionals fold at trace
+    #: time — the reference's const-prop of non-ParamSim parameters
+    #: (/root/reference/src/circuitodesystem.jl:41-65, PDK params become
+    #: consts spectre.jl:1365-1527)
+    static_params: dict = dataclasses.field(default_factory=dict)
 
 
 class CompiledCircuit:
-    def __init__(self, circuit: Circuit, dtype=None):
+    def __init__(self, circuit: Circuit, dtype=None, dynamic_params=()):
+        """``dynamic_params``: param names to keep as traced data (sweepable /
+        differentiable): bare names ("w") apply to every instance, dotted
+        names ("x1.m1.w") to one.  Everything else that is uniform across a
+        device group becomes a compile-time constant."""
         self.circuit = circuit
         self.dtype = dtype or config.real_dtype
+        self.dynamic_params = frozenset(
+            d.lower() for d in (dynamic_params or ()))
         self._build()
 
     # ------------------------------------------------------------- structure
@@ -147,14 +159,25 @@ class CompiledCircuit:
                     eps_off += model.n_noise
             kcl_mask = np.zeros(model.n_lrow(), bool)
             kcl_mask[: nt + ni] = True
-            self.groups[key] = Group(key, model, insts, var_idx, row_idx,
-                                     kcl_mask, eps_idx)
-            # stack params
+            grp = Group(key, model, insts, var_idx, row_idx,
+                        kcl_mask, eps_idx)
+            self.groups[key] = grp
+            # stack params; uniform non-dynamic ones become constants
             gp = {}
             pnames = list(insts[0].params.keys())
             for pn in pnames:
-                vals = [np.asarray(i.params[pn], np.float64) for i in insts]
-                gp[pn] = jnp.asarray(np.stack(vals), self.dtype)
+                vals = np.stack(
+                    [np.asarray(i.params[pn], np.float64) for i in insts])
+                dyn = (pn.lower() in self.dynamic_params or any(
+                    f"{i.name}.{pn}".lower() in self.dynamic_params
+                    for i in insts))
+                uniform = bool(np.all(vals == vals[0]))
+                if uniform and not dyn:
+                    v0 = vals[0]
+                    grp.static_params[pn] = (
+                        float(v0) if v0.ndim == 0 else np.asarray(v0))
+                else:
+                    gp[pn] = jnp.asarray(vals, self.dtype)
             gp["$mult"] = jnp.asarray([i.mult for i in insts], self.dtype)
             params0[key] = gp
         self.n_eps = eps_off
@@ -180,7 +203,10 @@ class CompiledCircuit:
             lv = x_pad[g.var_idx]                        # [n_inst, n_lvar]
             le = eps[g.eps_idx]                          # [n_inst, n_noise]
             pv = {k: v for k, v in gp.items() if k != "$mult"}
-            s, q = jax.vmap(lambda l, p, e: g.model.eval(l, p, ctx, e))(lv, pv, le)
+            sp = g.static_params
+            s, q = jax.vmap(
+                lambda l, p, e: g.model.eval(l, {**sp, **p}, ctx, e))(
+                    lv, pv, le)
             scale = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
                               gp["$mult"][:, None], 1.0)
             S = S.at[g.row_idx].add(s * scale)
@@ -203,11 +229,13 @@ class CompiledCircuit:
             gp = params[key]
             lv = x_pad[g.var_idx]
             pv = {k: v for k, v in gp.items() if k != "$mult"}
+            sp = g.static_params
             ne = max(g.model.n_noise, 0)
             e0 = jnp.zeros(ne, x.dtype)
 
             def local_jac(l, p):
-                return jax.jacfwd(lambda ll: g.model.eval(ll, p, ctx, e0))(l)
+                return jax.jacfwd(
+                    lambda ll: g.model.eval(ll, {**sp, **p}, ctx, e0))(l)
 
             Js, Jq = jax.vmap(local_jac)(lv, pv)     # [n_inst, n_lrow, n_lvar]
             scale = jnp.where(jnp.asarray(g.kcl_mask)[None, :, None],
@@ -225,9 +253,11 @@ class CompiledCircuit:
         for key in self.group_order:
             g = self.groups[key]
             gp = {k: v for k, v in params[key].items() if k != "$mult"}
-            if g.model.ac_rhs(jax.tree.map(lambda v: v[0], gp)) is None:
+            sp = g.static_params
+            probe = {**sp, **{k: v[0] for k, v in gp.items()}}
+            if g.model.ac_rhs(probe) is None:
                 continue
-            vals = jax.vmap(g.model.ac_rhs)(gp)      # [n_inst, n_lrow]
+            vals = jax.vmap(lambda p: g.model.ac_rhs({**sp, **p}))(gp)
             b = b.at[g.row_idx].add(vals)
         return b[:-1]
 
@@ -244,8 +274,10 @@ class CompiledCircuit:
             if g.model.n_noise == 0:
                 continue
             gp = {k: v for k, v in params[key].items() if k != "$mult"}
+            sp = g.static_params
             lv = x_pad[g.var_idx]
-            pw, e = jax.vmap(lambda l, p: g.model.noise(l, p, ctx))(lv, gp)
+            pw, e = jax.vmap(
+                lambda l, p: g.model.noise(l, {**sp, **p}, ctx))(lv, gp)
             pwr = pwr.at[g.eps_idx].set(pw)
             ex = ex.at[g.eps_idx].set(e)
         return pwr, ex
@@ -281,6 +313,7 @@ class CompiledCircuit:
                     params = self.params0 if params is None else params
                     gp = {k: v[j] for k, v in params[key].items()
                           if k != "$mult"}
+                    gp = {**g.static_params, **gp}
                     xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
                     xdp = jnp.concatenate([xd, jnp.zeros(1, x.dtype)])
                     lv = xp[g.var_idx[j]]
@@ -304,6 +337,12 @@ class CompiledCircuit:
         if pname == "m":
             pname = "$mult"
         elif pname not in self.params0[key]:
+            if pname in self.groups[key].static_params:
+                raise KeyError(
+                    f"{inst_name}.{pname} was compiled as a static constant; "
+                    f"pass dynamic_params=[{pname!r}] (or "
+                    f"'{inst_name}.{pname}') to compile_circuit to sweep or "
+                    "differentiate it")
             raise KeyError(f"{inst_name} has no parameter {pname!r}")
         return key, j, pname
 
@@ -322,6 +361,19 @@ class CompiledCircuit:
         key, j, pname = self.param_loc(dotted)
         return params[key][pname][j]
 
+    def describe(self):
+        """Human-readable structure summary."""
+        lines = [f"CompiledCircuit: n_x={self.n_x} (nodes={self.n_nodes} "
+                 f"internal={self.n_internal} branch={self.n_branch}) "
+                 f"eps={self.n_eps}"]
+        for key in self.group_order:
+            g = self.groups[key]
+            lines.append(
+                f"  {key}: {len(g.instances)} instances, "
+                f"{len(g.static_params)} static / "
+                f"{len(self.params0[key]) - 1} dynamic params")
+        return "\n".join(lines)
+
     def breakpoints(self, tstop: float) -> np.ndarray:
         """All source-waveform discontinuity times in (0, tstop) — the static
         break list replacing ``time_periodic_singularities!``
@@ -338,5 +390,7 @@ class CompiledCircuit:
         return out[(out > 0) & (out < tstop)]
 
 
-def compile_circuit(circuit: Circuit, dtype=None) -> CompiledCircuit:
-    return CompiledCircuit(circuit, dtype=dtype)
+def compile_circuit(circuit: Circuit, dtype=None,
+                    dynamic_params=()) -> CompiledCircuit:
+    return CompiledCircuit(circuit, dtype=dtype,
+                           dynamic_params=dynamic_params)

@@ -104,6 +104,30 @@ def _limexp(x, lim=80.0):
     return jnp.where(x <= lim, xe, jnp.exp(lim) * (1.0 + (x - lim)))
 
 
+def _concrete(*vs):
+    """True if none of the values is a traced/jax array — concrete Python or
+    numpy scalars stay concrete through the interpreter so parameter-only
+    computation folds at trace time (the const-prop the reference gets from
+    the Julia compiler, /root/reference/test/compiler_sanity.jl)."""
+    import jax
+    return not any(isinstance(v, jax.Array) for v in vs)
+
+
+_HOST_MATH1 = {
+    "exp": math.exp, "ln": math.log, "log": math.log10, "log10": math.log10,
+    "sqrt": math.sqrt, "abs": abs,
+    "limexp": lambda x: math.exp(x) if x <= 80 else math.exp(80.0)*(1+x-80),
+    "sin": math.sin, "cos": math.cos, "tan": math.tan,
+    "asin": math.asin, "acos": math.acos, "atan": math.atan,
+    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+    "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+    "floor": math.floor, "ceil": math.ceil,
+}
+_HOST_MATH2 = {
+    "pow": lambda a, b: a ** b, "min": min, "max": max,
+    "atan2": math.atan2, "hypot": math.hypot, "fmod": math.fmod,
+}
+
 _MATH1 = {
     "exp": jnp.exp, "ln": jnp.log, "log": jnp.log10, "log10": jnp.log10,
     "sqrt": jnp.sqrt, "abs": jnp.abs, "limexp": _limexp,
@@ -500,7 +524,7 @@ class _State:
         self.noise_k = 0
         self.noise_pwr = []
         self.noise_exp = []
-        self.zero = jnp.zeros((), lv.dtype)
+        self.zero = 0.0
 
     # ------------------------------------------------------------ statements
 
@@ -530,6 +554,12 @@ class _State:
             return
         if k == "if":
             cond = _scalar(self.expr(st[1], env), "condition")
+            if _concrete(cond):
+                if float(cond) != 0.0:
+                    self.stmt(st[2], env)
+                elif st[3] is not None:
+                    self.stmt(st[3], env)
+                return
             env_t = dict(env)
             self.stmt(st[2], env_t)
             env_f = dict(env)
@@ -539,7 +569,25 @@ class _State:
             return
         if k == "case":
             sel = _scalar(self.expr(st[1], env), "case selector")
-            # desugar to if-chain (first match wins)
+            labels_concrete = _concrete(sel)
+            if labels_concrete:
+                default_body = None
+                for labels, body in st[2]:
+                    if labels is None:
+                        default_body = body
+                        continue
+                    lvs = [self.expr(l, env) for l in labels]
+                    if not _concrete(*[_pair(lv_)[0] for lv_ in lvs]):
+                        labels_concrete = False
+                        break
+                    if any(float(_pair(lv_)[0]) == float(sel) for lv_ in lvs):
+                        self.stmt(body, env)
+                        return
+                if labels_concrete:
+                    if default_body is not None:
+                        self.stmt(default_body, env)
+                    return
+            # traced selector: desugar to where-merged if-chain
             matched = jnp.zeros((), bool)
             branches = []
             for labels, body in st[2]:
@@ -549,7 +597,7 @@ class _State:
                     c = jnp.zeros((), bool)
                     for l in labels:
                         lv_ = _scalar(self.expr(l, env))
-                        c = jnp.logical_or(c, sel == lv_)
+                        c = jnp.logical_or(c, jnp.asarray(sel == lv_))
                     cond = jnp.logical_and(c, jnp.logical_not(matched))
                     matched = jnp.logical_or(matched, c)
                 branches.append((cond, body))
@@ -644,7 +692,7 @@ class _State:
     def expr(self, e, env):
         k = e[0]
         if k == "num":
-            return jnp.asarray(e[1], self.lv.dtype)
+            return float(e[1])
         if k == "str":
             return e[1]
         if k == "ref":
@@ -654,13 +702,21 @@ class _State:
             if e[1] == "-":
                 return _pneg(v)
             if e[1] == "!":
-                return jnp.logical_not(_scalar(v) != 0).astype(self.lv.dtype)
+                sv = _scalar(v)
+                if _concrete(sv):
+                    return float(sv == 0)
+                return jnp.logical_not(sv != 0).astype(self.lv.dtype)
             if e[1] == "~":
-                return (~(_scalar(v).astype(jnp.int32))).astype(self.lv.dtype)
+                sv = _scalar(v)
+                if _concrete(sv):
+                    return float(~int(sv))
+                return (~(sv.astype(jnp.int32))).astype(self.lv.dtype)
         if k == "bin":
             return self._binop(e[1], e[2], e[3], env)
         if k == "cond":
             c = _scalar(self.expr(e[1], env))
+            if _concrete(c):
+                return self.expr(e[2] if float(c) != 0 else e[3], env)
             a = _pair(self.expr(e[2], env))
             b = _pair(self.expr(e[3], env))
             s = jnp.where(c != 0, a[0], b[0])
@@ -682,7 +738,7 @@ class _State:
             # no-arg system functions used without parens ($temperature, $vt)
             return self._callexpr(name, [], env)
         if name == "inf":
-            return jnp.asarray(np.inf, self.lv.dtype)
+            return np.inf
         mv = self.it.module.variables
         if name in mv:
             return self.zero
@@ -697,7 +753,7 @@ class _State:
                   "P_CELSIUS0": 273.15, "P_C": 299792458.0,
                   "P_U0": 1.25663706212e-6}
         if name in consts:
-            return jnp.asarray(consts[name], self.lv.dtype)
+            return consts[name]
         raise VACodegenError(
             f"{self.it.module.name}: undefined identifier {name!r}")
 
@@ -713,38 +769,27 @@ class _State:
         if op == "/":
             return _pdiv(a, b)
         sa, sb = _scalar(a, f"'{op}'"), _scalar(b, f"'{op}'")
+        if _concrete(sa, sb):
+            from cedarsim_tpu.va.codegen import _host_binop
+            return _host_binop(op, float(sa), float(sb))
         d = self.lv.dtype
         if op == "**":
             return jnp.power(sa, sb)
         if op == "%":
             return jnp.fmod(sa, sb)
-        if op == "==":
-            return (sa == sb).astype(d)
-        if op == "!=":
-            return (sa != sb).astype(d)
-        if op == "<":
-            return (sa < sb).astype(d)
-        if op == "<=":
-            return (sa <= sb).astype(d)
-        if op == ">":
-            return (sa > sb).astype(d)
-        if op == ">=":
-            return (sa >= sb).astype(d)
-        if op == "&&":
-            return ((sa != 0) & (sb != 0)).astype(d)
-        if op == "||":
-            return ((sa != 0) | (sb != 0)).astype(d)
-        ia, ib = sa.astype(jnp.int32), sb.astype(jnp.int32)
-        if op == "&":
-            return (ia & ib).astype(d)
-        if op == "|":
-            return (ia | ib).astype(d)
-        if op == "^":
-            return (ia ^ ib).astype(d)
-        if op == "<<":
-            return (ia << ib).astype(d)
-        if op == ">>":
-            return (ia >> ib).astype(d)
+        cmp = {"==": lambda: sa == sb, "!=": lambda: sa != sb,
+               "<": lambda: sa < sb, "<=": lambda: sa <= sb,
+               ">": lambda: sa > sb, ">=": lambda: sa >= sb,
+               "&&": lambda: (sa != 0) & (sb != 0),
+               "||": lambda: (sa != 0) | (sb != 0)}
+        if op in cmp:
+            return jnp.asarray(cmp[op]()).astype(d)
+        ia = jnp.asarray(sa).astype(jnp.int32)
+        ib = jnp.asarray(sb).astype(jnp.int32)
+        bit = {"&": ia & ib, "|": ia | ib, "^": ia ^ ib,
+               "<<": ia << ib, ">>": ia >> ib}
+        if op in bit:
+            return bit[op].astype(d)
         raise VACodegenError(f"unhandled operator {op!r}")
 
     def _node_v(self, name):
@@ -801,7 +846,7 @@ class _State:
                 "noise": mode == Modes.AC,
                 "nodeset": False,
             }.get(wanted, False)
-            return jnp.asarray(1.0 if val else 0.0, self.lv.dtype)
+            return 1.0 if val else 0.0
         if name == "$temperature":
             return self.ctx.temp
         if name == "$vt":
@@ -814,7 +859,7 @@ class _State:
             key = pn + "$given"
             if key in self.p:
                 return self.p[key]
-            return jnp.asarray(0.0, self.lv.dtype)
+            return 0.0
         if name == "$simparam":
             pname = args[0][1] if args and args[0][0] == "str" else ""
             if pname == "gmin":
@@ -833,12 +878,18 @@ class _State:
         if name == "$abstime":
             return self.ctx.time
         if name in ("$port_connected",):
-            return jnp.asarray(1.0, self.lv.dtype)
+            return 1.0
         if name in _MATH1:
-            return _MATH1[name](_scalar(self.expr(args[0], env), name))
+            v = _scalar(self.expr(args[0], env), name)
+            if _concrete(v):
+                return _HOST_MATH1[name](float(v))
+            return _MATH1[name](v)
         if name in _MATH2:
-            return _MATH2[name](_scalar(self.expr(args[0], env), name),
-                                _scalar(self.expr(args[1], env), name))
+            v1 = _scalar(self.expr(args[0], env), name)
+            v2 = _scalar(self.expr(args[1], env), name)
+            if _concrete(v1, v2):
+                return _HOST_MATH2[name](float(v1), float(v2))
+            return _MATH2[name](v1, v2)
         if name in it.module.functions:
             return self._call_function(name, args, env)
         raise VACodegenError(

@@ -18,7 +18,8 @@ _SCALE = {"T": 1e12, "G": 1e9, "M": 1e6, "K": 1e3, "k": 1e3,
           "a": 1e-18}
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>[ \t]+)
+    (?P<cont>\\[ \t]*\r?\n)
+  | (?P<ws>[ \t]+)
   | (?P<nl>\r?\n)
   | (?P<lcom>//[^\n]*)
   | (?P<bcom>/\*.*?\*/)
@@ -61,7 +62,7 @@ def lex_va(text: str, file="<va>"):
                              f"{text[pos]!r}")
         kind = m.lastgroup
         s = m.group(0)
-        if kind == "ws":
+        if kind in ("ws", "cont"):
             pass
         elif kind in ("nl",):
             toks.append(Tok("nl", "\n", line, col))

@@ -36,7 +36,9 @@ def preprocess(text: str, file="<va>", include_paths=(), defines=None,
     """Returns a flat token list (no 'nl' tokens) after directive processing."""
     if _depth > 40:
         raise VAPreprocError(f"{file}: include depth exceeded")
-    macros: dict = dict(defines) if defines is not None else {}
+    # the macro table is SHARED with includes (`define inside an included
+    # file is visible to the includer afterwards, like cpp)
+    macros: dict = defines if defines is not None else {}
     for k, v in _BUILTIN_DEFINES.items():
         macros.setdefault(k, Macro(k, None, list(v) if v else []))
     toks = lex_va(text, file)
@@ -144,6 +146,10 @@ def preprocess(text: str, file="<va>", include_paths=(), defines=None,
     return out
 
 
+#: bundled standard headers (constants.vams / disciplines.vams)
+STDLIB = os.path.join(os.path.dirname(__file__), "stdlib")
+
+
 def _find_include(name, cur_file, include_paths):
     cands = []
     d = os.path.dirname(cur_file)
@@ -152,6 +158,7 @@ def _find_include(name, cur_file, include_paths):
     cands.append(name)
     for p in include_paths:
         cands.append(os.path.join(p, name))
+    cands.append(os.path.join(STDLIB, name))
     for c in cands:
         if os.path.isfile(c):
             return c
