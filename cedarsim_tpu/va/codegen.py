@@ -104,6 +104,60 @@ def _limexp(x, lim=80.0):
     return jnp.where(x <= lim, xe, jnp.exp(lim) * (1.0 + (x - lim)))
 
 
+# NaN-safe derivatives for the VA math set — compact models routinely hit
+# pow(0, m), sqrt(0), ln(0) at region boundaries, where the *value* is fine
+# but the default derivative is inf/NaN and kills Newton.  Same fix as the
+# reference's NaNMath custom frules (/root/reference/src/va_env.jl:35-75).
+import jax as _jax
+
+
+@_jax.custom_jvp
+def _safe_pow(a, b):
+    return jnp.power(a, b)
+
+
+@_safe_pow.defjvp
+def _safe_pow_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    y = jnp.power(a, b)
+    # d/da: b·a^(b−1), zeroed where a == 0 (0^m boundary)
+    ga = jnp.where(a != 0, b * jnp.power(jnp.where(a != 0, a, 1.0), b - 1.0),
+                   0.0)
+    # d/db: ln(a)·a^b, zeroed where a <= 0
+    gb = jnp.where(a > 0, jnp.log(jnp.where(a > 0, a, 1.0)) * y, 0.0)
+    return y, ga * da + gb * db
+
+
+@_jax.custom_jvp
+def _safe_sqrt(a):
+    return jnp.sqrt(a)
+
+
+@_safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    y = jnp.sqrt(a)
+    g = jnp.where(a > 0, 0.5 / jnp.where(a > 0, y, 1.0), 0.0)
+    return y, g * da
+
+
+@_jax.custom_jvp
+def _safe_log(a):
+    return jnp.log(a)
+
+
+@_safe_log.defjvp
+def _safe_log_jvp(primals, tangents):
+    (a,), (da,) = primals, tangents
+    g = jnp.where(a > 0, 1.0 / jnp.where(a > 0, a, 1.0), 0.0)
+    return jnp.log(a), g * da
+
+
+def _safe_log10(a):
+    return _safe_log(a) * (1.0 / math.log(10.0))
+
+
 def _concrete(*vs):
     """True if none of the values is a traced/jax array — concrete Python or
     numpy scalars stay concrete through the interpreter so parameter-only
@@ -129,8 +183,9 @@ _HOST_MATH2 = {
 }
 
 _MATH1 = {
-    "exp": jnp.exp, "ln": jnp.log, "log": jnp.log10, "log10": jnp.log10,
-    "sqrt": jnp.sqrt, "abs": jnp.abs, "limexp": _limexp,
+    "exp": jnp.exp, "ln": _safe_log, "log": _safe_log10,
+    "log10": _safe_log10,
+    "sqrt": _safe_sqrt, "abs": jnp.abs, "limexp": _limexp,
     "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan,
     "asin": jnp.arcsin, "acos": jnp.arccos, "atan": jnp.arctan,
     "sinh": jnp.sinh, "cosh": jnp.cosh, "tanh": jnp.tanh,
@@ -138,7 +193,7 @@ _MATH1 = {
     "floor": jnp.floor, "ceil": jnp.ceil,
 }
 _MATH2 = {
-    "pow": lambda a, b: jnp.power(a, b),
+    "pow": _safe_pow,
     "min": jnp.minimum, "max": jnp.maximum,
     "atan2": jnp.arctan2, "hypot": jnp.hypot,
     "fmod": jnp.fmod,
@@ -774,7 +829,7 @@ class _State:
             return _host_binop(op, float(sa), float(sb))
         d = self.lv.dtype
         if op == "**":
-            return jnp.power(sa, sb)
+            return _safe_pow(sa, sb)
         if op == "%":
             return jnp.fmod(sa, sb)
         cmp = {"==": lambda: sa == sb, "!=": lambda: sa != sb,

@@ -1,0 +1,86 @@
+"""BSIM-CMG 107 integration tests (CMC FinFET standard model, vendored by the
+reference at VerilogAParser.jl/cmc_models/bsimcmg107 — reference parses it in
+its precompile workload and tests, test/bsimcmg/).
+
+Slow (model compile ~1-4 min on CPU): gated behind CEDARSIM_RUN_SLOW=1.
+The fast test only checks parse + device construction + prepare.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+CMG_PATH = ("/root/reference/VerilogAParser.jl/cmc_models/bsimcmg107/"
+            "bsimcmg.va")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(CMG_PATH), reason="BSIM-CMG source not available")
+
+
+def _load():
+    from cedarsim_tpu.va.parser import parse_va
+    from cedarsim_tpu.va.codegen import make_device
+    with open(CMG_PATH) as f:
+        mods = parse_va(f.read(), CMG_PATH)
+    return make_device(mods[0])
+
+
+def test_cmg_parses_and_compiles():
+    Cmg = _load()
+    assert Cmg.terminals == ("d", "g", "s", "e")
+    assert Cmg.n_internal == 2          # di, si (RDSMOD)
+    assert Cmg.n_noise >= 4
+    p = Cmg.prepare({"devtype": 1, "nfin": 2})
+    assert p["NFIN"] == 2.0 and p["NFIN$given"] == 1.0
+    assert p["DEVTYPE"] == 1.0
+    # defaults referencing other params resolved
+    assert len(p) > 1500
+
+
+@pytest.mark.skipif(not os.environ.get("CEDARSIM_RUN_SLOW"),
+                    reason="slow: set CEDARSIM_RUN_SLOW=1")
+def test_cmg_common_source_dc():
+    from cedarsim_tpu import (Circuit, VSource, Resistor, compile_circuit,
+                              solve_dc)
+    from cedarsim_tpu.analysis.dc import NewtonOptions
+    Cmg = _load()
+    ckt = Circuit()
+    vdd, out, g = ckt.net("vdd"), ckt.net("out"), ckt.net("g")
+    ckt.add(VSource, "VDD", (vdd, ckt.gnd), dict(dc=1.0))
+    ckt.add(VSource, "VG", (g, ckt.gnd), dict(dc=0.9))
+    ckt.add(Resistor, "RL", (vdd, out), dict(r=10e3))
+    ckt.add(Cmg, "M1", (out, g, ckt.gnd, ckt.gnd), dict())
+    c = compile_circuit(ckt)
+    r = solve_dc(c, opts=NewtonOptions(gmin_steps=4, src_steps=3, restarts=1))
+    assert bool(r.converged)
+    vout = float(np.asarray(r.x)[c.node_names.index("out")])
+    assert 0.1 < vout < 0.9   # transistor on, dropping across the load
+
+
+@pytest.mark.skipif(not os.environ.get("CEDARSIM_RUN_SLOW"),
+                    reason="slow: set CEDARSIM_RUN_SLOW=1")
+def test_cmg_ring_oscillator():
+    from cedarsim_tpu import (Circuit, VSource, Capacitor, compile_circuit,
+                              tran, TranOptions)
+    from cedarsim_tpu.analysis.dc import NewtonOptions
+    Cmg = _load()
+    ckt = Circuit()
+    vdd = ckt.net("vdd")
+    ckt.add(VSource, "VDD", (vdd, ckt.gnd), dict(dc=1.0))
+    nets = [ckt.net(f"n{i}") for i in range(3)]
+    for i in range(3):
+        inp, out = nets[i], nets[(i + 1) % 3]
+        ckt.add(Cmg, f"MP{i}", (out, inp, vdd, vdd), dict(devtype=0, nfin=4))
+        ckt.add(Cmg, f"MN{i}", (out, inp, ckt.gnd, ckt.gnd),
+                dict(devtype=1, nfin=2))
+        ckt.add(Capacitor, f"CL{i}", (out, ckt.gnd), dict(c=1e-15))
+    ckt.ic("n0", 0.0)
+    c = compile_circuit(ckt)
+    sol = tran(c, (0.0, 0.5e-9), opts=TranOptions(max_steps=4096),
+               dc_opts=NewtonOptions(gmin_steps=2, src_steps=2, restarts=0))
+    v = sol["n1"]
+    assert v.max() > 0.9 and v.min() < 0.1   # rail-to-rail oscillation
+    s2 = np.sign(v - 0.5)
+    crossings = sol.ts[1:][np.diff(s2) != 0]
+    assert len(crossings) > 6                 # multiple periods
