@@ -29,6 +29,8 @@ def dc_sensitivity(compiled: CompiledCircuit, observable: str, wrt: list,
 
     Returns (value, dict name->gradient).  Uses the adjoint form: one linear
     solve total, then one VJP per parameter."""
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    compiled = ensure_dynamic(compiled, wrt)
     params = compiled.params0 if params is None else params
     if ctx is None:
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)

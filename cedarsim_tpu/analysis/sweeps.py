@@ -136,9 +136,13 @@ def sweepify(obj):
 
 def batch_params(compiled: CompiledCircuit, sweep, params=None):
     """Stack a sweep into a batched parameter pytree: every leaf gains a
-    leading axis of len(sweep).  Returns (batched_params, points)."""
+    leading axis of len(sweep).  Returns (compiled, batched_params, points) —
+    ``compiled`` may be a recompiled variant with the swept params dynamic."""
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    sweep = sweepify(sweep)
+    compiled = ensure_dynamic(compiled, sweep.names)
     base = compiled.params0 if params is None else params
-    points = list(sweepify(sweep))
+    points = list(sweep)
     trees = []
     for pt in points:
         p = base
@@ -148,7 +152,7 @@ def batch_params(compiled: CompiledCircuit, sweep, params=None):
             p = compiled.set_param(p, name, v)
         trees.append(p)
     batched = jax.tree.map(lambda *leaves: jnp.stack(leaves), *trees)
-    return batched, points
+    return compiled, batched, points
 
 
 def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
@@ -161,7 +165,7 @@ def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
     else:
         ctx = ctx.with_mode(mode)
-    bp, _ = batch_params(compiled, sweep, params)
+    compiled, bp, _ = batch_params(compiled, sweep, params)
     n_pts = len(sweepify(sweep))
     x0 = jnp.zeros((n_pts, compiled.n_x), compiled.dtype)
 

@@ -257,7 +257,12 @@ class CompiledCircuit:
             probe = {**sp, **{k: v[0] for k, v in gp.items()}}
             if g.model.ac_rhs(probe) is None:
                 continue
-            vals = jax.vmap(lambda p: g.model.ac_rhs({**sp, **p}))(gp)
+            if gp:
+                vals = jax.vmap(lambda p: g.model.ac_rhs({**sp, **p}))(gp)
+            else:
+                one = g.model.ac_rhs(sp)
+                vals = jnp.broadcast_to(one,
+                                        (len(g.instances),) + one.shape)
             b = b.at[g.row_idx].add(vals)
         return b[:-1]
 
@@ -394,3 +399,18 @@ def compile_circuit(circuit: Circuit, dtype=None,
                     dynamic_params=()) -> CompiledCircuit:
     return CompiledCircuit(circuit, dtype=dtype,
                            dynamic_params=dynamic_params)
+
+
+def ensure_dynamic(compiled: CompiledCircuit, names) -> CompiledCircuit:
+    """Return a CompiledCircuit where every param in ``names`` (dotted or
+    bare) is dynamic — recompiling the structure (cheap, host-side) if some
+    are currently static constants.  Variants are cached on the original."""
+    names = frozenset(n.lower() for n in names)
+    if names <= compiled.dynamic_params:
+        return compiled
+    want = compiled.dynamic_params | names
+    cache = compiled.__dict__.setdefault("_dyn_variants", {})
+    if want not in cache:
+        cache[want] = CompiledCircuit(compiled.circuit, dtype=compiled.dtype,
+                                      dynamic_params=want)
+    return cache[want]

@@ -50,7 +50,7 @@ def dc_sweep_sharded(compiled: CompiledCircuit, sweep, mesh: Mesh = None,
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
     else:
         ctx = ctx.with_mode(mode)
-    bp, _ = batch_params(compiled, sweep, params)
+    compiled, bp, _ = batch_params(compiled, sweep, params)
     bp, n = pad_batch(bp, mesh.size)
     npad = jax.tree.leaves(bp)[0].shape[0]
     x0 = jnp.zeros((npad, compiled.n_x), compiled.dtype)
