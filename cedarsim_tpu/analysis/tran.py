@@ -60,6 +60,12 @@ class TranOptions:
     shrink: float = 0.2
     bp_restart: float = 0.1        # h multiplier after a breakpoint
     uic: bool = False              # skip operating point, use ICs directly
+    #: output-buffer chunk size: the adaptive while_loop carries only a
+    #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
+    #: Keeps buffer writes O(chunk) per step — with the full buffer in the
+    #: while carry, batched (vmapped) runs copy the whole buffer every
+    #: iteration (measured 14x slowdown at batch 16).
+    chunk_size: int = 64
 
 
 @dataclasses.dataclass
@@ -106,9 +112,29 @@ def _consistent_xdot(compiled, x, ctx, params):
     return cache["fn"](x, ctx, params)
 
 
+def _differential_mask(compiled, x, ctx, params):
+    """1.0 for unknowns with charge/flux dynamics (nonzero column in C at the
+    operating point), 0.0 for algebraic unknowns."""
+    cache = compiled.__dict__.setdefault("_diffmask_jit_cache", {})
+    if "fn" not in cache:
+        def impl(x, ctx, params):
+            _, C = compiled.jacobians(x, ctx, params)
+            return (jnp.max(jnp.abs(C), axis=0) > 0).astype(compiled.dtype)
+        cache["fn"] = jax.jit(impl)
+    m = cache["fn"](x, ctx, params)
+    # all-algebraic circuit: fall back to controlling everything
+    return jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
+
+
 def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
-              t0, tstop, bps, h0, opts: TranOptions):
-    """Traceable adaptive transient loop. vmap-safe over params/x0."""
+              t0, tstop, bps, h0, opts: TranOptions, lte_mask=None):
+    """Traceable adaptive transient loop. vmap-safe over params/x0.
+
+    ``lte_mask``: 1.0 for differential variables (those with charge/flux
+    dynamics), 0.0 for algebraic ones (branch currents, purely resistive
+    nodes).  LTE control applies only to differential variables — algebraic
+    quantities jump legitimately at waveform corners and must not drive the
+    step-size controller (SPICE applies LTE to states only)."""
     n = compiled.n_x
     dtype = compiled.dtype
     span = tstop - t0
@@ -144,9 +170,17 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
             xn = x + dx
             Sn1, Qn1 = parts(xn, t_new)
+            # residual check as well as dx — a dx-only test false-converges
+            # at piecewise-model kinks where Newton stalls with f ≠ 0
+            f_new = (Qn1 - Qn) / h + beta * Sn1 + (1.0 - beta) * Sn
+            scale = (jnp.abs(Qn1 - Qn) / h + jnp.abs(beta * Sn1)
+                     + jnp.abs((1.0 - beta) * Sn))
+            res_ok = jnp.all(jnp.abs(f_new) <= 1e-7 * scale + opts.res_tol)
             done = jnp.logical_and(
-                jnp.all(jnp.abs(dx) <= opts.newton_reltol * jnp.abs(xn)
-                        + opts.newton_abstol),
+                jnp.logical_and(
+                    jnp.all(jnp.abs(dx) <= opts.newton_reltol * jnp.abs(xn)
+                            + opts.newton_abstol),
+                    res_ok),
                 jnp.logical_not(bad))
             return xn, Sn1, Qn1, done, it + 1, nnwt + 1
 
@@ -161,38 +195,35 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))
         return xn, Sf, Qf, ok, nnwt
 
-    # carry: t, h, x, xdot, Qn, Sn, hist(x1,x2,t1,t2,nhist), bpi, k, ok,
-    #        buffers, counters
-    ts_buf = jnp.zeros(opts.max_steps, dtype)
-    xs_buf = jnp.zeros((opts.max_steps, n), dtype)
-    xd_buf = jnp.zeros((opts.max_steps, n), dtype)
-    ts_buf = ts_buf.at[0].set(t0)
-    xs_buf = xs_buf.at[0].set(x0)
-    xd_buf = xd_buf.at[0].set(xdot0)
+    CH = opts.chunk_size
+    n_chunks = -(-opts.max_steps // CH)
+    max_tries = 3 * opts.max_steps
 
     S0, Q0 = parts(x0, t0)
 
-    init = dict(
+    state0 = dict(
         t=jnp.asarray(t0, dtype), h=jnp.asarray(h0, dtype),
         x=x0, xdot=xdot0, Qn=Q0, Sn=S0,
         x1=x0, x2=x0, t1=jnp.asarray(t0, dtype), t2=jnp.asarray(t0, dtype),
         nhist=jnp.asarray(0, jnp.int32), bpi=jnp.asarray(0, jnp.int32),
-        k=jnp.asarray(1, jnp.int32), ok=jnp.asarray(True),
+        k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
-        ts=ts_buf, xs=xs_buf, xd=xd_buf,
     )
 
     t_end = tstop - 1e-12 * span
 
-    def cond(c):
+    def live(c):
         return jnp.logical_and(
             jnp.logical_and(c["t"] < t_end, c["ok"]),
-            c["k"] < opts.max_steps)
+            c["k"] + c["nrej"] < max_tries)
 
-    def body(c):
+    def attempt(c, bufs):
+        """One step attempt; on accept writes slot kc of the chunk buffers."""
+        ts_b, xs_b, xd_b, kc = bufs
         t, h, x = c["t"], c["h"], c["x"]
         next_bp = bps[jnp.minimum(c["bpi"], nb - 1)]
-        h_use = jnp.minimum(jnp.minimum(h, hmax), jnp.maximum(next_bp - t, hmin))
+        h_use = jnp.minimum(jnp.minimum(h, hmax),
+                            jnp.maximum(next_bp - t, hmin))
         # if we'd land just short of the breakpoint, stretch onto it
         h_use = jnp.where(next_bp - t - h_use < 0.25 * h_use,
                           next_bp - t, h_use)
@@ -203,7 +234,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # predictor
         t1, t2, x1, x2, nh = c["t1"], c["t2"], c["x1"], c["x2"], c["nhist"]
         d1 = jnp.where(t > t1, (x - x1) / jnp.maximum(t - t1, 1e-300), 0.0)
-        d1b = jnp.where(t1 > t2, (x1 - x2) / jnp.maximum(t1 - t2, 1e-300), 0.0)
+        d1b = jnp.where(t1 > t2, (x1 - x2) / jnp.maximum(t1 - t2, 1e-300),
+                        0.0)
         d2 = jnp.where(t > t2, (d1 - d1b) / jnp.maximum(t - t2, 1e-300), 0.0)
         x_lin = x + d1 * h_real
         x_quad = x_lin + d2 * h_real * (t_new - t1)
@@ -213,9 +245,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         xn, Sn_new, Qn_new, nok, nnwt = newton_step(
             x_pred, t_new, h_real, c["Qn"], c["Sn"], use_be)
 
-        # LTE error (predictor-corrector difference)
+        # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
-        err = jnp.max(jnp.abs(xn - x_pred) / wt) / opts.trtol
+        lerr = jnp.abs(xn - x_pred) / wt
+        if lte_mask is not None:
+            lerr = lerr * lte_mask
+        err = jnp.max(lerr) / opts.trtol
         have_lte = nh >= 2
         accept = jnp.logical_and(nok, jnp.logical_or(
             jnp.logical_not(have_lte), err <= 1.0))
@@ -226,46 +261,86 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                                  opts.shrink, opts.grow),
                         2.0)
         h_acc = jnp.clip(h_real * fac, hmin, hmax)
-        h_acc = jnp.where(hit_bp, jnp.maximum(h_acc * opts.bp_restart, hmin),
-                          h_acc)
+        # after a breakpoint: restart small relative to the NEXT waveform
+        # interval (an unchecked large first step can leap an entire ramp)
+        next_int = bps[jnp.minimum(c["bpi"] + 1, nb - 1)] - t_new
+        h_bp = jnp.maximum(
+            jnp.minimum(h_acc * opts.bp_restart,
+                        0.05 * jnp.maximum(next_int, hmin)), hmin)
+        h_acc = jnp.where(hit_bp, h_bp, h_acc)
         h_rej = jnp.maximum(h_real * jnp.where(nok, jnp.maximum(
             0.9 * jnp.maximum(err, 1.0) ** (-1.0 / 3.0), opts.shrink),
             0.25), hmin)
 
-        # derivative at accepted point
         xdot_be = (xn - x) / h_real
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
         xdot_n = jnp.where(use_be, xdot_be, xdot_tr)
 
-        # abort if step underflows while failing
-        ok = jnp.logical_or(accept, h_rej > hmin * 1.0000001)
+        ok_cont = jnp.logical_or(accept, h_rej > hmin * 1.0000001)
 
-        def acc(c):
-            k = c["k"]
-            c = dict(c)
-            c["ts"] = c["ts"].at[k].set(t_new)
-            c["xs"] = c["xs"].at[k].set(xn)
-            c["xd"] = c["xd"].at[k].set(xdot_n)
-            c.update(
-                t=t_new, h=h_acc, x=xn, xdot=xdot_n, Qn=Qn_new, Sn=Sn_new,
-                x1=x, x2=c["x1"], t1=t, t2=c["t1"],
-                nhist=jnp.where(hit_bp, jnp.asarray(0, jnp.int32), jnp.minimum(nh + 1, jnp.asarray(3, jnp.int32))).astype(jnp.int32),
-                bpi=(c["bpi"] + hit_bp.astype(jnp.int32)).astype(jnp.int32),
-                k=(k + 1).astype(jnp.int32), nnwt=(c["nnwt"] + nnwt).astype(jnp.int32), ok=c["ok"])
-            return c
+        acc = accept
+        ts_b = ts_b.at[kc].set(jnp.where(acc, t_new, ts_b[kc]))
+        xs_b = xs_b.at[kc].set(jnp.where(acc, xn, xs_b[kc]))
+        xd_b = xd_b.at[kc].set(jnp.where(acc, xdot_n, xd_b[kc]))
+        c = dict(c)
+        c.update(
+            t=jnp.where(acc, t_new, t),
+            h=jnp.where(acc, h_acc, h_rej),
+            x=jnp.where(acc, xn, x),
+            xdot=jnp.where(acc, xdot_n, c["xdot"]),
+            Qn=jnp.where(acc, Qn_new, c["Qn"]),
+            Sn=jnp.where(acc, Sn_new, c["Sn"]),
+            x1=jnp.where(acc, x, c["x1"]),
+            x2=jnp.where(acc, c["x1"], c["x2"]),
+            t1=jnp.where(acc, t, c["t1"]),
+            t2=jnp.where(acc, c["t1"], c["t2"]),
+            nhist=jnp.where(
+                acc,
+                jnp.where(hit_bp, jnp.asarray(0, jnp.int32),
+                          jnp.minimum(nh + 1, jnp.asarray(3, jnp.int32))),
+                nh).astype(jnp.int32),
+            bpi=(c["bpi"] + jnp.where(acc, hit_bp.astype(jnp.int32),
+                                      jnp.asarray(0, jnp.int32))
+                 ).astype(jnp.int32),
+            k=(c["k"] + acc.astype(jnp.int32)).astype(jnp.int32),
+            nrej=(c["nrej"] + (1 - acc.astype(jnp.int32))).astype(jnp.int32),
+            nnwt=(c["nnwt"] + nnwt).astype(jnp.int32),
+            ok=jnp.logical_and(c["ok"], ok_cont),
+        )
+        kc = kc + acc.astype(jnp.int32)
+        return c, (ts_b, xs_b, xd_b, kc)
 
-        def rej(c):
-            c = dict(c)
-            c.update(h=h_rej, nrej=(c["nrej"] + 1).astype(jnp.int32), nnwt=(c["nnwt"] + nnwt).astype(jnp.int32),
-                     ok=jnp.logical_and(c["ok"], ok))
-            return c
+    def chunk(state, _):
+        ts_b = jnp.full((CH,), tstop, dtype)   # pad with tstop for interp
+        xs_b = jnp.zeros((CH, n), dtype)
+        xd_b = jnp.zeros((CH, n), dtype)
+        kc0 = jnp.asarray(0, jnp.int32)
 
-        return jax.lax.cond(accept, acc, rej, c)
+        def cond(carry):
+            c, bufs = carry
+            return jnp.logical_and(live(c), bufs[3] < CH)
 
-    out = jax.lax.while_loop(cond, body, init)
-    finished = jnp.logical_and(out["ok"], out["t"] >= t_end)
-    return (out["ts"], out["xs"], out["xd"], out["k"], finished,
-            out["nrej"], out["nnwt"])
+        def body(carry):
+            c, bufs = carry
+            return attempt(c, bufs)
+
+        (state, (ts_b, xs_b, xd_b, kc)) = jax.lax.while_loop(
+            cond, body, (state, (ts_b, xs_b, xd_b, kc0)))
+        # pad unwritten slots with the last state so interp stays monotone
+        return state, (ts_b, xs_b, xd_b, kc)
+
+    state, (ts_c, xs_c, xd_c, kc_c) = jax.lax.scan(
+        chunk, state0, None, length=n_chunks)
+    ts_all = ts_c.reshape(-1)
+    xs_all = xs_c.reshape(-1, n)
+    xd_all = xd_c.reshape(-1, n)
+    # prepend the initial point
+    ts_all = jnp.concatenate([jnp.asarray([t0], dtype), ts_all])
+    xs_all = jnp.concatenate([x0[None], xs_all])
+    xd_all = jnp.concatenate([xdot0[None], xd_all])
+    finished = jnp.logical_and(state["ok"], state["t"] >= t_end)
+    return (ts_all, xs_all, xd_all, state["k"] + 1, finished,
+            state["nrej"], state["nnwt"])
 
 
 def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
@@ -310,13 +385,30 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
     fn = _get_tran_jit(compiled, opts, len(bps))
     ctx_op = ctx.with_mode(Modes.TRANOP).at_time(t0)
     xdot0 = _consistent_xdot(compiled, x0, ctx_op, params)
+    lte_mask = _differential_mask(compiled, x0, ctx_op, params)
     ts, xs, xd, k, fin, nrej, nnwt = fn(
         params, ctx, x0, xdot0, jnp.asarray(t0, compiled.dtype),
         jnp.asarray(tstop, compiled.dtype), bps_j,
-        jnp.asarray(h0, compiled.dtype))
+        jnp.asarray(h0, compiled.dtype), lte_mask)
     k = int(k)
+    # compact chunk buffers on host: each chunk's first kc rows are valid
+    ts = np.asarray(ts)
+    xs = np.asarray(xs)
+    xd = np.asarray(xd)
+    CH = opts.chunk_size
+    body_t = ts[1:].reshape(-1, CH)
+    body_x = xs[1:].reshape(-1, CH, xs.shape[-1])
+    body_d = xd[1:].reshape(-1, CH, xs.shape[-1])
+    kcs = np.minimum(np.maximum(
+        k - 1 - CH * np.arange(body_t.shape[0]), 0), CH)
+    rows = [np.zeros(0, np.int64)] if k <= 1 else [
+        np.arange(kc) + i * CH for i, kc in enumerate(kcs) if kc > 0]
+    sel = np.concatenate(rows) if rows else np.zeros(0, np.int64)
+    ts_f = np.concatenate([ts[:1], body_t.reshape(-1)[sel]])
+    xs_f = np.concatenate([xs[:1], body_x.reshape(-1, xs.shape[-1])[sel]])
+    xd_f = np.concatenate([xd[:1], body_d.reshape(-1, xs.shape[-1])[sel]])
     return TranSolution(
-        ts=np.asarray(ts[:k]), xs=np.asarray(xs[:k]), xdots=np.asarray(xd[:k]),
+        ts=ts_f, xs=xs_f, xdots=xd_f,
         converged=bool(fin) and converged0, n_accepted=k,
         n_rejected=int(nrej), n_newton=int(nnwt),
         compiled=compiled, ctx=ctx.with_mode(Modes.TRAN), params=params)
@@ -327,6 +419,7 @@ def _get_tran_jit(compiled: CompiledCircuit, opts: TranOptions, nbp: int):
     key = (opts, nbp)
     if key not in cache:
         cache[key] = jax.jit(
-            lambda params, ctx, x0, xdot0, t0, tstop, bps, h0: tran_core(
-                compiled, params, ctx, x0, xdot0, t0, tstop, bps, h0, opts))
+            lambda params, ctx, x0, xdot0, t0, tstop, bps, h0, m: tran_core(
+                compiled, params, ctx, x0, xdot0, t0, tstop, bps, h0, opts,
+                m))
     return cache[key]

@@ -38,6 +38,10 @@ class Instance:
     params: dict
     mult: float = 1.0
     ctrl: Optional[str] = None  # controlling instance name (CCVS/CCCS)
+    #: general control-variable refs filling the model's n_control slots:
+    #: ("net", Net) for a node voltage, ("branch", instname) for a branch
+    #: current (behavioral sources read arbitrary circuit quantities)
+    extras: tuple = ()
 
 
 class Circuit:
@@ -79,7 +83,8 @@ class Circuit:
         return len(self._order)
 
     def add(self, model: type, name: str, nets, params: Optional[dict] = None,
-            m: float = 1.0, ctrl: Optional[str] = None) -> Instance:
+            m: float = 1.0, ctrl: Optional[str] = None,
+            kw_extras=None) -> Instance:
         if not (isinstance(model, type) and issubclass(model, DeviceModel)):
             raise TypeError(f"model must be a DeviceModel subclass, got {model!r}")
         if len(nets) != model.n_terms():
@@ -88,12 +93,16 @@ class Circuit:
                 f"({model.terminals}), got {len(nets)} nets")
         if name in self._names:
             raise ValueError(f"duplicate instance name {name!r}")
-        if model.n_control and ctrl is None:
-            raise ValueError(f"{name}: {model.__name__} requires ctrl= (a "
-                             "controlling V-source instance name)")
+        extras = tuple(kw_extras or ())
+        if ctrl is not None and not extras:
+            extras = (("branch", ctrl),)
+        if model.n_control and len(extras) != model.n_control:
+            raise ValueError(
+                f"{name}: {model.__name__} needs {model.n_control} control "
+                f"refs (got {len(extras)}); pass ctrl= or extras=")
         self._names.add(name)
         inst = Instance(name, model, tuple(nets), model.prepare(params or {}),
-                        float(m), ctrl)
+                        float(m), ctrl, extras)
         self.instances.append(inst)
         return inst
 

@@ -149,11 +149,17 @@ class CompiledCircuit:
                         var_idx[j, nt + ni + k] = b + k
                         row_idx[j, nt + ni + k] = b + k
                 if nc:
-                    if inst.ctrl not in self._inst_branch:
-                        raise ValueError(
-                            f"{inst.name}: control source {inst.ctrl!r} not "
-                            "found or has no branch current")
-                    var_idx[j, nt + ni + nb] = self._inst_branch[inst.ctrl]
+                    for k, (kind2, ref) in enumerate(inst.extras):
+                        if kind2 == "branch":
+                            if ref not in self._inst_branch:
+                                raise ValueError(
+                                    f"{inst.name}: control source {ref!r} "
+                                    "not found or has no branch current")
+                            var_idx[j, nt + ni + nb + k] = \
+                                self._inst_branch[ref]
+                        else:  # net voltage
+                            if not ref.is_ground:
+                                var_idx[j, nt + ni + nb + k] = ref.index
                 if model.n_noise:
                     eps_idx[j] = eps_off + np.arange(model.n_noise)
                     eps_off += model.n_noise

@@ -83,9 +83,10 @@ class Mos1(DeviceModel):
                                      + 0.5 * mjj / pb * (v * v - fc * fc * pb * pb)))
             return jnp.where(v < fc * pb, below, above)
 
-        # bulk junctions (reverse-biased in normal operation); polarity flip
-        qbd = -sgn * qjunc(sgn * (vb - vd), p["cbd"])
-        qbs = -sgn * qjunc(sgn * (vb - vs), p["cbs"])
+        # bulk junctions (reverse-biased in normal operation); polarity flip.
+        # charge on the bulk plate: q_b = +qjunc so ∂q_b/∂vb = +C
+        qbd = sgn * qjunc(sgn * (vb - vd), p["cbd"])
+        qbs = sgn * qjunc(sgn * (vb - vs), p["cbs"])
         # junction leakage diodes b-d, b-s
         vt = ctx.vt
         ibd = sgn * (p["is"] * (_limexp(sgn * (vb - vd) / vt) - 1.0)) \

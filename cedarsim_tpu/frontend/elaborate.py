@@ -291,9 +291,15 @@ class Elaborator:
         env = scope["env"]
         name = prefix + el.name.lower()
         nets = [self._net(n, prefix, nodemap) for n in el.nodes]
+        letter = el.letter
+        if letter == "b":
+            mv = el.params.get("m", 1.0)
+            m = mfac * (self.vres(mv, env, el.loc)
+                        if not isinstance(mv, (int, float)) else float(mv))
+            self._instantiate_bsource(el, name, nets, env, m, prefix, nodemap)
+            return
         kw = {k: self.vres(v, env, el.loc) for k, v in el.params.items()}
         m = mfac * kw.pop("m", 1.0)
-        letter = el.letter
 
         def val(i, default=None):
             if i < len(el.values):
@@ -413,6 +419,43 @@ class Elaborator:
         raise ElabError(
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)
+
+    def _instantiate_bsource(self, el, name, nets, env, m, prefix,
+                             nodemap):
+        from cedarsim_tpu.frontend.behavioral import (
+            collect_probes, make_bsource, probe_extras)
+        from cedarsim_tpu.frontend.expr import expr_refs
+        kind, ast = None, None
+        for k2, v in el.params.items():
+            if k2 in ("v", "i"):
+                kind, ast = k2, v
+        if kind is None:
+            raise ElabError(f"{el.name}: behavioral source needs V= or I=",
+                            el.loc)
+        if isinstance(ast, (int, float)):
+            ast = ("num", float(ast))
+        probes = collect_probes(ast)
+        # resolve every non-probe identifier to a parameter value now
+        const_env = {}
+        probe_nodes = set()
+        for p in probes:
+            if p[0] == "v":
+                probe_nodes.add(p[1])
+                if p[2]:
+                    probe_nodes.add(p[2])
+            else:
+                probe_nodes.add(p[1])
+        for ref in expr_refs(ast):
+            if ref in ("time", "temper", "temp", "pi", "m_pi", "v", "i"):
+                continue
+            if ref in probe_nodes:
+                continue
+            if ref in env:
+                const_env[ref] = env[ref]
+        cls = make_bsource(kind, ast, probes, const_env, name)
+        extras = probe_extras(
+            probes, lambda n2: self._net(n2, prefix, nodemap), prefix)
+        self.ckt.add(cls, name, nets, {}, m=m, kw_extras=extras)
 
     def _map_params(self, device, mparams, env, loc, rename=None):
         rename = rename or {}

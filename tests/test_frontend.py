@@ -166,3 +166,24 @@ D1 b 0 dd
     vt = 1.380649e-23 * (27.0 + 273.15) / 1.602176634e-19
     i_d = 1e-14 * (np.exp(vb / vt) - 1)
     assert np.isclose(i_r, i_d, rtol=1e-4)
+
+
+def test_behavioral_sources():
+    # B elements: I=expr acts as a nonlinear conductance; V=expr as a
+    # controlled source (reference Behavioral forms + bsource,
+    # /root/reference/src/spectre_env.jl:127-140)
+    code = """* behavioral
+.param gain=2
+V1 a 0 2
+R1 a b 1k
+BI1 b 0 I='V(b)/1k'
+BV1 c 0 V='gain*V(b) + sin(0)'
+RL c 0 1k
+.op
+"""
+    res = simulate(code)
+    c = res["compiled"]
+    x = np.asarray(res["op"].x)
+    assert bool(res["op"].converged)
+    assert np.isclose(x[c.node_names.index("b")], 1.0, rtol=1e-9)
+    assert np.isclose(x[c.node_names.index("c")], 2.0, rtol=1e-9)
