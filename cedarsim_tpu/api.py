@@ -12,6 +12,7 @@ from cedarsim_tpu.core.compile import compile_circuit
 from cedarsim_tpu.core.context import SimSpec
 from cedarsim_tpu.frontend.elaborate import load_spice, elaborate
 from cedarsim_tpu.frontend.parser import parse_spice
+from cedarsim_tpu.frontend.spectre import parse_mixed
 from cedarsim_tpu.analysis.dc import solve_dc
 from cedarsim_tpu.analysis.tran import tran, TranOptions
 from cedarsim_tpu.analysis import ac as ac_mod
@@ -43,16 +44,29 @@ def find_ac_directive(circuit):
 
 
 def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
-             tran_opts: TranOptions = None, file="<netlist>", mc_seed=None):
+             tran_opts: TranOptions = None, file="<netlist>", mc_seed=None,
+             dialect=None):
     """Run the analyses requested by the netlist's directives.
 
+    ``dialect``: "spice", "spectre", or None to auto-detect (``simulator
+    lang=`` or a .scs filename selects Spectre).
     Returns a dict: ``{"op": DCResult, "tran": TranSolution, "ac": ACSolution}``
     with only the requested entries.
     """
     if isinstance(text_or_circuit, str):
-        circuit = load_spice(text_or_circuit, file=file,
-                             include_paths=include_paths, params=params,
-                             mc_seed=mc_seed)
+        text = text_or_circuit
+        if dialect is None:
+            dialect = ("spectre" if "simulator lang" in text.lower()
+                       or str(file).endswith(".scs") else "spice")
+        if dialect == "spectre" or "simulator lang" in text.lower():
+            start = "spectre" if dialect == "spectre" else "spice"
+            nl = parse_mixed(text, file=file, start_lang=start)
+            circuit = elaborate(nl, include_paths=include_paths,
+                                params=params, mc_seed=mc_seed)
+        else:
+            circuit = load_spice(text, file=file,
+                                 include_paths=include_paths, params=params,
+                                 mc_seed=mc_seed)
     else:
         circuit = text_or_circuit
     temp = temp if temp is not None else circuit.options.get("temp", 27.0)

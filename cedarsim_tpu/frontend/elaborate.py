@@ -556,6 +556,13 @@ class Elaborator:
             sc = sc.get("parent")
         return None
 
+    #: model type → element letter for master-style instantiation (Spectre
+    #: instances and X-cards naming a .model)
+    _MTYPE_LETTER = {"nmos": "m", "pmos": "m", "d": "d", "diode": "d",
+                     "npn": "q", "pnp": "q", "r": "r", "res": "r",
+                     "resistor": "r", "c": "c", "capacitor": "c",
+                     "l": "l", "inductor": "l"}
+
     def _instantiate_subckt(self, el, scope, prefix, nodemap, mfac, kw):
         entry = self._subckt(el.model, scope, el.loc)
         if entry is None:
@@ -564,6 +571,16 @@ class Elaborator:
                 name = prefix + el.name.lower()
                 nets = [self._net(n, prefix, nodemap) for n in el.nodes]
                 self.ckt.add(cls, name, nets, kw, m=mfac)
+                return
+            # master naming a .model → instantiate the built-in device
+            try:
+                mdl = self._model(el.model, scope, el.loc)
+            except ElabError:
+                mdl = None
+            if mdl is not None and mdl.mtype in self._MTYPE_LETTER:
+                import dataclasses as _dc
+                el2 = _dc.replace(el, letter=self._MTYPE_LETTER[mdl.mtype])
+                self._instantiate(el2, scope, prefix, nodemap, mfac)
                 return
             raise ElabError(f"subcircuit {el.model!r} not found", el.loc)
         sub, def_scope = entry
@@ -584,6 +601,10 @@ class Elaborator:
                            parent=scope)
         elements = []
         self._collect(sub.body, child_scope, elements)
+        # instance overrides win over `parameters` statements in the body
+        # (Spectre-style defaults collected above would otherwise shadow them)
+        for pname, pval in kw.items():
+            child_env.define(pname, pval)
         for e2, sc2 in elements:
             self._instantiate(e2, sc2, child_prefix, child_map, mfac)
 
