@@ -269,12 +269,32 @@ class Elaborator:
             return self.ckt.net(n)
         return self.ckt.net(prefix + n)
 
-    def _model(self, name, scope, loc):
+    def _model(self, name, scope, loc, l=None, w=None, env=None):
+        """Resolve a model by name; models named ``base.N`` are bins selected
+        by instance L/W against their LMIN/LMAX/WMIN/WMAX (reference
+        BinnedModel/find_bin, /root/reference/src/spectre.jl:677,718-736,
+        1162-1176 — selection at instantiation, fully static thereafter)."""
         n = name.lower()
         sc = scope
         while sc is not None:
             if n in sc["models"]:
                 return sc["models"][n]
+            bins = [m for key, m in sc["models"].items()
+                    if key.startswith(n + ".")]
+            if bins:
+                if l is None or w is None:
+                    return bins[0]
+                scale = self.ckt.options.get("scale", 1.0)
+                for m in bins:
+                    def g(pname, d):
+                        v = m.params.get(pname)
+                        return d if v is None else self.vres(v, env, loc)
+                    lmin, lmax = g("lmin", 0.0), g("lmax", 1.0)
+                    wmin, wmax = g("wmin", 0.0), g("wmax", 1.0)
+                    if lmin <= l * scale < lmax and wmin <= w * scale < wmax:
+                        return m
+                raise ElabError(
+                    f"no bin of model {name!r} covers l={l:g} w={w:g}", loc)
             sc = sc.get("parent")
         raise ElabError(f"model {name!r} not found", loc)
 
@@ -358,13 +378,16 @@ class Elaborator:
             self.ckt.add(Diode, name, nets, p, m=m)
             return
         if letter == "m":
-            mdl = self._model(el.model, scope, el.loc)
+            mdl = self._model(el.model, scope, el.loc,
+                              l=kw.get("l"), w=kw.get("w"), env=env)
             level = self.vres(mdl.params.get("level", 1.0), env, el.loc)
             if level not in (1.0,):
                 self.warn(f"MOS level {level:g} not built in yet; using "
                           "level 1", el.loc)
             p = self._map_params(Mos1, mdl.params, env, el.loc,
                                  rename={"lambda": "lam", "tnom": None,
+                                         "lmin": None, "lmax": None,
+                                         "wmin": None, "wmax": None,
                                          "level": None, "cj": None,
                                          "cjsw": None, "js": None,
                                          "mjsw": None, "kf": None,

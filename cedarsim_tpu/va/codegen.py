@@ -45,16 +45,42 @@ class VACodegenError(ValueError):
     pass
 
 
-# ---------------------------------------------------------------- (s, q) duals
+# ------------------------------------------------- (s, q, d) value channels
+# Every interpreter value is (static, charge, dtangents):
+#   static  — the resistive value
+#   charge  — coefficient of ddt() (None = zero)
+#   dtangents — dict probe-node-name -> d(static)/dV(probe), for ddx()
+#               (None = no dependence).  Mirrors the reference's ForwardDiff
+#               duals with a dedicated SimTag (/root/reference/src/vasim.jl:
+#               29-35,337-412); contributions drop the tangent channel
+#               (vasim.jl:649-661).
 
 def _pair(v):
-    return v if isinstance(v, tuple) else (v, None)
+    if isinstance(v, tuple):
+        if len(v) == 2:
+            return (v[0], v[1], None)
+        return v
+    return (v, None, None)
+
+
+def _dmerge(da, db, f):
+    if da is None and db is None:
+        return None
+    keys = set(da or ()) | set(db or ())
+    return {k: f((da or {}).get(k, 0.0), (db or {}).get(k, 0.0))
+            for k in keys}
+
+
+def _dscale(d, c):
+    if d is None:
+        return None
+    return {k: v * c for k, v in d.items()}
 
 
 def _padd(a, b):
     a, b = _pair(a), _pair(b)
     q = a[1] if b[1] is None else (b[1] if a[1] is None else a[1] + b[1])
-    return (a[0] + b[0], q)
+    return (a[0] + b[0], q, _dmerge(a[2], b[2], lambda x, y: x + y))
 
 
 def _psub(a, b):
@@ -65,12 +91,12 @@ def _psub(a, b):
         q = -b[1]
     else:
         q = a[1] - b[1]
-    return (a[0] - b[0], q)
+    return (a[0] - b[0], q, _dmerge(a[2], b[2], lambda x, y: x - y))
 
 
 def _pneg(a):
     a = _pair(a)
-    return (-a[0], None if a[1] is None else -a[1])
+    return (-a[0], None if a[1] is None else -a[1], _dscale(a[2], -1.0))
 
 
 def _pmul(a, b):
@@ -79,17 +105,25 @@ def _pmul(a, b):
         raise VACodegenError("product of two ddt() expressions is not a "
                              "valid charge formulation")
     if a[1] is not None:
-        return (a[0] * b[0], a[1] * b[0])
-    if b[1] is not None:
-        return (a[0] * b[0], b[1] * a[0])
-    return (a[0] * b[0], None)
+        q = a[1] * b[0]
+    elif b[1] is not None:
+        q = b[1] * a[0]
+    else:
+        q = None
+    d = _dmerge(_dscale(a[2], b[0]), _dscale(b[2], a[0]),
+                lambda x, y: x + y)
+    return (a[0] * b[0], q, d)
 
 
 def _pdiv(a, b):
     a, b = _pair(a), _pair(b)
     if b[1] is not None:
         raise VACodegenError("division by a ddt() expression")
-    return (a[0] / b[0], None if a[1] is None else a[1] / b[0])
+    q = None if a[1] is None else a[1] / b[0]
+    # d(a/b) = da/b - a db/b^2
+    d = _dmerge(_dscale(a[2], 1.0 / b[0]),
+                _dscale(b[2], -a[0] / (b[0] * b[0])), lambda x, y: x + y)
+    return (a[0] / b[0], q, d)
 
 
 def _scalar(a, what="expression"):
@@ -97,6 +131,12 @@ def _scalar(a, what="expression"):
     if a[1] is not None:
         raise VACodegenError(f"ddt() result used inside nonlinear {what}")
     return a[0]
+
+
+def _dual(a):
+    """(value, dtangents) view of a value."""
+    a = _pair(a)
+    return a[0], a[2]
 
 
 def _limexp(x, lim=80.0):
@@ -199,6 +239,29 @@ _MATH2 = {
     "fmod": jnp.fmod,
 }
 
+#: f -> f' for the ddx tangent chain rule
+_DMATH1 = {
+    "exp": jnp.exp,
+    "ln": lambda x: 1.0 / x,
+    "log": lambda x: 1.0 / (x * math.log(10.0)),
+    "log10": lambda x: 1.0 / (x * math.log(10.0)),
+    "sqrt": lambda x: 0.5 / jnp.sqrt(jnp.maximum(x, 1e-300)),
+    "abs": jnp.sign,
+    "limexp": lambda x: jnp.where(x <= 80.0, jnp.exp(jnp.minimum(x, 80.0)),
+                                  jnp.exp(80.0)),
+    "sin": jnp.cos, "cos": lambda x: -jnp.sin(x),
+    "tan": lambda x: 1.0 + jnp.tan(x) ** 2,
+    "asin": lambda x: 1.0 / jnp.sqrt(jnp.maximum(1 - x * x, 1e-300)),
+    "acos": lambda x: -1.0 / jnp.sqrt(jnp.maximum(1 - x * x, 1e-300)),
+    "atan": lambda x: 1.0 / (1 + x * x),
+    "sinh": jnp.cosh, "cosh": jnp.sinh,
+    "tanh": lambda x: 1.0 - jnp.tanh(x) ** 2,
+    "asinh": lambda x: 1.0 / jnp.sqrt(x * x + 1),
+    "acosh": lambda x: 1.0 / jnp.sqrt(jnp.maximum(x * x - 1, 1e-300)),
+    "atanh": lambda x: 1.0 / jnp.maximum(1 - x * x, 1e-300),
+    "floor": lambda x: 0.0, "ceil": lambda x: 0.0,
+}
+
 
 # -------------------------------------------------------------- static prepass
 
@@ -282,6 +345,19 @@ def make_device(module: Module, strict_ranges=False):
     v_branches = []        # ordered (a, b) pairs with V contributions
     i_branches = set()
     noise_sites = []       # (kind, n_args) in lexical order
+    ddx_probes = []        # node names probed by ddx(expr, V(node))
+    for e in _all_exprs(module):
+        if e[0] == "call" and e[1] == "ddx" and len(e[2]) == 2:
+            acc = e[2][1]
+            if acc[0] == "call" and acc[1] == "V" and len(acc[2]) == 1 \
+                    and acc[2][0][0] == "ref":
+                nodename = acc[2][0][1]
+                if nodename not in ddx_probes:
+                    ddx_probes.append(nodename)
+            else:
+                raise VACodegenError(
+                    f"module {module.name}: ddx() supports single-node "
+                    "V(node) probes")
     for st in _walk_stmts(module.analog):
         if st[0] == "contrib":
             kind, a, b = st[1]
@@ -298,14 +374,16 @@ def make_device(module: Module, strict_ranges=False):
             raise VACodegenError(
                 f"module {module.name}: branch {key} has both V<+ and I<+ "
                 "contributions (switch branches not supported yet)")
+    idt_sites = []
     for e in _all_exprs(module):
         if e[0] == "call":
             if e[1] in ("white_noise", "flicker_noise", "noise_table"):
-                noise_sites.append(e)
-            if e[1] == "ddx":
-                raise VACodegenError(
-                    f"module {module.name}: ddx() not supported yet")
-            if e[1] in ("idt", "idtmod", "absdelay", "laplace_nd",
+                if not any(x is e for x in noise_sites):
+                    noise_sites.append(e)
+            if e[1] == "idt" and not any(x is e for x in idt_sites):
+                idt_sites.append(e)
+
+            if e[1] in ("idtmod", "absdelay", "laplace_nd",
                         "laplace_np", "zi_nd", "transition", "slew"):
                 raise VACodegenError(
                     f"module {module.name}: analog operator {e[1]}() not "
@@ -340,12 +418,13 @@ def make_device(module: Module, strict_ranges=False):
                     enumerate(v_branches)}
 
     interp = _Interp(module, node_index, branch_index, named_branch,
-                     n_nodes_local, len(v_branches), noise_sites)
+                     n_nodes_local, len(v_branches), noise_sites,
+                     ddx_probes, idt_sites)
 
     class VADevice(DeviceModel):
         terminals = tuple(ports)
         n_internal = len(internal)
-        n_branch = len(v_branches)
+        n_branch = len(v_branches) + len(idt_sites)
         n_noise = len(noise_sites)
         params = {}            # filled below (nominal defaults)
         given_params = ()
@@ -508,8 +587,13 @@ def _host_binop(op, a, b):
 
 class _Interp:
     def __init__(self, module, node_index, branch_index, named_branch,
-                 n_nodes_local, n_vbranch, noise_sites):
+                 n_nodes_local, n_vbranch, noise_sites, ddx_probes=(),
+                 idt_sites=()):
         self.module = module
+        self.ddx_probes = tuple(ddx_probes)
+        self.noise_site_ids = {id(e): k for k, e in enumerate(noise_sites)}
+        self.idt_site_ids = {id(e): k for k, e in enumerate(idt_sites)}
+        self.n_idt = len(idt_sites)
         self.node_index = node_index
         self.branch_index = branch_index
         self.named_branch = named_branch
@@ -521,11 +605,12 @@ class _Interp:
     # ("V", a, b) = voltage contrib accumulator
     def run(self, lv, p, ctx, eps, collect_noise):
         st = _State(self, lv, p, ctx, eps, collect_noise)
+        self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
         zero = jnp.zeros((), lv.dtype)
-        n_rows = self.n_nodes + self.n_vbranch
+        n_rows = self.n_nodes + self.n_vbranch + self.n_idt
         static = [zero] * n_rows
         dynamic = [zero] * n_rows
 
@@ -539,8 +624,23 @@ class _Interp:
         for key, val in env.items():
             if not isinstance(key, tuple):
                 continue
+            if key[0] == "IDT":
+                # idt state y_k: row = −arg + d/dt(y) = 0 (tran); in the
+                # operating point the state pins to its ic (integrators have
+                # no DC solution otherwise)
+                k2 = key[1]
+                row = self.n_nodes + self.n_vbranch + k2
+                yv = lv[row]
+                arg, icval = val
+                from cedarsim_tpu.core.context import Modes as _M
+                if self._ctx_mode in (_M.DCOP, _M.TRANOP):
+                    static[row] = static[row] + (yv - icval)
+                else:
+                    static[row] = static[row] - _pair(arg)[0]
+                    dynamic[row] = dynamic[row] + yv
+                continue
             kind, a, b = key
-            s, q = _pair(val)
+            s, q = _pair(val)[:2]
             ia = self.node_index[a]
             ib = self.node_index[b] if b is not None else -1
             if kind == "I":
@@ -576,7 +676,6 @@ class _State:
         self.ctx = ctx
         self.eps = eps
         self.collect = collect_noise
-        self.noise_k = 0
         self.noise_pwr = []
         self.noise_exp = []
         self.zero = 0.0
@@ -604,8 +703,11 @@ class _State:
             if a in self.it.named_branch:
                 a, b = self.it.named_branch[a]
             key = (kind, a, b)
-            cur = env.get(key, (self.zero, None))
-            env[key] = _padd(cur, self.expr(st[2], env))
+            cur = env.get(key, (self.zero, None, None))
+            val = _pair(self.expr(st[2], env))
+            # contributions drop ddx tangents (reference drops dual parts,
+            # vasim.jl:649-661)
+            env[key] = _padd(cur, (val[0], val[1], None))
             return
         if k == "if":
             cond = _scalar(self.expr(st[1], env), "condition")
@@ -730,7 +832,7 @@ class _State:
     def _merge(self, env, cond, env_t, env_f):
         keys = set(env_t) | set(env_f)
         for k in keys:
-            base = env.get(k, (self.zero, None))
+            base = env.get(k, (self.zero, None, None))
             a = _pair(env_t.get(k, base))
             b = _pair(env_f.get(k, base))
             s = jnp.where(cond, a[0], b[0])
@@ -740,7 +842,8 @@ class _State:
                 qa = self.zero if a[1] is None else a[1]
                 qb = self.zero if b[1] is None else b[1]
                 q = jnp.where(cond, qa, qb)
-            env[k] = (s, q)
+            d = _dmerge(a[2], b[2], lambda x, y: jnp.where(cond, x, y))
+            env[k] = (s, q, d)
 
     # ----------------------------------------------------------- expressions
 
@@ -776,12 +879,16 @@ class _State:
             b = _pair(self.expr(e[3], env))
             s = jnp.where(c != 0, a[0], b[0])
             if a[1] is None and b[1] is None:
-                return (s, None)
-            qa = self.zero if a[1] is None else a[1]
-            qb = self.zero if b[1] is None else b[1]
-            return (s, jnp.where(c != 0, qa, qb))
+                q = None
+            else:
+                qa = self.zero if a[1] is None else a[1]
+                qb = self.zero if b[1] is None else b[1]
+                q = jnp.where(c != 0, qa, qb)
+            d = _dmerge(a[2], b[2],
+                        lambda x, y: jnp.where(c != 0, x, y))
+            return (s, q, d)
         if k == "call":
-            return self._callexpr(e[1], e[2], env)
+            return self._callexpr(e[1], e[2], env, node=e)
         raise VACodegenError(f"unhandled expression {e!r}")
 
     def _ref(self, name, env):
@@ -823,13 +930,27 @@ class _State:
             return _pmul(a, b)
         if op == "/":
             return _pdiv(a, b)
+        if op == "**":
+            va, da = _dual(a)
+            vb, db = _dual(b)
+            _scalar(a, "'**'"); _scalar(b, "'**'")
+            if _concrete(va, vb) and da is None and db is None:
+                return _host_binop(op, float(va), float(vb))
+            out = _safe_pow(va, vb)
+            if da is None and db is None:
+                return out
+            ga = vb * _safe_pow(va, vb - 1.0)
+            d1 = _dscale(da, ga)
+            d2 = None
+            if db is not None:
+                d2 = _dscale(db, jnp.where(va > 0, jnp.log(
+                    jnp.where(va > 0, va, 1.0)) * out, 0.0))
+            return (out, None, _dmerge(d1, d2, lambda x, y: x + y))
         sa, sb = _scalar(a, f"'{op}'"), _scalar(b, f"'{op}'")
         if _concrete(sa, sb):
             from cedarsim_tpu.va.codegen import _host_binop
             return _host_binop(op, float(sa), float(sb))
         d = self.lv.dtype
-        if op == "**":
-            return _safe_pow(sa, sb)
         if op == "%":
             return jnp.fmod(sa, sb)
         cmp = {"==": lambda: sa == sb, "!=": lambda: sa != sb,
@@ -854,12 +975,14 @@ class _State:
                 f"{self.it.module.name}: unknown node {name!r}")
         return self.lv[idx] if idx >= 0 else self.zero
 
-    def _callexpr(self, name, args, env):
+    def _callexpr(self, name, args, env, node=None):
         it = self.it
         if name == "V":
             a = self._node_v(args[0][1])
             if len(args) > 1:
                 return a - self._node_v(args[1][1])
+            if args[0][1] in self.it.ddx_probes:
+                return (a, None, {args[0][1]: 1.0})
             return a
         if name == "I":
             nm = args[0][1] if args[0][0] == "ref" else None
@@ -872,21 +995,38 @@ class _State:
                 "with V<+ contributions")
         if name == "ddt":
             v = _scalar(self.expr(args[0], env), "ddt argument")
-            return (self.zero, v)
+            return (self.zero, v, None)
+        if name == "ddx":
+            val, d = _dual(self.expr(args[0], env))
+            probe = args[1][2][0][1]
+            if d is None or probe not in d:
+                return self.zero
+            return d[probe]
         if name in ("white_noise", "flicker_noise"):
-            k = self.noise_k
-            self.noise_k += 1
+            # lexical site identity by AST node (stable across both-branch
+            # conditional evaluation)
+            k = it.noise_site_ids.get(id(node), 0)
             pwr = _scalar(self.expr(args[0], env))
             if self.collect:
-                self.noise_pwr.append(pwr)
-                if name == "flicker_noise" and len(args) > 1:
-                    self.noise_exp.append(
-                        _scalar(self.expr(args[1], env)))
-                else:
+                while len(self.noise_pwr) <= k:
+                    self.noise_pwr.append(self.zero)
                     self.noise_exp.append(self.zero)
+                self.noise_pwr[k] = pwr
+                if name == "flicker_noise" and len(args) > 1:
+                    self.noise_exp[k] = _scalar(self.expr(args[1], env))
             if k < self.eps.shape[0]:
                 return self.eps[k]
             return self.zero
+        if name == "idt":
+            k = it.idt_site_ids.get(id(node))
+            if k is None:
+                raise VACodegenError("idt() site not registered")
+            arg = self.expr(args[0], env)
+            icval = (_scalar(self.expr(args[1], env))
+                     if len(args) > 1 else self.zero)
+            env[("IDT", k)] = (arg, icval)
+            row = it.n_nodes + it.n_vbranch + k
+            return self.lv[row]
         if name == "noise_table":
             return self.zero
         if name == "analysis":
@@ -935,10 +1075,15 @@ class _State:
         if name in ("$port_connected",):
             return 1.0
         if name in _MATH1:
-            v = _scalar(self.expr(args[0], env), name)
-            if _concrete(v):
+            raw = self.expr(args[0], env)
+            v, d = _dual(raw)
+            _scalar(raw, name)
+            if _concrete(v) and d is None:
                 return _HOST_MATH1[name](float(v))
-            return _MATH1[name](v)
+            out = _MATH1[name](v)
+            if d is not None and name in _DMATH1:
+                return (out, None, _dscale(d, _DMATH1[name](v)))
+            return out
         if name in _MATH2:
             v1 = _scalar(self.expr(args[0], env), name)
             v2 = _scalar(self.expr(args[1], env), name)

@@ -187,3 +187,31 @@ RL c 0 1k
     assert bool(res["op"].converged)
     assert np.isclose(x[c.node_names.index("b")], 1.0, rtol=1e-9)
     assert np.isclose(x[c.node_names.index("c")], 2.0, rtol=1e-9)
+
+
+def test_model_binning():
+    # models named base.N selected by instance L/W
+    # (reference BinnedModel/find_bin, test/binning/bins.jl)
+    code = """* binned
+.model mx.1 nmos (level=1 vto=0.5 kp=100u lmin=0.1u lmax=1u wmin=0.1u wmax=10u)
+.model mx.2 nmos (level=1 vto=1.5 kp=100u lmin=1u lmax=10u wmin=0.1u wmax=10u)
+vd d 0 3
+vg g 0 1.0
+m1 d g 0 0 mx w=1u l=0.5u
+.op
+"""
+    res = simulate(code)
+    c = res["compiled"]
+    # bin 1 selected: vto=0.5 -> transistor ON at vgs=1.0
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    obs = c.observe("m1.I")
+    i = float(obs(res["op"].x, jnp.zeros(c.n_x), SimSpec.make(), None))
+    assert i > 1e-6   # conducting
+
+    code2 = code.replace("l=0.5u", "l=2u")
+    res2 = simulate(code2)
+    c2 = res2["compiled"]
+    obs2 = c2.observe("m1.I")
+    i2 = float(obs2(res2["op"].x, jnp.zeros(c2.n_x), SimSpec.make(), None))
+    assert i2 < 1e-9  # bin 2: vto=1.5 -> off at vgs=1.0

@@ -233,3 +233,63 @@ endmodule
 """
     with pytest.raises(VACodegenError):
         load_va(bad)
+
+
+VA_DDX = """
+module nlvcr(p, n);
+  inout p, n;
+  electrical p, n;
+  real gd;
+  analog begin
+    gd = ddx(V(p)*V(p)*V(p), V(p));
+    I(p, n) <+ gd;
+  end
+endmodule
+"""
+
+
+def test_va_ddx():
+    # ddx(V^3, V(p)) = 3V² — the reference's ddx mechanism
+    # (/root/reference/test/ddx.jl, vasim.jl:337-412)
+    devs = load_va(VA_DDX)
+    ckt = Circuit()
+    a = ckt.net("a")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=2.0))
+    ckt.add(devs["nlvcr"], "N1", (a, ckt.gnd), dict())
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    assert bool(res.converged)
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    obs = c.observe("N1.I")
+    i = float(obs(res.x, jnp.zeros(c.n_x), SimSpec.make(), None))
+    assert np.isclose(i, 3 * 2.0 ** 2, rtol=1e-9)
+
+
+VA_IDT = """
+module vaint(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter real k = 1.0;
+  analog I(p, n) <+ idt(k * V(p, n), 0.0);
+endmodule
+"""
+
+
+def test_va_idt():
+    # i = ∫k·v dt across a device == an inductor with L = 1/k:
+    # series R-L driven by a DC step from ic: i(t) = V/R(1-e^(-Rk t))
+    devs = load_va(VA_IDT)
+    ckt = Circuit()
+    a, b = ckt.net("a"), ckt.net("b")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=1.0))
+    ckt.add(Resistor, "R1", (a, b), dict(r=2.0))
+    ckt.add(devs["vaint"], "L1", (b, ckt.gnd), dict(k=100.0))
+    c = compile_circuit(ckt)
+    sol = tran(c, (0.0, 0.1))
+    assert sol.converged
+    # L = 1/k = 10mH, tau = L/R = 5ms
+    tau = (1.0 / 100.0) / 2.0
+    vb = sol["b"]
+    ref = np.exp(-sol.ts / tau)   # v_b decays from 1 to 0
+    assert np.allclose(vb, ref, atol=0.02)
