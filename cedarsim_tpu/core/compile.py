@@ -360,7 +360,25 @@ class CompiledCircuit:
     def set_param(self, params, dotted: str, value):
         """Functional override of one instance parameter — the pytree
         equivalent of the reference's ParamLens
-        (/root/reference/src/spectre.jl:159-187)."""
+        (/root/reference/src/spectre.jl:159-187).  A bare name (no dot)
+        broadcasts to every instance that has the parameter."""
+        if "." not in dotted:
+            pname = dotted.lower()
+            new = dict(params)
+            hit = False
+            for key in self.group_order:
+                if pname in new[key]:
+                    grp = dict(new[key])
+                    grp[pname] = jnp.full_like(grp[pname], value)
+                    new[key] = grp
+                    hit = True
+                elif pname in self.groups[key].static_params:
+                    raise KeyError(
+                        f"{pname!r} was compiled as a static constant; pass "
+                        f"dynamic_params=[{pname!r}] to compile_circuit")
+            if not hit:
+                raise KeyError(f"no instance has parameter {pname!r}")
+            return new
         key, j, pname = self.param_loc(dotted)
         new = dict(params)
         grp = dict(new[key])
