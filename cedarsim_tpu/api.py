@@ -103,4 +103,9 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
             ran_any = True
     if not ran_any:
         out["op"] = solve_dc(compiled, ctx=ctx)
+    if "tran" in out:
+        from cedarsim_tpu.analysis.measure import evaluate_all
+        meas = evaluate_all(out["tran"], circuit)
+        if meas:
+            out["measures"] = meas
     return out

@@ -252,8 +252,11 @@ class Elaborator:
             for name, cls in mods.items():
                 vam[name.lower()] = cls
             return
-        if st.cmd in ("print", "plot", "save", "probe", "width", "meas",
-                      "measure", "end", "backanno", "temp"):
+        if st.cmd in ("meas", "measure"):
+            self.ckt.directives.append(("meas", [st.loc.src], {}))
+            return
+        if st.cmd in ("print", "plot", "save", "probe", "width",
+                      "end", "backanno", "temp"):
             return  # stored/no-op for now
         self.warn(f"unhandled directive .{st.cmd}", st.loc)
 

@@ -215,3 +215,25 @@ m1 d g 0 0 mx w=1u l=0.5u
     obs2 = c2.observe("m1.I")
     i2 = float(obs2(res2["op"].x, jnp.zeros(c2.n_x), SimSpec.make(), None))
     assert i2 < 1e-9  # bin 2: vto=1.5 -> off at vgs=1.0
+
+
+def test_measures():
+    code = """* meas test
+V1 in 0 PULSE(0 1 1m 1u 1u 20m 40m)
+R1 in out 1k
+C1 out 0 1u
+.tran 0.05m 6m
+.meas tran vmax MAX v(out) from=0 to=6m
+.meas tran vend FIND v(out) AT=6m
+.meas tran tcross WHEN v(out)=0.5 rise=1
+.meas tran trise TRIG v(in) val=0.5 rise=1 TARG v(out) val=0.632 rise=1
+"""
+    res = simulate(code)
+    m = res["measures"]
+    # RC tau=1ms, step at 1ms: v(6ms) = 1-e^-5
+    assert np.isclose(m["vend"], 1 - np.exp(-5), atol=5e-3)
+    assert np.isclose(m["vmax"], 1 - np.exp(-5), atol=5e-3)
+    # crosses 0.5 at t = 1ms + ln(2)*tau
+    assert np.isclose(m["tcross"], 1e-3 + np.log(2) * 1e-3, rtol=5e-3)
+    # output reaches 63.2% one tau after the input edge
+    assert np.isclose(m["trise"], 1e-3, rtol=2e-2)
