@@ -64,3 +64,54 @@ def dc_sensitivity(compiled: CompiledCircuit, observable: str, wrt: list,
         key, j, pname = compiled.param_loc(name)
         out[name] = gtree[key][pname][j]
     return value, out
+
+
+def tran_sensitivity(compiled, observable: str, wrt: str, tspan, t_eval,
+                     params=None, ctx=None, opts=None):
+    """d(observable at t_eval)/d(param) by forward-mode AD through the whole
+    adaptive transient integrator (lax.while_loop supports jvp) — the
+    reference's full-differentiability story done natively in JAX
+    (/root/reference/test/sensitivity.jl, README "full differentiability").
+
+    Returns (value, derivative)."""
+    import numpy as np
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    from cedarsim_tpu.analysis.tran import (tran_core, TranOptions,
+                                            _consistent_xdot,
+                                            _differential_mask)
+    compiled = ensure_dynamic(compiled, [wrt])
+    params = compiled.params0 if params is None else params
+    if ctx is None:
+        ctx = SimSpec.make(dtype=compiled.dtype)
+    opts = opts or TranOptions(max_steps=4096)
+    t0, tstop = float(tspan[0]), float(tspan[1])
+    op = solve_dc(compiled, params, ctx, mode=Modes.TRANOP)
+    ctx_op = ctx.with_mode(Modes.TRANOP).at_time(t0)
+    xd0 = _consistent_xdot(compiled, op.x, ctx_op, params)
+    mask = _differential_mask(compiled, op.x, ctx_op, params)
+    bps = compiled.breakpoints(tstop)
+    bps = np.concatenate([bps[bps > t0], [tstop], [np.inf]])
+    d = compiled.dtype
+    obs = compiled.observe(observable)
+    p0 = compiled.get_param(params, wrt)
+
+    def value_at(pv):
+        p = compiled.set_param(params, wrt, pv)
+        ts, xs, xds, k, fin, nrej, nnwt = tran_core(
+            compiled, p, ctx, op.x, xd0, jnp.asarray(t0, d),
+            jnp.asarray(tstop, d), jnp.asarray(bps, d),
+            jnp.asarray((tstop - t0) * 1e-6, d), opts, mask)
+        i = jnp.clip(jnp.searchsorted(ts, t_eval), 1, ts.shape[0] - 1)
+        w = (t_eval - ts[i - 1]) / jnp.maximum(ts[i] - ts[i - 1], 1e-300)
+        w = jnp.clip(w, 0.0, 1.0)
+        x_at = xs[i - 1] * (1 - w) + xs[i] * w
+        xd_at = xds[i - 1] * (1 - w) + xds[i] * w
+        return obs(x_at, xd_at, ctx.with_mode(Modes.TRAN).at_time(t_eval), p)
+
+    cache = compiled.__dict__.setdefault("_transens_cache", {})
+    key = (observable, wrt, t0, tstop, float(t_eval), opts)
+    if key not in cache:
+        cache[key] = jax.jit(
+            lambda pv: jax.jvp(value_at, (pv,), (jnp.ones((), d),)))
+    v, dv = cache[key](jnp.asarray(p0, d))
+    return v, dv

@@ -180,3 +180,24 @@ def _get_sweep_jit(compiled, opts):
                      in_axes=(0, None, 0))
         cache[opts] = jax.jit(f)
     return cache[opts]
+
+
+def split_axes(sweep, outer_names):
+    """Split a sweep into (outer, inner) sweeps by parameter name — the
+    reference's split for host-level outer loops vs batched inner sweeps
+    (/root/reference/src/sweeps.jl:80-128).  Returns (outer, inner) where
+    either may be None if it would be empty."""
+    sweep = sweepify(sweep)
+    outer_names = {n.lower() for n in outer_names}
+
+    def collect(s):
+        if isinstance(s, Sweep):
+            return [s]
+        return [x for sub in s.sweeps for x in collect(sub)]
+
+    leaves = collect(sweep)
+    outer = [s for s in leaves if s.name.lower() in outer_names]
+    inner = [s for s in leaves if s.name.lower() not in outer_names]
+    mk = lambda ls: (None if not ls
+                     else ls[0] if len(ls) == 1 else ProductSweep(*ls))
+    return mk(outer), mk(inner)

@@ -107,3 +107,33 @@ R2 vmid 0 1k
     assert np.isclose(float(val), 1.0, rtol=1e-9)
     assert np.isclose(float(g["r1.r"]), -v * r2 / (r1 + r2) ** 2, rtol=1e-6)
     assert np.isclose(float(g["r2.r"]), v * r1 / (r1 + r2) ** 2, rtol=1e-6)
+
+
+def test_tran_sensitivity():
+    # d v_out(1ms)/dR of an RC step — fwd-mode AD through the whole
+    # adaptive integrator vs the analytic derivative
+    from cedarsim_tpu.analysis.sensitivity import tran_sensitivity
+    code = """* rc
+V1 vin 0 1
+R1 vin vout 1k
+C1 vout 0 1u
+.ic v(vout)=0
+.tran 1u 3m
+"""
+    comp = compile_circuit(load_spice(code))
+    v, dv = tran_sensitivity(comp, "vout", "r1.r", (0.0, 3e-3), 1e-3)
+    t, r, c = 1e-3, 1000.0, 1e-6
+    ref_v = 1 - np.exp(-t / (r * c))
+    ref_dv = -np.exp(-t / (r * c)) * t / (r * r * c)
+    assert np.isclose(float(v), ref_v, rtol=1e-3)
+    assert np.isclose(float(dv), ref_dv, rtol=5e-3)
+
+
+def test_split_axes():
+    from cedarsim_tpu import Sweep, ProductSweep
+    from cedarsim_tpu.analysis.sweeps import split_axes
+    sw = ProductSweep(Sweep("temp", [0, 25, 85]), Sweep("r1.r", [1, 2]),
+                      Sweep("v1.dc", [1, 2, 3]))
+    outer, inner = split_axes(sw, ["temp"])
+    assert outer.names == ["temp"] and len(outer) == 3
+    assert set(inner.names) == {"r1.r", "v1.dc"} and len(inner) == 6
