@@ -92,6 +92,20 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
                 opts = TranOptions(**okw)
             out["tran"] = tran(compiled, (0.0, d["tstop"]), ctx=ctx, opts=opts)
             ran_any = True
+        elif cmd == "noise" and "noise" not in out:
+            # .noise v(out) src dec n f1 f2
+            words = [a for a in args if isinstance(a, str)]
+            nums = [a for a in args if isinstance(a, (int, float))]
+            outname = words[0].lower() if words else None
+            if outname in ("v",) and len(words) > 1:
+                outname = words[1].lower()
+            import numpy as _np
+            n_, f1, f2 = ((int(nums[0]), nums[1], nums[2])
+                          if len(nums) >= 3 else (10, 1.0, 1e9))
+            freqs = ac_mod.acdec(n_, f1, f2)
+            from cedarsim_tpu.analysis.ac import noise as _noise
+            out["noise"] = _noise(compiled, outname, freqs, ctx=ctx)
+            ran_any = True
         elif cmd == "ac" and "ac" not in out:
             d = find_ac_directive(circuit)
             if d["mode"] == "dec":
