@@ -309,6 +309,20 @@ class CompiledCircuit:
             return lambda x, xd, ctx, params=None: x[i]
         if "." in name:
             inst_name, field = name.rsplit(".", 1)
+            if inst_name in self._inst_loc and field not in ("V", "I"):
+                key, j = self._inst_loc[inst_name]
+                g = self.groups[key]
+                mod = getattr(g.model, "va_module", None)
+                if mod is not None and field in mod.variables:
+                    def vavar(x, xd, ctx, params=None):
+                        params = self.params0 if params is None else params
+                        gp = {k: v[j] for k, v in params[key].items()
+                              if k != "$mult"}
+                        gp = {**g.static_params, **gp}
+                        xp = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+                        lv = xp[g.var_idx[j]]
+                        return g.model.eval_var(lv, gp, ctx, field)
+                    return vavar
             if inst_name in self._inst_loc and field in ("V", "I"):
                 key, j = self._inst_loc[inst_name]
                 g = self.groups[key]

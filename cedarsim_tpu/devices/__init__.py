@@ -3,5 +3,5 @@ from cedarsim_tpu.devices.simple import (
     Resistor, Capacitor, Inductor, Diode,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
-    VCVS, VCCS, CCVS, CCCS,
+    VCVS, VCCS, CCVS, CCCS, CoupledInductors,
 )

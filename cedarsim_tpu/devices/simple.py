@@ -93,6 +93,27 @@ class Inductor(DeviceModel):
         return static, dynamic
 
 
+class CoupledInductors(DeviceModel):
+    """Two magnetically coupled inductors (SPICE K element): the elaborator
+    replaces the two L instances with one 4-terminal device.
+    v1 = d/dt(L1·i1 + M·i2), v2 = d/dt(M·i1 + L2·i2), M = k·sqrt(L1·L2)."""
+    terminals = ("p1", "n1", "p2", "n2")
+    n_branch = 2
+    params = dict(l1=0.0, l2=0.0, k=0.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp1, vn1, vp2, vn2, i1, i2 = lv[0], lv[1], lv[2], lv[3], lv[4], lv[5]
+        m = p["k"] * jnp.sqrt(p["l1"] * p["l2"])
+        zero = jnp.zeros_like(i1)
+        static = jnp.stack([i1, -i1, i2, -i2,
+                            vp1 - vn1, vp2 - vn2])
+        dynamic = jnp.stack([zero, zero, zero, zero,
+                             -(p["l1"] * i1 + m * i2),
+                             -(m * i1 + p["l2"] * i2)])
+        return static, dynamic
+
+
 # ------------------------------------------------------------------- sources
 
 def _source_value(p, ctx, wave):

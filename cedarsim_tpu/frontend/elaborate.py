@@ -24,7 +24,7 @@ import numpy as np
 
 from cedarsim_tpu.core.circuit import Circuit, GROUND
 from cedarsim_tpu.devices import (
-    Resistor, Capacitor, Inductor, Diode,
+    Resistor, Capacitor, Inductor, Diode, CoupledInductors,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
     VCVS, VCCS, CCVS, CCCS,
@@ -150,8 +150,14 @@ class Elaborator:
         # user overrides win over netlist .param values
         for k, v in self.param_overrides.items():
             env.define(k, float(v))
+        kcards = []
         for el, sc in elements:
+            if el.letter == "k":
+                kcards.append((el, sc))
+                continue
             self._instantiate(el, sc, prefix="", nodemap={}, mfac=1.0)
+        for el, sc in kcards:
+            self._apply_coupling(el, sc)
         return self.ckt
 
     def _collect(self, stmts, scope, elements):
@@ -482,6 +488,42 @@ class Elaborator:
         extras = probe_extras(
             probes, lambda n2: self._net(n2, prefix, nodemap), prefix)
         self.ckt.add(cls, name, nets, {}, m=m, kw_extras=extras)
+
+    def _apply_coupling(self, el, scope):
+        """K card: replace the two named inductors with one
+        CoupledInductors device (mutual inductance)."""
+        env = scope["env"]
+        # card shape: Kxx L1 L2 value — inductor names parse as bare refs
+        names = [n.lower() for n in el.nodes]
+        if el.model:
+            names.append(el.model.lower())
+        kval = None
+        for v in el.values:
+            if isinstance(v, tuple) and v[0] == "ref":
+                names.append(v[1].lower())
+            elif kval is None:
+                kval = self.vres(v, env, el.loc)
+        names = names[:2]
+        if len(names) < 2:
+            raise ElabError(f"{el.name}: needs two inductor names", el.loc)
+        if kval is None:
+            kval = self.vres(el.params.get("k", 1.0), env, el.loc)
+        insts = {i.name: i for i in self.ckt.instances}
+        l_insts = []
+        for nm in names:
+            inst = insts.get(nm)
+            if inst is None or inst.model is not Inductor:
+                raise ElabError(f"{el.name}: {nm!r} is not an inductor",
+                                el.loc)
+            l_insts.append(inst)
+        la, lb = l_insts
+        nets = (*la.nets, *lb.nets)
+        self.ckt.instances = [i for i in self.ckt.instances
+                              if i.name not in (la.name, lb.name)]
+        self.ckt._names.discard(la.name)
+        self.ckt._names.discard(lb.name)
+        self.ckt.add(CoupledInductors, f"{el.name.lower()}", nets,
+                     dict(l1=la.params["l"], l2=lb.params["l"], k=kval))
 
     def _map_params(self, device, mparams, env, loc, rename=None):
         rename = rename or {}

@@ -462,6 +462,14 @@ def make_device(module: Module, strict_ranges=False):
             return interp.run(lv, p, ctx,
                               jnp.zeros(cls.n_noise), collect_noise=True)
 
+        @classmethod
+        def eval_var(cls, lv, p, ctx, name):
+            """Value of a module-level variable at the given operating
+            point — exposes VA variables (incl. (* desc *)-annotated ones)
+            as observables (reference vasim.jl:742-752,841-843)."""
+            return interp.run(lv, p, ctx, jnp.zeros(cls.n_noise),
+                              collect_noise=False, capture_var=name)
+
     # nominal defaults (so DeviceModel machinery sees names)
     VADevice.params = {n: None for n in porder}
     VADevice.__name__ = f"VA_{module.name}"
@@ -603,12 +611,15 @@ class _Interp:
 
     # env keys: str = variable; ("I", a, b) = current contrib accumulator;
     # ("V", a, b) = voltage contrib accumulator
-    def run(self, lv, p, ctx, eps, collect_noise):
+    def run(self, lv, p, ctx, eps, collect_noise, capture_var=None):
         st = _State(self, lv, p, ctx, eps, collect_noise)
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
+        if capture_var is not None:
+            v = env.get(capture_var, 0.0)
+            return _pair(v)[0] + jnp.zeros((), lv.dtype)
         zero = jnp.zeros((), lv.dtype)
         n_rows = self.n_nodes + self.n_vbranch + self.n_idt
         static = [zero] * n_rows

@@ -237,3 +237,22 @@ C1 out 0 1u
     assert np.isclose(m["tcross"], 1e-3 + np.log(2) * 1e-3, rtol=5e-3)
     # output reaches 63.2% one tau after the input edge
     assert np.isclose(m["trise"], 1e-3, rtol=2e-2)
+
+
+def test_coupled_inductors():
+    # ideal transformer-ish: k=0.999, turns ratio sqrt(L2/L1)=2; AC gain ~2
+    from cedarsim_tpu import compile_circuit, acdec, load_spice
+    from cedarsim_tpu.analysis.ac import ac
+    code = """* transformer
+V1 vin 0 DC 0 AC 1
+R1 vin p 1
+L1 p 0 1m
+L2 s 0 4m
+K1 L1 L2 0.999
+RL s 0 1meg
+.ac dec 5 1k 1k
+"""
+    comp = compile_circuit(load_spice(code))
+    sol = ac(comp, [100e3])
+    g = abs(sol["s"][0])
+    assert np.isclose(g, 2.0, rtol=0.05)

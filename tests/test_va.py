@@ -293,3 +293,25 @@ def test_va_idt():
     vb = sol["b"]
     ref = np.exp(-sol.ts / tau)   # v_b decays from 1 to 0
     assert np.allclose(vb, ref, atol=0.02)
+
+
+def test_va_variable_observable():
+    # module-level VA variables are observable by name
+    # (reference (* desc *) observables, vasim.jl:742-752)
+    devs = load_va(VA_DIODE)
+    ckt = Circuit()
+    a, b = ckt.net("a"), ckt.net("b")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=5.0))
+    ckt.add(Resistor, "R1", (a, b), dict(r=1000.0))
+    ckt.add(devs["vadiode"], "D1", (b, ckt.gnd), dict(is_=1e-14))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    vd = float(c.observe("D1.vd")(res.x, jnp.zeros(c.n_x),
+                                  SimSpec.make(mode="dcop"), None))
+    id_ = float(c.observe("D1.id")(res.x, jnp.zeros(c.n_x),
+                                   SimSpec.make(mode="dcop"), None))
+    vb = float(np.asarray(res.x)[c.node_names.index("b")])
+    assert np.isclose(vd, vb, rtol=1e-12)
+    assert np.isclose(id_, (5 - vb) / 1e3, rtol=1e-4)
