@@ -92,6 +92,30 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
                 opts = TranOptions(**okw)
             out["tran"] = tran(compiled, (0.0, d["tstop"]), ctx=ctx, opts=opts)
             ran_any = True
+        elif cmd == "dc" and "dc" not in out and args:
+            # .dc src start stop step [src2 ...] — batched sweep
+            import numpy as np
+            from cedarsim_tpu.analysis.sweeps import (Sweep, ProductSweep,
+                                                      dc_sweep)
+            sweeps = []
+            i = 0
+            while i + 3 < len(args) + 1 and i < len(args):
+                if not isinstance(args[i], str):
+                    break
+                src = args[i].lower()
+                nums = args[i + 1:i + 4]
+                if len(nums) < 3 or any(isinstance(a, str) for a in nums):
+                    break
+                start, stop, step = nums
+                vals = np.arange(start, stop + step * 0.5, step)
+                pname = src + ".dc" if not src.endswith(".dc") else src
+                sweeps.append(Sweep(pname, vals))
+                i += 4
+            if sweeps:
+                sw = sweeps[0] if len(sweeps) == 1 else ProductSweep(*sweeps)
+                out["dc"] = dc_sweep(compiled, sw, ctx=ctx)
+                out["dc_sweep"] = sw
+                ran_any = True
         elif cmd == "noise" and "noise" not in out:
             # .noise v(out) src dec n f1 f2
             words = [a for a in args if isinstance(a, str)]

@@ -56,6 +56,13 @@ def test_butterworth_ac():
     h = sol["vout"]
     gref = 1.0 / np.sqrt(1.0 + w ** 6)
     assert np.allclose(np.abs(h), gref, rtol=1e-8)
+    # directly-observed source (reference: freqresp of node_vin == 1)
+    assert np.allclose(sol["vin"], 1.0, rtol=1e-12)
+    # device-voltage observable: V(L3) = jwL3 * I = jwL3 * H (R4=1)
+    # (reference test/ac.jl:62-66, obs vs G = s*L3*H)
+    hjw = 1.0 / ((1j * w + 1) * ((1j * w) ** 2 + 1j * w + 1))
+    vl3 = sol["L3.V"]
+    assert np.allclose(vl3, 1j * w * 0.5 * hjw, rtol=1e-8)
 
 
 def test_resistor_noise_psd():
@@ -137,3 +144,26 @@ def test_split_axes():
     outer, inner = split_axes(sw, ["temp"])
     assert outer.names == ["temp"] and len(outer) == 3
     assert set(inner.names) == {"r1.r", "v1.dc"} and len(inner) == 6
+
+
+def test_rlc_noise_vs_ngspice_golden():
+    # Cross-simulator golden: ngspice output table ported as data
+    # (/root/reference/test/ac.jl:64-146). Butterworth RLC, R4 split into
+    # two 2-ohm resistors, temp=23C.
+    from tests.data_rlc_noise_ngspice import NGSPICE_RLC_NOISE
+    from cedarsim_tpu import SimSpec
+    code = """* third order butterworth lowpass
+V1 vin 0 AC 1 SIN (0, 1, 0.159154943)
+L1 vin n1 1.5
+C2 n1 0 1.333333333333333333
+L3 n1 vout 0.5
+R4 vout 0 2
+R5 vout 0 2
+"""
+    comp = compile_circuit(load_spice(code))
+    freqs = np.array([r[0] for r in NGSPICE_RLC_NOISE])
+    ref = np.array([r[1] for r in NGSPICE_RLC_NOISE])
+    ctx = SimSpec.make(temp_c=23.0, gmin=1e-15)
+    ns = noise(comp, "vout", freqs, ctx=ctx)
+    got = np.sqrt(np.abs(ns.psd))
+    assert np.allclose(got, ref, rtol=2e-6)

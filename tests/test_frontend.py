@@ -256,3 +256,18 @@ RL s 0 1meg
     sol = ac(comp, [100e3])
     g = abs(sol["s"][0])
     assert np.isclose(g, 2.0, rtol=0.05)
+
+
+def test_dc_sweep_directive():
+    # .dc vin 0 1 0.25 — batched source sweep (reference dc! sweeps)
+    code = """* dc sweep
+Vin in 0 0
+R1 in out 1k
+R2 out 0 1k
+.dc vin 0 1 0.25
+"""
+    res = simulate(code)
+    dc = res["dc"]
+    c = res["compiled"]
+    v = np.asarray(dc.x)[:, c.node_names.index("out")]
+    assert np.allclose(v, np.arange(0, 1.01, 0.25) / 2, atol=1e-9)
