@@ -201,3 +201,15 @@ def split_axes(sweep, outer_names):
     mk = lambda ls: (None if not ls
                      else ls[0] if len(ls) == 1 else ProductSweep(*ls))
     return mk(outer), mk(inner)
+
+
+def data_sweep(circuit, name=None):
+    """TandemSweep over a netlist .data block's rows (reference DataStatement,
+    SPICE/parse/forms.jl). Parameter columns address netlist .param names —
+    use with re-elaboration (simulate(..., params=point))."""
+    for cmd, args, kw in circuit.directives:
+        if cmd == "data" and (name is None or args[0].lower() == str(name).lower()):
+            _, cols, rows = args
+            return TandemSweep(*[
+                Sweep(c, [r[i] for r in rows]) for i, c in enumerate(cols)])
+    raise KeyError(f".data block {name!r} not found")

@@ -258,6 +258,14 @@ class Elaborator:
             for name, cls in mods.items():
                 vam[name.lower()] = cls
             return
+        if st.cmd == "data":
+            name, cols, vals = st.args
+            ncol = max(len(cols), 1)
+            rows = [vals[i:i + ncol] for i in range(0, len(vals), ncol)
+                    if len(vals[i:i + ncol]) == ncol]
+            self.ckt.directives.append(
+                ("data", [name, cols, rows], {}))
+            return
         if st.cmd in ("meas", "measure"):
             self.ckt.directives.append(("meas", [st.loc.src], {}))
             return

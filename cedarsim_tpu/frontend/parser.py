@@ -319,6 +319,32 @@ class SpiceParser:
             return self._parse_subckt(toks, loc)
         if cmd == "model":
             return self._parse_model(toks, loc)
+        if cmd == "data":
+            # .data name p1 p2 ... v11 v12 ... v21 v22 ... .enddata
+            words = [t[1] for t in toks if t[0] == "w"]
+            name = words[0] if words else ""
+            # column names = following non-numeric words; then numbers flow
+            from cedarsim_tpu.frontend.numbers import parse_number
+            cols, vals = [], []
+            for w2 in words[1:]:
+                n2 = parse_number(w2, self.dialect)
+                if n2 is None and not vals:
+                    cols.append(w2.lower())
+                elif n2 is not None:
+                    vals.append(n2)
+            # consume lines until .enddata collecting numbers
+            while self.i < len(self.lines):
+                lineno2, line2 = self.lines[self.i]
+                head2 = line2.split()[0].lower()
+                if head2 in (".enddata", ".endd"):
+                    self.i += 1
+                    break
+                self.i += 1
+                for w2 in line2.split():
+                    n2 = parse_number(w2, self.dialect)
+                    if n2 is not None:
+                        vals.append(n2)
+            return Control("data", [name, cols, vals], {}, loc)
         if cmd in ("include", "inc"):
             path = toks[0][1].strip('"') if toks else ""
             return Include(path, None, loc)
