@@ -1,7 +1,7 @@
 from cedarsim_tpu.devices.base import DeviceModel
 from cedarsim_tpu.devices.simple import (
     Resistor, Capacitor, Inductor, Diode,
-    VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
-    ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
+    VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
+    ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
     VCVS, VCCS, CCVS, CCCS, CoupledInductors,
 )

@@ -230,6 +230,25 @@ class VSourceSIN(_VSourceBase):
         return wf.sin_breakpoints(float(p["td"]), tstop)
 
 
+class VSourceEXP(_VSourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, v1=0.0, v2=0.0, td1=0.0,
+                  tau1=1e-9, td2=1e30, tau2=1e-9)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.exp_value(p["v1"], p["v2"], p["td1"], p["tau1"],
+                                      p["td2"], p["tau2"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return VSourceEXP.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.exp_breakpoints(float(p["td1"]), float(p["td2"]), tstop)
+
+
 class _ISourceBase(DeviceModel):
     terminals = ("p", "n")
 
@@ -298,6 +317,25 @@ class ISourcePULSE(_ISourceBase):
     @classmethod
     def breakpoints(cls, p, tstop):
         return VSourcePULSE.breakpoints.__func__(cls, p, tstop)
+
+
+class ISourceEXP(_ISourceBase):
+    params = dict(dc=0.0, ac=0.0, acphase=0.0, v1=0.0, v2=0.0, td1=0.0,
+                  tau1=1e-9, td2=1e30, tau2=1e-9)
+    given_params = ("dc",)
+
+    @classmethod
+    def _wave(cls, p):
+        return lambda t: wf.exp_value(p["v1"], p["v2"], p["td1"], p["tau1"],
+                                      p["td2"], p["tau2"], t)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        return ISourceEXP.eval_with_wave(lv, p, ctx, eps)
+
+    @classmethod
+    def breakpoints(cls, p, tstop):
+        return wf.exp_breakpoints(float(p["td1"]), float(p["td2"]), tstop)
 
 
 class ISourceSIN(_ISourceBase):

@@ -50,6 +50,13 @@ def sin_value(vo, va, freq, td, theta, phase_deg, t):
     return jnp.where(t < td, quiescent, active)
 
 
+def exp_value(v1, v2, td1, tau1, td2, tau2, t):
+    """SPICE EXP(v1 v2 td1 tau1 td2 tau2)."""
+    rise = v1 + (v2 - v1) * (1.0 - jnp.exp(-(t - td1) / tau1))
+    fall = rise + (v1 - v2) * (1.0 - jnp.exp(-(t - td2) / tau2))
+    return jnp.where(t < td1, v1, jnp.where(t < td2, rise, fall))
+
+
 # ---------------------------------------------------------------- breakpoints
 
 def pwl_breakpoints(ts, tstop):
@@ -67,3 +74,8 @@ def pulse_breakpoints(v1, v2, td, tr, tf, pw, per, tstop):
 
 def sin_breakpoints(td, tstop):
     return np.array([td]) if 0 < td < tstop else np.empty(0)
+
+
+def exp_breakpoints(td1, td2, tstop):
+    pts = np.array([td1, td2])
+    return pts[(pts > 0) & (pts < tstop)]

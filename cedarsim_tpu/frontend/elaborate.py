@@ -25,8 +25,8 @@ import numpy as np
 from cedarsim_tpu.core.circuit import Circuit, GROUND
 from cedarsim_tpu.devices import (
     Resistor, Capacitor, Inductor, Diode, CoupledInductors,
-    VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
-    ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
+    VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
+    ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
     VCVS, VCCS, CCVS, CCCS,
 )
 from cedarsim_tpu.devices.mos import Mos1
@@ -617,6 +617,11 @@ class Elaborator:
             cls = VSourceSIN if vsrc else ISourceSIN
             p.update(vo=a(0, 0.0), va=a(1, 0.0), freq=a(2, 0.0), td=a(3, 0.0),
                      theta=a(4, 0.0), phase=a(5, 0.0))
+        elif kind == "exp":
+            cls = VSourceEXP if vsrc else ISourceEXP
+            p.update(v1=a(0, 0.0), v2=a(1, 0.0), td1=a(2, 0.0),
+                     tau1=_tiny_default(a(3), 1e-9), td2=a(4, 1e30),
+                     tau2=_tiny_default(a(5), 1e-9))
         else:
             raise ElabError(f"{el.name}: waveform {kind!r} not implemented",
                             el.loc)

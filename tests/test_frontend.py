@@ -324,3 +324,16 @@ R2 out 0 {rb}
         c2 = r2["compiled"]
         outs.append(float(np.asarray(r2["op"].x)[c2.node_names.index("out")]))
     assert np.allclose(outs, [0.5, 0.75, 0.25], rtol=1e-9)
+
+
+def test_exp_source():
+    code = """* exp source
+V1 a 0 EXP(0 1 1m 0.5m 5m 0.5m)
+R1 a 0 1k
+.tran 0.05m 4m
+"""
+    res = simulate(code)
+    sol = res["tran"]
+    # at t=1m+0.5m: 1-e^-1
+    assert np.isclose(sol.interp("a", 1.5e-3), 1 - np.exp(-1), atol=5e-3)
+    assert np.isclose(sol.interp("a", 0.5e-3), 0.0, atol=1e-9)
