@@ -1,0 +1,76 @@
+"""Monte-Carlo sweeps: on-device parameter scatter + batched solves.
+
+The reference's MC story is ``agauss`` sampling at elaboration from
+``spec.rng`` (/root/reference/src/spectre_env.jl:178-187), one circuit build
+per sample, solved serially.  Here the scatter happens on-device: a
+``jax.random`` key fans out into a batched parameter pytree (one leading
+axis), and the entire sample set solves as ONE vmapped XLA program —
+the BASELINE.md 10k-point-sweep configuration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cedarsim_tpu.core.compile import CompiledCircuit, ensure_dynamic
+from cedarsim_tpu.core.context import SimSpec, Modes
+from cedarsim_tpu.analysis.dc import dc_core, NewtonOptions, DCResult
+
+
+def scatter_params(compiled: CompiledCircuit, n: int, dist: dict, key):
+    """(compiled', batched_params): every param named in ``dist`` gets n
+    Gaussian samples.  ``dist`` maps a dotted ("x1.m1.vto") or bare ("vto")
+    name to either sigma (absolute) or ("rel", fraction) for relative sigma.
+    """
+    compiled = ensure_dynamic(compiled, list(dist))
+    keys = jax.random.split(key, len(dist))
+    params = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), compiled.params0)
+    for k, (name, spec) in zip(keys, sorted(dist.items())):
+        rel = isinstance(spec, tuple) and spec[0] == "rel"
+        sigma = spec[1] if rel else spec
+        if "." in name:
+            gkey, j, pname = compiled.param_loc(name)
+            base = compiled.params0[gkey][pname][j]
+            s = sigma * base if rel else sigma
+            samples = base + s * jax.random.normal(k, (n,), compiled.dtype)
+            col = params[gkey][pname].at[:, j].set(samples)
+            params = {**params, gkey: {**params[gkey], pname: col}}
+        else:
+            pname = name.lower()
+            hit = False
+            for gkey in compiled.group_order:
+                if pname in compiled.params0[gkey]:
+                    base = compiled.params0[gkey][pname]      # [n_inst]
+                    ni = base.shape[0]
+                    s = sigma * base if rel else sigma
+                    samples = base[None] + s * jax.random.normal(
+                        k, (n, ni), compiled.dtype)
+                    params = {**params,
+                              gkey: {**params[gkey], pname: samples}}
+                    hit = True
+            if not hit:
+                raise KeyError(f"no instance has parameter {pname!r}")
+    return compiled, params
+
+
+def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
+          ctx: SimSpec = None, opts: NewtonOptions = None,
+          mode=Modes.DCOP) -> DCResult:
+    """n Monte-Carlo DC operating points in one vmapped program."""
+    opts = opts or NewtonOptions()
+    if ctx is None:
+        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+    else:
+        ctx = ctx.with_mode(mode)
+    compiled, bp = scatter_params(compiled, n, dist,
+                                  jax.random.PRNGKey(seed))
+    x0 = jnp.zeros((n, compiled.n_x), compiled.dtype)
+    cache = compiled.__dict__.setdefault("_mc_jit_cache", {})
+    if opts not in cache:
+        cache[opts] = jax.jit(jax.vmap(
+            lambda p, c, x: dc_core(compiled, p, c, x, opts),
+            in_axes=(0, None, 0)))
+    return cache[opts](bp, ctx, x0)

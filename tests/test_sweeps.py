@@ -66,3 +66,26 @@ R2 vmid 0 1k
     v = np.asarray(res.x)[:, comp.node_names.index("vmid")]
     ref = [1 * 1e3 / 2e3, 1 * 1e3 / 4e3, 2 * 1e3 / 2e3, 2 * 1e3 / 4e3]
     assert np.allclose(v, ref, rtol=1e-8)
+
+
+def test_monte_carlo_dc():
+    # on-device Gaussian scatter of R2 -> distribution of divider output
+    from cedarsim_tpu.analysis.montecarlo import mc_dc
+    code = """* mc divider
+V1 vin 0 1
+R1 vin vmid 1k
+R2 vmid 0 1k
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    n = 256
+    res = mc_dc(comp, n, {"r2.r": ("rel", 0.05)}, seed=3)
+    assert bool(np.asarray(res.converged).all())
+    v = np.asarray(res.x)[:, comp.node_names.index("vmid")]
+    # mean near 0.5, spread consistent with 5% sigma on R2:
+    # dv/dR2 * sigma = 0.25/1k * 50 = 0.0125
+    assert abs(v.mean() - 0.5) < 0.005
+    assert 0.006 < v.std() < 0.02
+    # reproducible by seed
+    res2 = mc_dc(comp, n, {"r2.r": ("rel", 0.05)}, seed=3)
+    assert np.allclose(np.asarray(res2.x), np.asarray(res.x))
