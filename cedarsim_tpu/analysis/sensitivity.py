@@ -115,3 +115,32 @@ def tran_sensitivity(compiled, observable: str, wrt: str, tspan, t_eval,
             lambda pv: jax.jvp(value_at, (pv,), (jnp.ones((), d),)))
     v, dv = cache[key](jnp.asarray(p0, d))
     return v, dv
+
+
+def tf(compiled, out: str, src: str, params=None, ctx=None, opts=None):
+    """DC transfer function (SPICE .TF): small-signal gain d(out)/d(src),
+    plus output resistance at the observed node.  ``src`` is a V/I source
+    instance name.  Returns dict(gain=..., rout=...)."""
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    compiled = ensure_dynamic(compiled, [f"{src}.dc"])
+    value, g = dc_sensitivity(compiled, out, [f"{src}.dc"], params=params,
+                              ctx=ctx, opts=opts)
+    # output resistance: dV(out)/dI for a unit test-current at the output
+    # node — adjoint column of G^{-1}
+    params_ = compiled.params0 if params is None else params
+    c = (SimSpec.make(mode=Modes.DCOP, dtype=compiled.dtype)
+         if ctx is None else ctx.with_mode(Modes.DCOP))
+    res = solve_dc(compiled, params_, c, opts=opts, mode=Modes.DCOP)
+    obs = compiled.observe(out)
+
+    @jax.jit
+    def rout(x, params):
+        G, _ = compiled.jacobians(x, c, params)
+        xd0 = jnp.zeros_like(x)
+        e = jax.grad(lambda xx: obs(xx, xd0, c, params))(x)
+        # inject +1 A at the observed node(s): dx = G^{-1} e, rout = eᵀ dx
+        dx = linalg.solve(G, e)
+        return e @ dx
+
+    return dict(gain=g[f"{src}.dc"], rout=rout(res.x, params_),
+                value=value)

@@ -167,3 +167,18 @@ R5 vout 0 2
     ns = noise(comp, "vout", freqs, ctx=ctx)
     got = np.sqrt(np.abs(ns.psd))
     assert np.allclose(got, ref, rtol=2e-6)
+
+
+def test_tf_analysis():
+    # .TF equivalent: divider gain = 0.5, rout = R1||R2
+    from cedarsim_tpu.analysis.sensitivity import tf
+    code = """* divider
+V1 vin 0 2
+R1 vin vmid 1k
+R2 vmid 0 1k
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    r = tf(comp, "vmid", "v1")
+    assert np.isclose(float(r["gain"]), 0.5, rtol=1e-9)
+    assert np.isclose(float(r["rout"]), 500.0, rtol=1e-6)
