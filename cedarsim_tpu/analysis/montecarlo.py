@@ -10,6 +10,8 @@ the BASELINE.md 10k-point-sweep configuration.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,8 +60,14 @@ def scatter_params(compiled: CompiledCircuit, n: int, dist: dict, key):
 
 def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
           ctx: SimSpec = None, opts: NewtonOptions = None,
-          mode=Modes.DCOP) -> DCResult:
-    """n Monte-Carlo DC operating points in one vmapped program."""
+          mode=Modes.DCOP, warm_start=True) -> DCResult:
+    """n Monte-Carlo DC operating points in one vmapped program.
+
+    ``warm_start`` (default): solve the nominal point once with the full
+    continuation ladder, then run every sample as a *light* Newton from the
+    nominal solution — under vmap, lax.cond lowers to select so the ladder
+    would otherwise execute for every lane whether needed or not.  Lanes
+    that fail the light solve are re-run with the robust program."""
     opts = opts or NewtonOptions()
     if ctx is None:
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
@@ -67,10 +75,36 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
         ctx = ctx.with_mode(mode)
     compiled, bp = scatter_params(compiled, n, dist,
                                   jax.random.PRNGKey(seed))
-    x0 = jnp.zeros((n, compiled.n_x), compiled.dtype)
     cache = compiled.__dict__.setdefault("_mc_jit_cache", {})
-    if opts not in cache:
-        cache[opts] = jax.jit(jax.vmap(
-            lambda p, c, x: dc_core(compiled, p, c, x, opts),
-            in_axes=(0, None, 0)))
-    return cache[opts](bp, ctx, x0)
+
+    def batched(o):
+        if o not in cache:
+            cache[o] = jax.jit(jax.vmap(
+                lambda p, c, x: dc_core(compiled, p, c, x, o),
+                in_axes=(0, None, 0)))
+        return cache[o]
+
+    if not warm_start:
+        x0 = jnp.zeros((n, compiled.n_x), compiled.dtype)
+        return batched(opts)(bp, ctx, x0)
+
+    from cedarsim_tpu.analysis.dc import solve_dc
+    nominal = solve_dc(compiled, compiled.params0, ctx, opts=opts, mode=mode)
+    light = dataclasses.replace(opts, gmin_steps=2, src_steps=2, restarts=0,
+                                gmin_start=1e-6)
+    x0 = jnp.broadcast_to(nominal.x[None], (n, compiled.n_x))
+    res = batched(light)(bp, ctx, x0)
+    ok = np.asarray(res.converged)
+    if ok.all():
+        return res
+    # robust second pass for the failed lanes only
+    bad = np.nonzero(~ok)[0]
+    bp_bad = jax.tree.map(lambda a: a[bad], bp)
+    res2 = batched(opts)(bp_bad, ctx,
+                         jnp.zeros((len(bad), compiled.n_x), compiled.dtype))
+    x = np.asarray(res.x)
+    conv = ok.copy()
+    x[bad] = np.asarray(res2.x)
+    conv[bad] = np.asarray(res2.converged)
+    return DCResult(jnp.asarray(x), jnp.asarray(conv), res.iters,
+                    res.resnorm)
