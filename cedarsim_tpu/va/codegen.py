@@ -342,8 +342,9 @@ def make_device(module: Module, strict_ranges=False):
     named_branch = {b.name: (b.pos, b.neg) for b in module.branches}
 
     # --- static scan: branch classification, noise sources, feature checks
-    v_branches = []        # ordered (a, b) pairs with V contributions
+    v_branches = []        # ordered (a, b) pairs with any V contribution
     i_branches = set()
+    switch_branches = set()  # branches with BOTH kinds (runtime-switched)
     noise_sites = []       # (kind, n_args) in lexical order
     ddx_probes = []        # node names probed by ddx(expr, V(node))
     for e in _all_exprs(module):
@@ -371,9 +372,10 @@ def make_device(module: Module, strict_ranges=False):
                 i_branches.add(key)
     for key in v_branches:
         if key in i_branches:
-            raise VACodegenError(
-                f"module {module.name}: branch {key} has both V<+ and I<+ "
-                "contributions (switch branches not supported yet)")
+            # runtime-switched branch (reference branch state machine,
+            # vasim.jl:128-180): keeps a current unknown; the branch row
+            # selects the active constraint
+            switch_branches.add(key)
     idt_sites = []
     for e in _all_exprs(module):
         if e[0] == "call":
@@ -419,7 +421,7 @@ def make_device(module: Module, strict_ranges=False):
 
     interp = _Interp(module, node_index, branch_index, named_branch,
                      n_nodes_local, len(v_branches), noise_sites,
-                     ddx_probes, idt_sites)
+                     ddx_probes, idt_sites, switch_branches)
 
     class VADevice(DeviceModel):
         terminals = tuple(ports)
@@ -596,7 +598,8 @@ def _host_binop(op, a, b):
 class _Interp:
     def __init__(self, module, node_index, branch_index, named_branch,
                  n_nodes_local, n_vbranch, noise_sites, ddx_probes=(),
-                 idt_sites=()):
+                 idt_sites=(), switch_branches=()):
+        self.switch_branches = frozenset(switch_branches)
         self.module = module
         self.ddx_probes = tuple(ddx_probes)
         self.noise_site_ids = {id(e): k for k, e in enumerate(noise_sites)}
@@ -651,9 +654,33 @@ class _Interp:
                     dynamic[row] = dynamic[row] + yv
                 continue
             kind, a, b = key
+            if kind == "Vact":
+                continue
             s, q = _pair(val)[:2]
             ia = self.node_index[a]
             ib = self.node_index[b] if b is not None else -1
+            if kind == "I" and (a, b) in self.switch_branches:
+                # handled together with the V entry below
+                continue
+            if kind == "V" and (a, b) in self.switch_branches:
+                bidx = self.branch_index[(a, b)]
+                ibr = lv[bidx]
+                add_row(ia, ibr, None)
+                add_row(ib, -ibr, None)
+                va = lv[ia] if ia >= 0 else zero
+                vb = lv[ib] if ib >= 0 else zero
+                act = _pair(env.get(("Vact", a, b), 0.0))[0]
+                i_s, i_q = _pair(env.get(("I", a, b),
+                                         (zero, None, None)))[:2]
+                # V-mode: (vab − v_expr) = 0; I-mode: (i_br − i_expr) = 0
+                v_row_s = (va - vb) - s
+                i_row_s = ibr - i_s
+                st_row = jnp.where(act != 0, v_row_s, i_row_s)
+                qv = zero if q is None else -q
+                qi = zero if i_q is None else -i_q
+                dyn_row = jnp.where(act != 0, qv, qi)
+                add_row(bidx, st_row, dyn_row)
+                continue
             if kind == "I":
                 add_row(ia, s, q)
                 if q is None:
@@ -713,12 +740,27 @@ class _State:
             kind, a, b = st[1]
             if a in self.it.named_branch:
                 a, b = self.it.named_branch[a]
+            val = _pair(self.expr(st[2], env))
+            val = (val[0], val[1], None)  # contributions drop ddx tangents
+            if (a, b) in self.it.switch_branches:
+                # branch state machine (vasim.jl:128-180): a contribution of
+                # one kind discards the other kind's accumulation
+                vk, ik = ("V", a, b), ("I", a, b)
+                actk = ("Vact", a, b)
+                if kind == "V":
+                    env[vk] = _padd(env.get(vk, (self.zero, None, None)),
+                                    val)
+                    env[ik] = (self.zero, None, None)
+                    env[actk] = 1.0
+                else:
+                    env[ik] = _padd(env.get(ik, (self.zero, None, None)),
+                                    val)
+                    env[vk] = (self.zero, None, None)
+                    env[actk] = 0.0
+                return
             key = (kind, a, b)
             cur = env.get(key, (self.zero, None, None))
-            val = _pair(self.expr(st[2], env))
-            # contributions drop ddx tangents (reference drops dual parts,
-            # vasim.jl:649-661)
-            env[key] = _padd(cur, (val[0], val[1], None))
+            env[key] = _padd(cur, val)
             return
         if k == "if":
             cond = _scalar(self.expr(st[1], env), "condition")

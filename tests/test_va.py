@@ -221,8 +221,9 @@ X2 mid 0 vares r=1k
                       1.0, rtol=1e-9)
 
 
-def test_va_switch_branch_rejected():
-    bad = """
+def test_va_switch_branch_compiles():
+    # mixed V<+/I<+ branches are supported (runtime state machine)
+    mixed = """
 module sw(p, n);
   inout p, n; electrical p, n;
   analog begin
@@ -231,8 +232,8 @@ module sw(p, n);
   end
 endmodule
 """
-    with pytest.raises(VACodegenError):
-        load_va(bad)
+    devs = load_va(mixed)
+    assert devs["sw"].n_branch == 1
 
 
 VA_DDX = """
@@ -315,3 +316,47 @@ def test_va_variable_observable():
     vb = float(np.asarray(res.x)[c.node_names.index("b")])
     assert np.isclose(vd, vb, rtol=1e-12)
     assert np.isclose(id_, (5 - vb) / 1e3, rtol=1e-4)
+
+
+VA_SWITCH = """
+module vasw(p, n, c);
+  inout p, n, c;
+  electrical p, n, c;
+  parameter real ron = 1.0;
+  analog begin
+    if (V(c) > 0.5)
+      V(p, n) <+ ron * I(sw);     // closed: tiny drop
+    else
+      I(p, n) <+ 1e-12 * V(p, n); // open: leakage only
+  end
+  branch (p, n) sw;
+endmodule
+"""
+
+
+def test_va_switch_branch():
+    # runtime-switched V/I branch (reference branch state machine,
+    # vasim.jl:128-180): a voltage-controlled ideal-ish switch
+    devs = load_va(VA_SWITCH)
+    Sw = devs["vasw"]
+
+    def build(vctrl):
+        ckt = Circuit()
+        a, b, cn = ckt.net("a"), ckt.net("b"), ckt.net("cn")
+        ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=2.0))
+        ckt.add(VSource, "VC", (cn, ckt.gnd), dict(dc=vctrl))
+        ckt.add(Resistor, "R1", (a, b), dict(r=1000.0))
+        ckt.add(Sw, "S1", (b, ckt.gnd, cn), dict(ron=1.0))
+        return compile_circuit(ckt)
+
+    c_on = build(1.0)
+    r_on = solve_dc(c_on)
+    assert bool(r_on.converged)
+    vb_on = float(np.asarray(r_on.x)[c_on.node_names.index("b")])
+    assert vb_on < 0.01  # closed switch: b pulled to ~0 (1 ohm vs 1k)
+
+    c_off = build(0.0)
+    r_off = solve_dc(c_off)
+    assert bool(r_off.converged)
+    vb_off = float(np.asarray(r_off.x)[c_off.node_names.index("b")])
+    assert vb_off > 1.99  # open: only leakage, b ≈ 2V
