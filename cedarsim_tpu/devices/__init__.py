@@ -3,5 +3,5 @@ from cedarsim_tpu.devices.simple import (
     Resistor, Capacitor, Inductor, Diode,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
-    VCVS, VCCS, CCVS, CCCS, CoupledInductors,
+    VCVS, VCCS, CCVS, CCCS, CoupledInductors, VSwitch, ISwitch,
 )

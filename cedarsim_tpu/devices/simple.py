@@ -417,6 +417,50 @@ class CCCS(DeviceModel):
         return static, jnp.zeros_like(static)
 
 
+class VSwitch(DeviceModel):
+    """S element: voltage-controlled switch (.model sw ron/roff/vt/vh) with
+    ngspice-style smooth log-resistance interpolation between states (the
+    reference declares Switch but leaves it unimplemented,
+    /root/reference/src/simpledevices.jl:375-408)."""
+    terminals = ("p", "n", "cp", "cn")
+    params = dict(ron=1.0, roff=1e12, vt=0.0, vh=0.0)
+
+    @staticmethod
+    def _g(ctrl, p):
+        vh = jnp.maximum(p["vh"], 1e-6)
+        x = jnp.clip((ctrl - p["vt"]) / (2.0 * vh) + 0.5, 0.0, 1.0)
+        # smoothstep in log-conductance
+        t = x * x * (3.0 - 2.0 * x)
+        ln_g = jnp.log(1.0 / p["roff"]) + t * (
+            jnp.log(1.0 / p["ron"]) - jnp.log(1.0 / p["roff"]))
+        return jnp.exp(ln_g)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, vcp, vcn = lv[0], lv[1], lv[2], lv[3]
+        i = VSwitch._g(vcp - vcn, p) * (vp - vn)
+        zero = jnp.zeros_like(i)
+        static = jnp.stack([i, -i, zero, zero])
+        return static, jnp.zeros_like(static)
+
+
+class ISwitch(DeviceModel):
+    """W element: current-controlled switch (control = a V-source branch
+    current)."""
+    terminals = ("p", "n")
+    n_control = 1
+    params = dict(ron=1.0, roff=1e12, it=0.0, ih=0.0)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, ictrl = lv[0], lv[1], lv[2]
+        g = VSwitch._g(ictrl, dict(ron=p["ron"], roff=p["roff"],
+                                   vt=p["it"], vh=p["ih"]))
+        i = g * (vp - vn)
+        static = jnp.stack([i, -i])
+        return static, jnp.zeros_like(static)
+
+
 # --------------------------------------------------------------------- diode
 
 class Diode(DeviceModel):

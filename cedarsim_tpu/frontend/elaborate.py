@@ -27,7 +27,7 @@ from cedarsim_tpu.devices import (
     Resistor, Capacitor, Inductor, Diode, CoupledInductors,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
-    VCVS, VCCS, CCVS, CCCS,
+    VCVS, VCCS, CCVS, CCCS, VSwitch, ISwitch,
 )
 from cedarsim_tpu.devices.mos import Mos1
 from cedarsim_tpu.devices.bjt import Bjt
@@ -444,6 +444,26 @@ class Elaborator:
             return
         if letter == "g":
             self.ckt.add(VCCS, name, nets, dict(gm=kw.get("gm", val(0))), m=m)
+            return
+        if letter == "s":
+            mdl = self._model(el.model, scope, el.loc)
+            pr = self._map_params(VSwitch, mdl.params, env, el.loc)
+            self.ckt.add(VSwitch, name, nets, pr, m=m)
+            return
+        if letter == "w":
+            # card: Wname n+ n- Vctrl model — the parser's model slot holds
+            # Vctrl; the model name is the following bare word
+            ctrl = prefix + el.model.lower() if el.model else None
+            mname = None
+            for v in el.values:
+                if isinstance(v, tuple) and v[0] == "ref":
+                    mname = v[1]
+            if ctrl is None or mname is None:
+                raise ElabError(f"{el.name}: W needs a control V-source and "
+                                "a model", el.loc)
+            mdl = self._model(mname, scope, el.loc)
+            pr = self._map_params(ISwitch, mdl.params, env, el.loc)
+            self.ckt.add(ISwitch, name, nets, pr, m=m, ctrl=ctrl)
             return
         if letter in ("f", "h"):
             ctrl = prefix + el.model.lower() if el.model else None

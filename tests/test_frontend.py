@@ -337,3 +337,44 @@ R1 a 0 1k
     # at t=1m+0.5m: 1-e^-1
     assert np.isclose(sol.interp("a", 1.5e-3), 1 - np.exp(-1), atol=5e-3)
     assert np.isclose(sol.interp("a", 0.5e-3), 0.0, atol=1e-9)
+
+
+def test_spice_switches():
+    # S (voltage-controlled) switch with sw model
+    code = """* switches
+.model swm sw (ron=1 roff=1e9 vt=0.5 vh=0.1)
+V1 a 0 2
+VC c 0 {vc}
+R1 a b 1k
+S1 b 0 c 0 swm
+.param vc=1
+.op
+"""
+    r_on = simulate(code, params={"vc": 1.0})
+    r_off = simulate(code, params={"vc": 0.0})
+    c = r_on["compiled"]
+    i = c.node_names.index("b")
+    assert np.asarray(r_on["op"].x)[i] < 0.01
+    assert np.asarray(r_off["op"].x)[i] > 1.99
+
+
+def test_current_controlled_switch():
+    # W element: closes when the sensed current exceeds it
+    code = """* ccsw
+.model wm csw (ron=1 roff=1e9 it=0.5m ih=0.1m)
+V1 a 0 2
+Vs a2 0 {isens}
+Rs a2 0 1k
+V2 b 0 2
+R2 b c 1k
+W1 c 0 Vs wm
+.param isens=2
+.op
+"""
+    # Vs drives 1k to ground through Rs: I(Vs) = -isens/1k... use isens to set
+    r_on = simulate(code, params={"isens": -2.0})   # I(Vs)=+2mA > it
+    r_off = simulate(code, params={"isens": 0.0})
+    c = r_on["compiled"]
+    i = c.node_names.index("c")
+    assert np.asarray(r_on["op"].x)[i] < 0.01
+    assert np.asarray(r_off["op"].x)[i] > 1.99
