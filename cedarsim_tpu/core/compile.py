@@ -252,6 +252,53 @@ class CompiledCircuit:
             C = C.at[rows, cols].add(Jq * scale)
         return G[:-1, :-1], C[:-1, :-1]
 
+    def res_jacs(self, x, ctx: SimSpec, params=None, eps=None):
+        """Fused (S, Q, G, C) in ONE walk per group: ``jax.linearize`` shares
+        the primal evaluation with the tangent map, so a Newton iteration
+        costs one model evaluation + n_lvar linear-tangent evaluations
+        (instead of separate residual and jacfwd walks).
+
+        NOTE: measured SLOWER than the separate residuals()+jacobians()
+        walks inside the Newton loops on both CPU (−17% batched) and TPU
+        (−4%) — XLA optimizes the jacfwd form better — so the solvers keep
+        the separate walks; this stays available for future sparse-path
+        work where sharing the primal matters more."""
+        params = self.params0 if params is None else params
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        if eps is None:
+            eps = jnp.zeros(max(self.n_eps, 1), x.dtype)
+        n1 = self.n_x + 1
+        S = self._zeros_pad()
+        Q = self._zeros_pad()
+        G = jnp.zeros((n1, n1), self.dtype)
+        C = jnp.zeros((n1, n1), self.dtype)
+        for key in self.group_order:
+            g = self.groups[key]
+            gp = params[key]
+            lv = x_pad[g.var_idx]
+            le = eps[g.eps_idx]
+            pv = {k: v for k, v in gp.items() if k != "$mult"}
+            sp = g.static_params
+            n_lvar = g.model.n_lvar()
+            basis = jnp.eye(n_lvar, dtype=self.dtype)
+
+            def one(l, p, e):
+                (sv, qv), lin = jax.linearize(
+                    lambda ll: g.model.eval(ll, {**sp, **p}, ctx, e), l)
+                Js, Jq = jax.vmap(lin)(basis)     # [n_lvar, n_lrow]
+                return sv, qv, Js.T, Jq.T
+
+            sv, qv, Js, Jq = jax.vmap(one)(lv, pv, le)
+            scale_r = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
+                                gp["$mult"][:, None], 1.0)
+            S = S.at[g.row_idx].add(sv * scale_r)
+            Q = Q.at[g.row_idx].add(qv * scale_r)
+            rows = g.row_idx[:, :, None]
+            cols = g.var_idx[:, None, :]
+            G = G.at[rows, cols].add(Js * scale_r[:, :, None])
+            C = C.at[rows, cols].add(Jq * scale_r[:, :, None])
+        return S[:-1], Q[:-1], G[:-1, :-1], C[:-1, :-1]
+
     def ac_rhs(self, params=None):
         """Complex AC drive vector b for (G + jωC)x = b."""
         params = self.params0 if params is None else params
