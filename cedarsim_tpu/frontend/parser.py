@@ -118,10 +118,10 @@ def logical_lines(text: str, file="<netlist>"):
         if not line.strip():
             continue
         stripped = line.lstrip()
-        if stripped.startswith("*"):
+        if stripped.startswith("*") or stripped.startswith("//"):
             continue
-        # inline comments
-        for marker in (" $", "\t$", ";", "//"):
+        # inline comments ('//' only at line start — URLs contain '//')
+        for marker in (" $", "\t$", ";"):
             p = line.find(marker)
             if p >= 0:
                 line = line[:p]

@@ -28,24 +28,29 @@ class SpectreParseError(P.SpiceParseError):
 
 
 def _logical_lines(text, file):
-    """Spectre logical lines: '//' and '*'-style comments stripped,
-    backslash continuations joined, '+' continuations NOT special."""
+    """Spectre logical lines: '//' comments stripped, both backslash and
+    leading-'+' continuations joined (PDK decks use '+' freely)."""
     out = []
     cont = False
     for i, raw in enumerate(text.splitlines(), start=1):
         line = raw
-        # strip comments (// anywhere; block comments not yet)
         p = line.find("//")
         if p >= 0:
             line = line[:p]
         if not line.strip():
-            cont = False if not cont else cont
+            continue
+        stripped = line.strip()
+        if stripped.startswith("+") and out:
+            out[-1][1].append(stripped[1:])
+            cont = out[-1][1][-1].rstrip().endswith("\\")
+            if cont:
+                out[-1][1][-1] = out[-1][1][-1].rstrip("\\").rstrip()
             continue
         if cont and out:
-            out[-1][1].append(line.strip())
+            out[-1][1].append(stripped)
         else:
-            out.append([i, [line.strip()]])
-        cont = line.rstrip().endswith("\\")
+            out.append([i, [stripped]])
+        cont = stripped.endswith("\\")
         if cont:
             out[-1][1][-1] = out[-1][1][-1].rstrip("\\").rstrip()
     return [(n, " ".join(parts)) for n, parts in out]
@@ -165,8 +170,20 @@ class SpectreParser:
         if hl in ("ic", "nodeset"):
             kw = {k: v for k, v in self._assignments(toks[1:], loc)}
             return P.Control(hl, toks[1:], kw, loc)
+        # named altergroup blocks: "<name> altergroup { ... }" — skip body
+        if len(toks) >= 2 and toks[1] == ("w", "altergroup"):
+            depth = line.count("{") - line.count("}")
+            while depth > 0 and self.i < len(self.lines):
+                _, l2 = self.lines[self.i]
+                depth += l2.count("{") - l2.count("}")
+                self.i += 1
+            return None
+        if len(toks) >= 2 and toks[1][0] == "w" \
+                and toks[1][1].lower() == "alter":
+            return None
         if hl in ("save", "options", "set", "info", "shell", "check",
-                  "alter", "altergroup", "statistics", "real"):
+                  "alter", "altergroup", "statistics", "real",
+                  "statistics{", "}"):
             if hl == "options":
                 return P.Control("option",  [],
                                  dict(self._assignments(toks[1:], loc)), loc)
@@ -324,7 +341,8 @@ def _source_kw(kw):
     return out, waves
 
 
-_LANG_RE = re.compile(r"^\s*simulator\s+lang\s*=\s*(\w+)", re.M | re.I)
+_LANG_RE = re.compile(r"^[ \t]*simulator[ \t]+lang[ \t]*=[ \t]*(\w+)[^\n]*",
+                      re.M | re.I)
 
 
 def parse_spectre(text: str, file="<spectre>") -> P.SpiceNetlist:
