@@ -137,17 +137,20 @@ def sweepify(obj):
 def batch_params(compiled: CompiledCircuit, sweep, params=None):
     """Stack a sweep into a batched parameter pytree: every leaf gains a
     leading axis of len(sweep).  Returns (compiled, batched_params, points) —
-    ``compiled`` may be a recompiled variant with the swept params dynamic."""
+    ``compiled`` may be a recompiled variant with the swept params dynamic.
+    The reserved name "temp" is skipped (it batches the SimSpec, not the
+    device params — see dc_sweep)."""
     from cedarsim_tpu.core.compile import ensure_dynamic
     sweep = sweepify(sweep)
-    compiled = ensure_dynamic(compiled, sweep.names)
+    compiled = ensure_dynamic(
+        compiled, [n for n in sweep.names if n.lower() != "temp"])
     base = compiled.params0 if params is None else params
     points = list(sweep)
     trees = []
     for pt in points:
         p = base
         for name, v in pt.items():
-            if v is None:
+            if v is None or name.lower() == "temp":
                 continue
             p = compiled.set_param(p, name, v)
         trees.append(p)
@@ -159,27 +162,49 @@ def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
              ctx: SimSpec = None, opts: NewtonOptions = None,
              mode=Modes.DCOP) -> DCResult:
     """Batched DC sweep: all points solve concurrently in one vmapped XLA
-    program (the reference's ``dc!.(CircuitSweep(...))`` made parallel)."""
+    program (the reference's ``dc!.(CircuitSweep(...))`` made parallel).
+    The reserved sweep name "temp" sweeps temperature (Celsius) by batching
+    the SimSpec — the T axis of PVT."""
+    import dataclasses as _dc
+    from cedarsim_tpu import config as _config
     opts = opts or NewtonOptions()
     if ctx is None:
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
     else:
         ctx = ctx.with_mode(mode)
-    compiled, bp, _ = batch_params(compiled, sweep, params)
-    n_pts = len(sweepify(sweep))
+    compiled, bp, points = batch_params(compiled, sweep, params)
+    n_pts = len(points)
     x0 = jnp.zeros((n_pts, compiled.n_x), compiled.dtype)
 
-    fn = _get_sweep_jit(compiled, opts)
+    has_temp = any("temp" in (k.lower() for k in pt) for pt in points)
+    if has_temp:
+        temps = jnp.asarray(
+            [next((v for k, v in pt.items() if k.lower() == "temp"),
+                  float(ctx.temp) - _config.T_ZERO_C) + _config.T_ZERO_C
+             for pt in points], compiled.dtype)
+        ctx = ctx.replace(temp=temps)
+    fn = _get_sweep_jit(compiled, opts, has_temp)
     return fn(bp, ctx, x0)
 
 
-def _get_sweep_jit(compiled, opts):
+def _ctx_axes(temp_batched, mode):
+    return SimSpec(time=None, temp=0 if temp_batched else None, gmin=None,
+                   scale=None, sourcefac=None, mc_key=None, mode=mode)
+
+
+def _get_sweep_jit(compiled, opts, temp_batched=False):
     cache = compiled.__dict__.setdefault("_dcsweep_jit_cache", {})
-    if opts not in cache:
-        f = jax.vmap(lambda p, c, x: dc_core(compiled, p, c, x, opts),
-                     in_axes=(0, None, 0))
-        cache[opts] = jax.jit(f)
-    return cache[opts]
+    key = (opts, temp_batched)
+    if key not in cache:
+        def make(ctx_mode=None):
+            pass
+        def f(p, c, x):
+            return dc_core(compiled, p, c, x, opts)
+        def wrapped(bp, ctx, x0):
+            axes = _ctx_axes(temp_batched, ctx.mode)
+            return jax.vmap(f, in_axes=(0, axes, 0))(bp, ctx, x0)
+        cache[key] = jax.jit(wrapped)
+    return cache[key]
 
 
 def split_axes(sweep, outer_names):

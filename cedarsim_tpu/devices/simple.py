@@ -30,28 +30,32 @@ def _limexp(x, lim=40.0):
 class Resistor(DeviceModel):
     terminals = ("p", "n")
     n_noise = 1
-    params = dict(r=None, rsh=0.0, l=0.0, w=1e-6, short=0.0, narrow=0.0)
+    params = dict(r=None, rsh=0.0, l=0.0, w=1e-6, short=0.0, narrow=0.0,
+                  tc1=0.0, tc2=0.0, tnom=27.0)
     given_params = ("r",)
 
     @staticmethod
-    def resistance(p):
+    def resistance(p, ctx=None):
         den = p["w"] - p["narrow"]
         den = jnp.where(jnp.abs(den) < 1e-15, 1e-15, den)
         r_sheet = p["rsh"] * (p["l"] - p["short"]) / den
         r = jnp.where(p["r$given"] > 0, p["r"], r_sheet)
+        if ctx is not None:
+            dt = (ctx.temp - config.T_ZERO_C) - p["tnom"]
+            r = r * (1.0 + p["tc1"] * dt + p["tc2"] * dt * dt)
         return jnp.where(jnp.abs(r) < 1e-12, 1e-12, r)
 
     @staticmethod
     def eval(lv, p, ctx, eps):
         vp, vn = lv[0], lv[1]
-        g = 1.0 / Resistor.resistance(p)
+        g = 1.0 / Resistor.resistance(p, ctx)
         i = g * (vp - vn) + eps[0]
         static = jnp.stack([i, -i])
         return static, jnp.zeros_like(static)
 
     @classmethod
     def noise(cls, lv, p, ctx):
-        r = cls.resistance(p)
+        r = cls.resistance(p, ctx)
         pwr = 4.0 * config.K_BOLTZMANN * ctx.temp / jnp.abs(r)
         return jnp.stack([pwr]), jnp.zeros((1,))
 
@@ -471,15 +475,26 @@ class Diode(DeviceModel):
     terminals = ("p", "n")
     n_noise = 1
     params = dict(**{"is": 1e-14}, n=1.0, cj0=0.0, vj=1.0, m=0.5, fc=0.5,
-                  tt=0.0, bv=jnp.inf, ibv=1e-3, area=1.0)
+                  tt=0.0, bv=jnp.inf, ibv=1e-3, area=1.0,
+                  eg=1.11, xti=3.0, tnom=27.0)
     given_params = ("bv",)
+
+    @staticmethod
+    def isat_t(p, ctx):
+        """Saturation-current temperature scaling (Berkeley):
+        IS(T) = IS·(T/Tnom)^(XTI/N)·exp(EG/(N·Vt)·(T/Tnom − 1))."""
+        tnom = p["tnom"] + config.T_ZERO_C
+        tr = ctx.temp / tnom
+        vt = ctx.vt
+        return (p["is"] * p["area"] * jnp.power(tr, p["xti"] / p["n"])
+                * jnp.exp(p["eg"] / (p["n"] * vt) * (tr - 1.0)))
 
     @staticmethod
     def eval(lv, p, ctx, eps):
         vp, vn = lv[0], lv[1]
         v = vp - vn
         vte = p["n"] * ctx.vt
-        isat = p["is"] * p["area"]
+        isat = Diode.isat_t(p, ctx)
         # forward / reverse-saturation
         i_fwd = isat * (_limexp(v / vte) - 1.0)
         # breakdown (only if bv given): current pulls v back above -bv
@@ -506,6 +521,6 @@ class Diode(DeviceModel):
     def noise(cls, lv, p, ctx):
         v = lv[0] - lv[1]
         vte = p["n"] * ctx.vt
-        i = p["is"] * p["area"] * (_limexp(v / vte) - 1.0)
+        i = cls.isat_t(p, ctx) * (_limexp(v / vte) - 1.0)
         pwr = 2.0 * config.Q_CHARGE * jnp.abs(i)
         return jnp.stack([pwr]), jnp.zeros((1,))

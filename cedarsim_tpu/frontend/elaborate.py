@@ -361,8 +361,10 @@ class Elaborator:
                         p["rsh"] = v
                     elif k in ("w", "l", "narrow", "short"):
                         p[k] = v
-                    elif k in ("tc1", "tc2", "tnom", "tc"):
-                        pass  # temperature coeffs: TODO
+                    elif k in ("tc1", "tc2", "tnom"):
+                        p[k] = v
+                    elif k == "tc":
+                        p["tc1"] = v
             if "r" not in p and el.values:
                 p["r"] = val(0)
             self.ckt.add(Resistor, name, nets, p, m=m)
@@ -388,8 +390,7 @@ class Elaborator:
             p = self._map_params(Diode, mdl.params, env, el.loc,
                                  rename={"cjo": "cj0", "mj": "m",
                                          "nj": "n", "af": None, "kf": None,
-                                         "rs": None, "eg": None, "xti": None,
-                                         "tnom": None})
+                                         "rs": None})
             area = kw.get("area", val(0, 1.0))
             p["area"] = area if area is not None else 1.0
             self.ckt.add(Diode, name, nets, p, m=m)

@@ -89,3 +89,21 @@ R2 vmid 0 1k
     # reproducible by seed
     res2 = mc_dc(comp, n, {"r2.r": ("rel", 0.05)}, seed=3)
     assert np.allclose(np.asarray(res2.x), np.asarray(res.x))
+
+
+def test_temperature_sweep_axis():
+    # T axis of PVT: resistor tc1 makes the divider temp-dependent
+    code = """* temp divider
+V1 vin 0 1
+R1 vin vmid 1k tc1=0.002 tnom=27
+R2 vmid 0 1k
+.op
+"""
+    comp = compile_circuit(load_spice(code))
+    temps = [27.0, 77.0, 127.0]
+    res = dc_sweep(comp, Sweep("temp", temps))
+    assert np.asarray(res.converged).all()
+    v = np.asarray(res.x)[:, comp.node_names.index("vmid")]
+    r1 = 1e3 * (1 + 0.002 * (np.asarray(temps) - 27.0))
+    ref = 1e3 / (r1 + 1e3)
+    assert np.allclose(v, ref, rtol=1e-8)
