@@ -158,3 +158,29 @@ def evaluate_all(sol, circuit):
             except MeasureError as e:
                 out[str(e)] = None
     return out
+
+
+def fourier(sol, freq: float, names, n_harmonics: int = 9):
+    """SPICE .FOUR: DFT of the last full period of each waveform at
+    ``freq``; returns {name: dict(f0_mag, harmonics=[(k, mag, phase_deg)],
+    thd_percent)}."""
+    t1 = float(sol.ts[-1])
+    t0 = t1 - 1.0 / freq
+    if t0 < float(sol.ts[0]):
+        raise MeasureError(".four: simulation shorter than one period")
+    m = 512
+    tg = np.linspace(t0, t1, m, endpoint=False)
+    out = {}
+    for name in names:
+        y = np.interp(tg, sol.ts, _sig(sol, name))
+        spec = np.fft.rfft(y) / m
+        mags = 2.0 * np.abs(spec[1:n_harmonics + 1])
+        phases = np.degrees(np.angle(spec[1:n_harmonics + 1]))
+        thd = (np.sqrt(np.sum(mags[1:] ** 2)) / mags[0] * 100.0
+               if mags[0] > 0 else float("inf"))
+        out[name] = dict(
+            dc=float(np.real(spec[0])), f0_mag=float(mags[0]),
+            harmonics=[(k + 1, float(mags[k]), float(phases[k]))
+                       for k in range(n_harmonics)],
+            thd_percent=float(thd))
+    return out

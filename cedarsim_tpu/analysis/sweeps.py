@@ -196,8 +196,6 @@ def _get_sweep_jit(compiled, opts, temp_batched=False):
     cache = compiled.__dict__.setdefault("_dcsweep_jit_cache", {})
     key = (opts, temp_batched)
     if key not in cache:
-        def make(ctx_mode=None):
-            pass
         def f(p, c, x):
             return dc_core(compiled, p, c, x, opts)
         def wrapped(bp, ctx, x0):

@@ -142,8 +142,23 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
     if not ran_any:
         out["op"] = solve_dc(compiled, ctx=ctx)
     if "tran" in out:
-        from cedarsim_tpu.analysis.measure import evaluate_all
+        from cedarsim_tpu.analysis.measure import evaluate_all, fourier
         meas = evaluate_all(out["tran"], circuit)
         if meas:
             out["measures"] = meas
+        for cmd, args, kw in circuit.directives:
+            if cmd == "four" and args:
+                freq = args[0]
+                names = []
+                rest = [str(a) for a in args[1:]]
+                i = 0
+                while i < len(rest):
+                    if rest[i].lower() in ("v", "i") and i + 1 < len(rest):
+                        names.append(f"{rest[i]}({rest[i+1]})")
+                        i += 2
+                    else:
+                        names.append(rest[i])
+                        i += 1
+                out.setdefault("fourier", {}).update(
+                    fourier(out["tran"], float(freq), names))
     return out

@@ -234,7 +234,7 @@ class Elaborator:
                     P._val(("w", st.args[0]), st.loc), env, st.loc) \
                     if isinstance(st.args[0], str) else float(st.args[0])
             return
-        if st.cmd in ("tran", "dc", "ac", "op", "noise"):
+        if st.cmd in ("tran", "dc", "ac", "op", "noise", "four"):
             args = []
             for a in st.args:
                 if isinstance(a, str):

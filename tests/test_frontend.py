@@ -378,3 +378,17 @@ W1 c 0 Vs wm
     i = c.node_names.index("c")
     assert np.asarray(r_on["op"].x)[i] < 0.01
     assert np.asarray(r_off["op"].x)[i] > 1.99
+
+
+def test_fourier_analysis():
+    # .four of a pure sine: fundamental = amplitude, tiny THD
+    code = """* four
+V1 a 0 SIN(0 1 1k)
+R1 a 0 1k
+.tran 5u 5m
+.four 1k v(a)
+"""
+    res = simulate(code)
+    f = res["fourier"]["v(a)"]
+    assert np.isclose(f["f0_mag"], 1.0, rtol=5e-3)
+    assert f["thd_percent"] < 1.0
