@@ -337,6 +337,11 @@ def _source_kw(kw):
     elif ty == "pwl":
         wave = kw.pop("wave", ())
         waves.append(("pwl", list(wave)))
+    elif ty == "exp":
+        waves.append(("exp", [
+            kw.pop("val0", 0.0), kw.pop("val1", 0.0), kw.pop("td1", 0.0),
+            kw.pop("tau1", 1e-9), kw.pop("td2", 1e30),
+            kw.pop("tau2", 1e-9)]))
     out.update(kw)
     return out, waves
 
