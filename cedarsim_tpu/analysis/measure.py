@@ -18,6 +18,19 @@ class MeasureError(ValueError):
     pass
 
 
+class MeasureResults(dict):
+    """name -> value dict; failed measures get value None with the failure
+    message in ``.errors[name]``."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.errors = {}
+
+
+# np.trapezoid is NumPy >= 2.0; fall back to the old name on 1.x.
+_trapezoid = getattr(np, "trapezoid", None) or np.trapz
+
+
 _NUM = r"[-+]?[\d.]+(?:[eE][-+]?\d+)?[a-zA-Z]*"
 
 
@@ -98,12 +111,12 @@ def evaluate_measure(sol, line: str):
         if op == "pp":
             return name, float(y.max() - y.min())
         if op == "avg":
-            return name, float(np.trapezoid(y, t) / (t[-1] - t[0]))
+            return name, float(_trapezoid(y, t) / (t[-1] - t[0]))
         if op == "rms":
-            return name, float(np.sqrt(np.trapezoid(y * y, t)
+            return name, float(np.sqrt(_trapezoid(y * y, t)
                                        / (t[-1] - t[0])))
         if op == "integ":
-            return name, float(np.trapezoid(y, t))
+            return name, float(_trapezoid(y, t))
 
     m = re.match(r"^\s*when\s+(\S+)\s*=\s*(\S+)", rest, re.I)
     if m:
@@ -148,15 +161,26 @@ def evaluate_measure(sol, line: str):
     raise MeasureError(f"unsupported .measure form: {line!r}")
 
 
-def evaluate_all(sol, circuit):
-    out = {}
+def measure_name(line: str) -> str:
+    """The measure's name token (first token after `.meas [analysis]`)."""
+    toks = line.split()
+    if toks and toks[0].lower().startswith(".meas"):
+        toks = toks[1:]
+    if toks and toks[0].lower() in ("tran", "ac", "dc"):
+        toks = toks[1:]
+    return toks[0] if toks else line
+
+
+def evaluate_all(sol, circuit) -> MeasureResults:
+    out = MeasureResults()
     for cmd, args, kw in circuit.directives:
         if cmd in ("meas", "measure"):
+            name = measure_name(args[0])
             try:
-                name, val = evaluate_measure(sol, args[0])
-                out[name] = val
+                _, out[name] = evaluate_measure(sol, args[0])
             except MeasureError as e:
-                out[str(e)] = None
+                out[name] = None
+                out.errors[name] = str(e)
     return out
 
 

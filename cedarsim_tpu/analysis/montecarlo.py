@@ -102,9 +102,13 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     bp_bad = jax.tree.map(lambda a: a[bad], bp)
     res2 = batched(opts)(bp_bad, ctx,
                          jnp.zeros((len(bad), compiled.n_x), compiled.dtype))
-    x = np.asarray(res.x)
+    x = np.array(res.x)
     conv = ok.copy()
+    iters = np.array(res.iters)
+    resnorm = np.array(res.resnorm)
     x[bad] = np.asarray(res2.x)
     conv[bad] = np.asarray(res2.converged)
-    return DCResult(jnp.asarray(x), jnp.asarray(conv), res.iters,
-                    res.resnorm)
+    iters[bad] = np.asarray(res2.iters)
+    resnorm[bad] = np.asarray(res2.resnorm)
+    return DCResult(jnp.asarray(x), jnp.asarray(conv), jnp.asarray(iters),
+                    jnp.asarray(resnorm))

@@ -216,6 +216,13 @@ def split_axes(sweep, outer_names):
     def collect(s):
         if isinstance(s, Sweep):
             return [s]
+        if not isinstance(s, ProductSweep):
+            # Splitting a zip (Tandem) or concat (Serial) by axis would
+            # silently turn it into a cartesian product — the reference's
+            # split only accepts products (sweeps.jl:98-105).
+            raise ValueError(
+                f"split_axes requires a ProductSweep of plain Sweeps, "
+                f"got {type(s).__name__}")
         return [x for sub in s.sweeps for x in collect(sub)]
 
     leaves = collect(sweep)

@@ -43,7 +43,10 @@ class Resistor(DeviceModel):
         if ctx is not None:
             dt = (ctx.temp - config.T_ZERO_C) - p["tnom"]
             r = r * (1.0 + p["tc1"] * dt + p["tc2"] * dt * dt)
-        return jnp.where(jnp.abs(r) < 1e-12, 1e-12, r)
+        # Sign-preserving floor: tiny negative resistances stay negative
+        # instead of silently flipping into tiny positive ones.
+        floor = jnp.where(r < 0, -1e-12, 1e-12)
+        return jnp.where(jnp.abs(r) < 1e-12, floor, r)
 
     @staticmethod
     def eval(lv, p, ctx, eps):
@@ -64,6 +67,9 @@ class Resistor(DeviceModel):
         raw = dict(raw)
         if raw.get("r") is None:
             raw.pop("r", None)
+        if "r" not in raw and not raw.get("rsh"):
+            raise ValueError(
+                "resistor needs either r= or a sheet resistance rsh=")
         p = super().prepare(raw)
         if p["r"] is None:
             p["r"] = 0.0
