@@ -886,16 +886,27 @@ class _State:
         keys = set(env_t) | set(env_f)
         for k in keys:
             base = env.get(k, (self.zero, None, None))
-            a = _pair(env_t.get(k, base))
-            b = _pair(env_f.get(k, base))
-            s = jnp.where(cond, a[0], b[0])
+            tv = env_t.get(k, base)
+            fv = env_f.get(k, base)
+            if tv is fv:
+                # untouched by either branch (env copies share the object) —
+                # no select needed; merging everything here used to dominate
+                # whole-model traces (BSIM-CMG: 21k of 25k eqns were wheres)
+                env[k] = tv
+                continue
+            a = _pair(tv)
+            b = _pair(fv)
+            s = a[0] if a[0] is b[0] else jnp.where(cond, a[0], b[0])
             if a[1] is None and b[1] is None:
                 q = None
+            elif a[1] is b[1]:
+                q = a[1]
             else:
                 qa = self.zero if a[1] is None else a[1]
                 qb = self.zero if b[1] is None else b[1]
                 q = jnp.where(cond, qa, qb)
-            d = _dmerge(a[2], b[2], lambda x, y: jnp.where(cond, x, y))
+            d = _dmerge(a[2], b[2],
+                        lambda x, y: x if x is y else jnp.where(cond, x, y))
             env[k] = (s, q, d)
 
     # ----------------------------------------------------------- expressions
