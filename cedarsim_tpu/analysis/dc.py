@@ -93,48 +93,43 @@ def dc_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0,
     # keeps floating-node DC matrices nonsingular
     base_g = ctx.gmin
 
-    def res(x, gshunt, srcfac):
+    def res_jac(x, gshunt, srcfac):
+        """(f, J) in one fused model walk — one subgraph instantiation and
+        one model evaluation per Newton iteration instead of two."""
         c = ctx.replace(sourcefac=ctx.sourcefac * srcfac)
-        S, _ = compiled.residuals(x, c, params)
+        S, _, G, _ = compiled.res_jacs_fwd(x, c, params)
         f = S + (gshunt + base_g) * vmask * x
-        if ic_mask is not None:
-            f = f * (1.0 - ic_mask) + ic_mask * (x - ic_vals)
-        return f
-
-    def jac(x, gshunt, srcfac):
-        c = ctx.replace(sourcefac=ctx.sourcefac * srcfac)
-        G, _ = compiled.jacobians(x, c, params)
         J = G + jnp.diag((gshunt + base_g) * vmask)
         if ic_mask is not None:
+            f = f * (1.0 - ic_mask) + ic_mask * (x - ic_vals)
             J = J * (1.0 - ic_mask)[:, None] + jnp.diag(ic_mask)
-        return J
+        return f, J
 
     def newton(x_init, gshunt, srcfac):
-        f0 = res(x_init, gshunt, srcfac)
+        f0, J0 = res_jac(x_init, gshunt, srcfac)
 
         def body(carry):
-            x, f, _, it = carry
-            J = jac(x, gshunt, srcfac)
+            x, f, J, _, it = carry
             dx = linalg.solve(J, -f)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
             dx = jnp.where(bad, jnp.zeros_like(dx), dx)
             mx = jnp.max(jnp.abs(dx))
             dx = dx * jnp.where(mx > opts.max_step, opts.max_step / mx, 1.0)
             xn = x + dx
-            fn = res(xn, gshunt, srcfac)
+            fn, Jn = res_jac(xn, gshunt, srcfac)
             done = jnp.logical_and(
                 jnp.all(jnp.abs(dx) <= opts.reltol * jnp.abs(xn)
                         + opts.abstol),
                 jnp.logical_and(jnp.all(jnp.abs(fn) <= opts.res_tol),
                                 jnp.logical_not(bad)))
-            return xn, fn, done, it + 1
+            return xn, fn, Jn, done, it + 1
 
         def cond(carry):
-            _, _, done, it = carry
+            _, _, _, done, it = carry
             return jnp.logical_and(jnp.logical_not(done), it < opts.max_iter)
 
-        x, f, done, it = jax.lax.while_loop(
-            cond, body, (x_init, f0, jnp.asarray(False),
+        x, f, _, done, it = jax.lax.while_loop(
+            cond, body, (x_init, f0, J0, jnp.asarray(False),
                          jnp.asarray(0, jnp.int32)))
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(x)))
         return x, ok, it, jnp.max(jnp.abs(f))

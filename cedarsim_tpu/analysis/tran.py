@@ -103,8 +103,7 @@ def _consistent_xdot(compiled, x, ctx, params):
     cache = compiled.__dict__.setdefault("_xdot_jit_cache", {})
     if "fn" not in cache:
         def impl(x, ctx, params):
-            S, _ = compiled.residuals(x, ctx, params)
-            _, C = compiled.jacobians(x, ctx, params)
+            S, _, _, C = compiled.res_jacs_fwd(x, ctx, params)
             lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
             A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=compiled.dtype)
             return linalg.solve(A, -(C.T @ S))
@@ -147,21 +146,21 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     def parts(x, t):
         return compiled.residuals(x, ctx_t.at_time(t), params)
 
-    def jacs(x, t):
-        return compiled.jacobians(x, ctx_t.at_time(t), params)
+    def rj(x, t):
+        return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params)
 
     def newton_step(x_init, t_new, h, Qn, Sn, use_be):
-        """Implicit-step Newton.  The residual parts (S, Q) ride in the carry
-        so each loop body instantiates the group-walk subgraphs exactly once
-        (compile-time discipline — see dc.py docstring) and the final (S, Q)
-        at the accepted point come out for free."""
+        """Implicit-step Newton.  (S, Q, G, C) from ONE fused model walk per
+        iteration ride in the carry, so the loop body instantiates the
+        group-walk subgraph exactly once (compile-time discipline — see
+        dc.py docstring) and each iteration costs a single model evaluation;
+        the final (S, Q) at the accepted point come out for free."""
         beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
-        S0_, Q0_ = parts(x_init, t_new)
+        S0_, Q0_, G0_, C0_ = rj(x_init, t_new)
 
         def body(carry):
-            x, S, Q, _, it, nnwt = carry
+            x, S, Q, G, C, _, it, nnwt = carry
             f = (Q - Qn) / h + beta * S + (1.0 - beta) * Sn
-            G, C = jacs(x, t_new)
             J = C / h + beta * G
             dx = linalg.solve(J, -f)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
@@ -169,7 +168,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             mx = jnp.max(jnp.abs(dx))
             dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
             xn = x + dx
-            Sn1, Qn1 = parts(xn, t_new)
+            Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new)
             # residual check as well as dx — a dx-only test false-converges
             # at piecewise-model kinks where Newton stalls with f ≠ 0
             f_new = (Qn1 - Qn) / h + beta * Sn1 + (1.0 - beta) * Sn
@@ -182,14 +181,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                             + opts.newton_abstol),
                     res_ok),
                 jnp.logical_not(bad))
-            return xn, Sn1, Qn1, done, it + 1, nnwt + 1
+            return xn, Sn1, Qn1, Gn1, Cn1, done, it + 1, nnwt + 1
 
         def cond(carry):
-            _, _, _, done, it, _ = carry
+            done, it = carry[5], carry[6]
             return jnp.logical_and(jnp.logical_not(done), it < opts.max_newton)
 
-        xn, Sf, Qf, done, _, nnwt = jax.lax.while_loop(
-            cond, body, (x_init, S0_, Q0_, jnp.asarray(False),
+        xn, Sf, Qf, _, _, done, _, nnwt = jax.lax.while_loop(
+            cond, body, (x_init, S0_, Q0_, G0_, C0_, jnp.asarray(False),
                          jnp.asarray(0, jnp.int32),
                          jnp.asarray(0, jnp.int32)))
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))

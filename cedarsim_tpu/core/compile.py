@@ -299,6 +299,50 @@ class CompiledCircuit:
             C = C.at[rows, cols].add(Jq * scale_r[:, :, None])
         return S[:-1], Q[:-1], G[:-1, :-1], C[:-1, :-1]
 
+    def res_jacs_fwd(self, x, ctx: SimSpec, params=None, eps=None):
+        """(S, Q, G, C) in one walk per group via ``jacfwd(..., has_aux=True)``
+        — the primal evaluation rides along as the aux output, so each Newton
+        iteration instantiates the model subgraph ONCE instead of twice
+        (residuals + jacobians).  Matters most for big VA models where XLA
+        compile time scales with duplicated subgraphs (BSIM-CMG: ~10k eqns
+        per instantiation).  Unlike ``res_jacs`` (jax.linearize form, measured
+        slower at runtime), this keeps the jacfwd structure XLA optimizes
+        well."""
+        params = self.params0 if params is None else params
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        if eps is None:
+            eps = jnp.zeros(max(self.n_eps, 1), x.dtype)
+        n1 = self.n_x + 1
+        S = self._zeros_pad()
+        Q = self._zeros_pad()
+        G = jnp.zeros((n1, n1), self.dtype)
+        C = jnp.zeros((n1, n1), self.dtype)
+        for key in self.group_order:
+            g = self.groups[key]
+            gp = params[key]
+            lv = x_pad[g.var_idx]
+            le = eps[g.eps_idx]
+            pv = {k: v for k, v in gp.items() if k != "$mult"}
+            sp = g.static_params
+
+            def one(l, p, e):
+                def f(ll):
+                    s, q = g.model.eval(ll, {**sp, **p}, ctx, e)
+                    return (s, q), (s, q)
+                (Js, Jq), (sv, qv) = jax.jacfwd(f, has_aux=True)(l)
+                return sv, qv, Js, Jq
+
+            sv, qv, Js, Jq = jax.vmap(one)(lv, pv, le)
+            scale_r = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
+                                gp["$mult"][:, None], 1.0)
+            S = S.at[g.row_idx].add(sv * scale_r)
+            Q = Q.at[g.row_idx].add(qv * scale_r)
+            rows = g.row_idx[:, :, None]
+            cols = g.var_idx[:, None, :]
+            G = G.at[rows, cols].add(Js * scale_r[:, :, None])
+            C = C.at[rows, cols].add(Jq * scale_r[:, :, None])
+        return S[:-1], Q[:-1], G[:-1, :-1], C[:-1, :-1]
+
     def ac_rhs(self, params=None):
         """Complex AC drive vector b for (G + jωC)x = b."""
         params = self.params0 if params is None else params

@@ -66,21 +66,25 @@ class SimSpec:
     @staticmethod
     def make(mode=Modes.TRAN, time=0.0, temp_c=27.0, gmin=1e-12, scale=1.0,
              sourcefac=1.0, mc_key=None, dtype=None):
-        dtype = dtype or config.real_dtype
         if mc_key is None:
             mc_key = jax.random.PRNGKey(0)
+        # Scalar fields stay host floats: they fold as compile-time constants
+        # in traces (device evals short-circuit concrete math on the host),
+        # and as jit arguments they become tracers anyway.  Keeping them off
+        # the device also avoids eager TPU evaluation during tracing, where
+        # the f64 emulation has only f32 exponent range.
         return SimSpec(
-            time=jnp.asarray(time, dtype),
-            temp=jnp.asarray(temp_c + config.T_ZERO_C, dtype),
-            gmin=jnp.asarray(gmin, dtype),
-            scale=jnp.asarray(scale, dtype),
-            sourcefac=jnp.asarray(sourcefac, dtype),
+            time=float(time),
+            temp=float(temp_c) + config.T_ZERO_C,
+            gmin=float(gmin),
+            scale=float(scale),
+            sourcefac=float(sourcefac),
             mc_key=mc_key,
             mode=mode,
         )
 
     def at_time(self, t):
-        return dataclasses.replace(self, time=jnp.asarray(t, self.time.dtype))
+        return dataclasses.replace(self, time=t)
 
     def with_mode(self, mode):
         return dataclasses.replace(self, mode=mode)

@@ -55,6 +55,19 @@ class VACodegenError(ValueError):
 #               29-35,337-412); contributions drop the tangent channel
 #               (vasim.jl:649-661).
 
+def _flatten_muldiv(e, num, den):
+    """Flatten a */ expression tree into numerator/denominator factor lists
+    (AST nodes, unevaluated)."""
+    if isinstance(e, tuple) and e[0] == "bin" and e[1] == "*":
+        _flatten_muldiv(e[2], num, den)
+        _flatten_muldiv(e[3], num, den)
+    elif isinstance(e, tuple) and e[0] == "bin" and e[1] == "/":
+        _flatten_muldiv(e[2], num, den)
+        _flatten_muldiv(e[3], den, num)
+    else:
+        num.append(e)
+
+
 def _pair(v):
     if isinstance(v, tuple):
         if len(v) == 2:
@@ -199,27 +212,49 @@ def _safe_log10(a):
 
 
 def _concrete(*vs):
-    """True if none of the values is a traced/jax array — concrete Python or
-    numpy scalars stay concrete through the interpreter so parameter-only
-    computation folds at trace time (the const-prop the reference gets from
-    the Julia compiler, /root/reference/test/compiler_sanity.jl)."""
-    import jax
-    return not any(isinstance(v, jax.Array) for v in vs)
+    """True if none of the values is a *traced* value — concrete Python/numpy
+    scalars (and committed jax scalars) stay concrete through the interpreter
+    so parameter-only computation folds at trace time on the HOST in real
+    f64 (the const-prop the reference gets from the Julia compiler,
+    /root/reference/test/compiler_sanity.jl).  Host folding matters beyond
+    speed: eager device math during tracing would run through the TPU's
+    range-limited f64 emulation (f32 exponent range), overflowing e.g.
+    BSIM-CMG's NBODY*NSD ~ 1e50."""
+    from jax.core import Tracer
+    return not any(isinstance(v, Tracer) for v in vs)
+
+
+def _ieee(pyf, npf):
+    """IEEE-semantics host fold: out-of-domain/overflow give inf/nan like the
+    traced jnp path instead of raising (math.exp(1000) raises, np gives inf)."""
+    def g(*a):
+        try:
+            return pyf(*a)
+        except (OverflowError, ZeroDivisionError, ValueError):
+            with np.errstate(all="ignore"):
+                return float(npf(*map(np.float64, a)))
+    return g
 
 
 _HOST_MATH1 = {
-    "exp": math.exp, "ln": math.log, "log": math.log10, "log10": math.log10,
-    "sqrt": math.sqrt, "abs": abs,
+    "exp": _ieee(math.exp, np.exp), "ln": _ieee(math.log, np.log),
+    "log": _ieee(math.log10, np.log10), "log10": _ieee(math.log10, np.log10),
+    "sqrt": _ieee(math.sqrt, np.sqrt), "abs": abs,
     "limexp": lambda x: math.exp(x) if x <= 80 else math.exp(80.0)*(1+x-80),
     "sin": math.sin, "cos": math.cos, "tan": math.tan,
-    "asin": math.asin, "acos": math.acos, "atan": math.atan,
-    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
-    "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+    "asin": _ieee(math.asin, np.arcsin), "acos": _ieee(math.acos, np.arccos),
+    "atan": math.atan,
+    "sinh": _ieee(math.sinh, np.sinh), "cosh": _ieee(math.cosh, np.cosh),
+    "tanh": math.tanh,
+    "asinh": math.asinh, "acosh": _ieee(math.acosh, np.arccosh),
+    "atanh": _ieee(math.atanh, np.arctanh),
     "floor": math.floor, "ceil": math.ceil,
 }
 _HOST_MATH2 = {
-    "pow": lambda a, b: a ** b, "min": min, "max": max,
-    "atan2": math.atan2, "hypot": math.hypot, "fmod": math.fmod,
+    # math.pow (not **): neg**frac raises (→ np nan) instead of going complex
+    "pow": _ieee(math.pow, np.power), "min": min, "max": max,
+    "atan2": math.atan2, "hypot": math.hypot,
+    "fmod": _ieee(math.fmod, np.fmod),
 }
 
 _MATH1 = {
@@ -579,7 +614,7 @@ class _HostParamEnv:
 def _host_binop(op, a, b):
     import operator
     ops = {"+": operator.add, "-": operator.sub, "*": operator.mul,
-           "/": operator.truediv, "%": math.fmod, "**": operator.pow,
+           "/": operator.truediv, "%": math.fmod, "**": math.pow,
            "==": lambda x, y: float(x == y), "!=": lambda x, y: float(x != y),
            "<": lambda x, y: float(x < y), "<=": lambda x, y: float(x <= y),
            ">": lambda x, y: float(x > y), ">=": lambda x, y: float(x >= y),
@@ -590,7 +625,15 @@ def _host_binop(op, a, b):
            "^": lambda x, y: float(int(x) ^ int(y)),
            "<<": lambda x, y: float(int(x) << int(y)),
            ">>": lambda x, y: float(int(x) >> int(y))}
-    return ops[op](a, b)
+    try:
+        return ops[op](a, b)
+    except (OverflowError, ZeroDivisionError, ValueError):
+        # IEEE semantics like the traced path (jnp gives inf/nan, Python
+        # floats raise) — fold through numpy instead
+        npops = {"/": np.divide, "*": np.multiply, "+": np.add,
+                 "-": np.subtract, "%": np.fmod, "**": np.power}
+        with np.errstate(all="ignore"):
+            return float(npops[op](np.float64(a), np.float64(b)))
 
 
 # ---------------------------------------------------------------- interpreter
@@ -614,12 +657,17 @@ class _Interp:
 
     # env keys: str = variable; ("I", a, b) = current contrib accumulator;
     # ("V", a, b) = voltage contrib accumulator
-    def run(self, lv, p, ctx, eps, collect_noise, capture_var=None):
+    def run(self, lv, p, ctx, eps, collect_noise, capture_var=None,
+            capture_all=False):
         st = _State(self, lv, p, ctx, eps, collect_noise)
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
+        if capture_all:
+            # debug/observability: every module-level variable's value
+            return {k: _pair(v)[0] + jnp.zeros((), lv.dtype)
+                    for k, v in env.items() if isinstance(k, str)}
         if capture_var is not None:
             v = env.get(capture_var, 0.0)
             return _pair(v)[0] + jnp.zeros((), lv.dtype)
@@ -984,6 +1032,29 @@ class _State:
             f"{self.it.module.name}: undefined identifier {name!r}")
 
     def _binop(self, op, ea, eb, env):
+        if op == "/":
+            # Balanced quotient evaluation: a*b/(c*d) evaluates as
+            # (a/c)*(b/d) instead of (a*b)/(c*d), so intermediate products
+            # stay within the f32 exponent range of the TPU's double-double
+            # f64 emulation.  BSIM-CMG's vbi = Vtm*ln(NBODY*NSD/(ni*ni))
+            # reaches 1e50 in source order; balanced it peaks at ~1e17.
+            # Reassociation only perturbs rounding at the ulp level.
+            num, den = [], []
+            _flatten_muldiv(ea, num, den)
+            _flatten_muldiv(eb, den, num)
+            if len(num) >= 2 and len(den) >= 2:
+                vn = [self.expr(e, env) for e in num]
+                vd = [self.expr(e, env) for e in den]
+                out = _pdiv(vn[0], vd[0])
+                i = 1
+                for j in range(1, len(vd)):
+                    if i < len(vn):
+                        out = _pmul(out, vn[i])
+                        i += 1
+                    out = _pdiv(out, vd[j])
+                for k in range(i, len(vn)):
+                    out = _pmul(out, vn[k])
+                return out
         a = self.expr(ea, env)
         b = self.expr(eb, env)
         if op == "+":

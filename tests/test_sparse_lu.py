@@ -1,0 +1,106 @@
+"""Static-pattern sparse LU (ops/sparse_lu.py) vs dense reference solves."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cedarsim_tpu.ops import sparse_lu
+
+
+def _random_circuit_like(n, rng, density=4, with_branches=True):
+    """MNA-ish unsymmetric sparse matrix: diagonally-weighted conductance
+    block + a few voltage-source branch rows (zero diagonal before
+    matching)."""
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        rows.append(i); cols.append(i); vals.append(2.0 + rng.random())
+        for _ in range(density):
+            j = int(rng.integers(0, n))
+            if j != i:
+                v = -rng.random()
+                rows += [i, j]; cols += [j, i]; vals += [v, v * (0.5 + rng.random())]
+    if with_branches and n >= 8:
+        # emulate V-source rows: zero diagonal, +1/-1 off-diagonals
+        for b in range(3):
+            i, j = n - 1 - 2 * b, int(rng.integers(0, n // 2))
+            rows += [i, j]; cols += [j, i]; vals += [1.0, 1.0]
+    A = np.zeros((n, n))
+    for r, c, v in zip(rows, cols, vals):
+        A[r, c] += v
+    if with_branches and n >= 8:
+        for b in range(3):
+            i = n - 1 - 2 * b
+            A[i, i] = 0.0   # hard zero diagonal: forces structural pivoting
+    rr, cc = np.nonzero(A)
+    return A, rr.astype(np.int32), cc.astype(np.int32)
+
+
+@pytest.mark.parametrize("n", [5, 20, 120])
+def test_sparse_lu_matches_dense(n):
+    rng = np.random.default_rng(42 + n)
+    A, rows, cols = _random_circuit_like(n, rng, with_branches=(n >= 8))
+    plan = sparse_lu.build_plan(
+        n, rows, cols, weights=A[rows, cols])
+    b = jnp.asarray(rng.standard_normal(n))
+    vals = sparse_lu.vals_from_dense(plan, jnp.asarray(A))
+    Aj = jnp.asarray(A)
+    # one refinement pass: random unsymmetric matrices have no-pivot element
+    # growth that real (diagonally gmin-shunted) MNA matrices don't
+    x = sparse_lu.solve(plan, vals, b, refine=1, matvec=lambda v: Aj @ v)
+    x_ref = np.linalg.solve(A, np.asarray(b))
+    assert np.allclose(np.asarray(x), x_ref, rtol=1e-9, atol=1e-10), (
+        np.abs(np.asarray(x) - x_ref).max())
+
+
+def test_sparse_lu_jit_and_vmap():
+    n = 60
+    rng = np.random.default_rng(7)
+    A, rows, cols = _random_circuit_like(n, rng)
+    plan = sparse_lu.build_plan(n, rows, cols)
+
+    B = 8
+    mats = np.stack([A * (1.0 + 0.1 * k) for k in range(B)])
+    mats[:, 0, 0] += np.linspace(0, 0.5, B)  # perturb a pattern entry
+    bs = rng.standard_normal((B, n))
+
+    @jax.jit
+    def solve_batch(ms, bs):
+        def one(m, b):
+            vals = sparse_lu.vals_from_dense(plan, m)
+            return sparse_lu.solve(plan, vals, b, refine=1,
+                                   matvec=lambda v: m @ v)
+        return jax.vmap(one)(ms, bs)
+
+    xs = np.asarray(solve_batch(jnp.asarray(mats), jnp.asarray(bs)))
+    for k in range(B):
+        ref = np.linalg.solve(mats[k], bs[k])
+        assert np.allclose(xs[k], ref, rtol=1e-9, atol=1e-10)
+
+
+def test_sparse_lu_refinement():
+    n = 40
+    rng = np.random.default_rng(3)
+    A, rows, cols = _random_circuit_like(n, rng)
+    # make it badly scaled
+    A[0] *= 1e8
+    A[:, 1] *= 1e-6
+    rr, cc = np.nonzero(A)
+    plan = sparse_lu.build_plan(n, rr, cc)
+    b = rng.standard_normal(n)
+    b[0] *= 1e8
+    vals = sparse_lu.vals_from_dense(plan, jnp.asarray(A))
+    Aj = jnp.asarray(A)
+    x = sparse_lu.solve(plan, vals, jnp.asarray(b), refine=2,
+                        matvec=lambda x: Aj @ x)
+    ref = np.linalg.solve(A, b)
+    assert np.allclose(np.asarray(x), ref, rtol=1e-8, atol=1e-12)
+
+
+def test_plan_reports_levels():
+    n = 100
+    rng = np.random.default_rng(11)
+    A, rows, cols = _random_circuit_like(n, rng)
+    plan = sparse_lu.build_plan(n, rows, cols)
+    assert plan.n_levels < n   # leveling actually parallelizes
+    assert plan.nnz_f >= plan.nnz
