@@ -68,7 +68,8 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     nominal solution — under vmap, lax.cond lowers to select so the ladder
     would otherwise execute for every lane whether needed or not.  Lanes
     that fail the light solve are re-run with the robust program."""
-    opts = opts or NewtonOptions()
+    from cedarsim_tpu.analysis.dc import default_newton_options
+    opts = opts or default_newton_options(compiled)
     if ctx is None:
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
     else:

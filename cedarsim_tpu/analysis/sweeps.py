@@ -167,7 +167,8 @@ def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
     the SimSpec — the T axis of PVT."""
     import dataclasses as _dc
     from cedarsim_tpu import config as _config
-    opts = opts or NewtonOptions()
+    from cedarsim_tpu.analysis.dc import default_newton_options
+    opts = opts or default_newton_options(compiled)
     if ctx is None:
         ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
     else:

@@ -1,0 +1,175 @@
+"""Sparse-matrix Newton operations for large circuits.
+
+Couples the batched-stamp compiler (core/compile.py) to the static-pattern
+sparse LU (ops/sparse_lu.py): instead of scatter-adding per-instance local
+Jacobians into dense [n,n] matrices, they scatter into flat value vectors in
+the factorization's filled pattern.  This removes both the O(n^2) memory and
+the dense O(n^3) solve — the role KLU plays in the reference
+(/root/reference/Project.toml:31), built TPU-first: the factorization is a
+static leveled schedule of batched gathers/scatters that jits and vmaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class SparseOps:
+    """Holds the plan + assembly maps for one CompiledCircuit."""
+
+    def __init__(self, compiled, weights_probe=True):
+        from cedarsim_tpu.ops import sparse_lu
+        self.compiled = compiled
+        n = compiled.n_x
+        nv = compiled.n_nodes + compiled.n_internal
+
+        # structural pattern from the stamp index matrices + the gmin /
+        # integrator diagonal on voltage rows only (branch rows have a
+        # numerically-zero diagonal — forcing it would mislead the static
+        # pivot matching, see ops/sparse_lu.py)
+        rows, cols = [], []
+        for key in compiled.group_order:
+            g = compiled.groups[key]
+            r = np.broadcast_to(g.row_idx[:, :, None],
+                                g.row_idx.shape + (g.var_idx.shape[1],))
+            c = np.broadcast_to(g.var_idx[:, None, :], r.shape)
+            rows.append(r.ravel())
+            cols.append(c.ravel())
+        rows.append(np.arange(nv))
+        cols.append(np.arange(nv))
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        keep = (rows < n) & (cols < n)
+        rows, cols = rows[keep].astype(np.int64), cols[keep].astype(np.int64)
+
+        weights = None
+        if weights_probe:
+            weights = self._numeric_weights(rows, cols)
+
+        self.plan = sparse_lu.build_plan(n, rows, cols, weights=weights)
+        p = self.plan
+
+        # (row, col) -> filled position lookup for the assembly maps
+        posmap = {}
+        for r, c, q in zip(p.in_rows, p.in_cols, p.in_pos):
+            posmap[(int(r), int(c))] = int(q)
+        trash = p.nnz_f
+        self.group_pos = {}
+        for key in compiled.group_order:
+            g = compiled.groups[key]
+            ni, nr, nc_ = (g.row_idx.shape[0], g.row_idx.shape[1],
+                           g.var_idx.shape[1])
+            pos = np.full((ni, nr, nc_), trash, np.int32)
+            for j in range(ni):
+                for a in range(nr):
+                    r = int(g.row_idx[j, a])
+                    if r >= n:
+                        continue
+                    for b in range(nc_):
+                        c = int(g.var_idx[j, b])
+                        if c < n:
+                            pos[j, a, b] = posmap[(r, c)]
+            self.group_pos[key] = pos
+        # gmin-shunt diagonal positions (voltage rows)
+        self.vdiag_pos = np.asarray(
+            [posmap[(i, i)] for i in range(nv)], np.int32)
+        self.nnz_f = p.nnz_f
+
+    def _numeric_weights(self, rows, cols):
+        """Representative |G|+|C| magnitudes over a couple of bias points to
+        guide the static pivot matching (runs on CPU, host-side, once)."""
+        compiled = self.compiled
+        from cedarsim_tpu.core.context import SimSpec
+        ctx = SimSpec.make(mode="dcop")
+        cpu = jax.devices("cpu")[0]
+
+        def probe(x):
+            G, C = compiled.jacobians(jnp.asarray(x), ctx)
+            return jnp.abs(G) + jnp.abs(C)
+
+        n = compiled.n_x
+        rng = np.random.default_rng(0)
+        # the plan may be built lazily from inside a traced solver —
+        # ensure_compile_time_eval keeps this probe a concrete host-side
+        # computation either way
+        with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+            W = np.zeros((n, n))
+            for x in (np.zeros(n), 0.5 + 0.1 * rng.standard_normal(n)):
+                W += np.asarray(jax.jit(probe, backend="cpu")(x))
+        w = W[rows, cols]
+        # entries can be numerically zero at both probes yet active at other
+        # biases; give them a small floor so they stay matchable
+        return w + 1e-30
+
+    # ------------------------------------------------------------- numerics
+
+    def res_jacs_sparse(self, x, ctx, params=None, eps=None):
+        """(S, Q, Gv, Cv): residual vectors plus Jacobian *value vectors* in
+        the filled sparse pattern — fused single walk per group."""
+        compiled = self.compiled
+        params = compiled.params0 if params is None else params
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        if eps is None:
+            eps = jnp.zeros(max(compiled.n_eps, 1), x.dtype)
+        S = compiled._zeros_pad()
+        Q = compiled._zeros_pad()
+        Gv = jnp.zeros(self.nnz_f + 1, compiled.dtype)
+        Cv = jnp.zeros(self.nnz_f + 1, compiled.dtype)
+        ctx_e = compiled._ctx_eval(ctx)
+        for key in compiled.group_order:
+            g = compiled.groups[key]
+            gp = params[key]
+            lv = compiled._cast_eval(x_pad[g.var_idx])
+            le = compiled._cast_eval(eps[g.eps_idx])
+            pv = {k: compiled._cast_eval(v) for k, v in gp.items()
+                  if k != "$mult"}
+            sp = g.static_params
+
+            def one(l, p, e):
+                def f(ll):
+                    s, q = g.model.eval(ll, {**sp, **p}, ctx_e, e)
+                    return (s, q), (s, q)
+                (Js, Jq), (sv, qv) = jax.jacfwd(f, has_aux=True)(l)
+                return sv, qv, Js, Jq
+
+            sv, qv, Js, Jq = jax.vmap(one)(lv, pv, le)
+            scale_r = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
+                                gp["$mult"][:, None], 1.0)
+            S = S.at[g.row_idx].add(sv.astype(compiled.dtype) * scale_r)
+            Q = Q.at[g.row_idx].add(qv.astype(compiled.dtype) * scale_r)
+            pos = self.group_pos[key]
+            Gv = Gv.at[pos].add(Js.astype(compiled.dtype)
+                                * scale_r[:, :, None])
+            Cv = Cv.at[pos].add(Jq.astype(compiled.dtype)
+                                * scale_r[:, :, None])
+        return S[:-1], Q[:-1], Gv[:-1], Cv[:-1]
+
+    def add_diag(self, vals, d):
+        """vals + diag(d) on voltage rows (gmin shunts, d: [nv] or scalar)."""
+        return vals.at[self.vdiag_pos].add(d)
+
+    def solve(self, vals, rhs):
+        from cedarsim_tpu.ops import sparse_lu
+        f = sparse_lu.factor(self.plan, vals)
+        return sparse_lu.solve_factored(self.plan, f, rhs)
+
+    def mask_rows(self, vals, keep):
+        """Scale every stored value by keep[row] (for .ic row overwrites)."""
+        return vals * keep[self.plan.pos_arow]
+
+    def add_a_diag(self, vals, d):
+        """vals + diag(d) wherever A[i,i] is structurally present."""
+        pos = self.plan.a_diag_pos
+        ok = pos >= 0
+        safe = np.where(ok, pos, 0)
+        return vals.at[safe].add(jnp.where(jnp.asarray(ok), d, 0.0))
+
+
+def get_sparse_ops(compiled) -> SparseOps:
+    ops = compiled.__dict__.get("_sparse_ops")
+    if ops is None:
+        ops = SparseOps(compiled)
+        compiled.__dict__["_sparse_ops"] = ops
+    return ops

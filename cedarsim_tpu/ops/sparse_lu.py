@@ -50,6 +50,11 @@ class SparsePlan:
     cperm: np.ndarray          # [n] col of A supplying permuted col j
     #: value-vector position of each diagonal M[k,k]
     diag_pos: np.ndarray       # [n] int32
+    #: position of A[i,i] in the value vector, -1 where absent
+    a_diag_pos: np.ndarray     # [n] int32
+    #: A-space row / col of every stored position
+    pos_arow: np.ndarray       # [nnz_f] int32
+    pos_acol: np.ndarray       # [nnz_f] int32
     #: per-level schedules (static python lists of index arrays)
     div_dst: tuple             # each [m_l] positions of L entries to scale
     div_piv: tuple             # each [m_l] positions of their pivots
@@ -307,12 +312,29 @@ def build_plan(n, rows, cols, perm=None, weights=None) -> SparsePlan:
                          for r, c in zip(p_in_r, p_in_c)], np.int32)
     diag_pos = np.asarray([pos_of[k * n + k] for k in range(n)], np.int32)
 
+    # A-space helpers for solver-side matrix edits:
+    # position of A[i,i] (−1 where structurally absent) and the A-row of
+    # every stored position (for row masking, e.g. .ic row overwrites)
+    irperm = np.empty(n, np.int64)
+    irperm[rperm] = np.arange(n)
+    icperm = np.empty(n, np.int64)
+    icperm[cperm] = np.arange(n)
+    a_diag_pos = np.full(n, -1, np.int64)
+    for i in range(n):
+        kk = int(irperm[i]) * n + int(icperm[i])
+        if kk in pos_of:
+            a_diag_pos[i] = pos_of[kk]
+    pos_arow = rperm[fr]
+
     return SparsePlan(
         n=n, nnz=len(rows), nnz_f=nnz_f,
         in_pos=in_pos, in_rows=rows.astype(np.int32),
         in_cols=cols.astype(np.int32),
         rperm=rperm.astype(np.int32), cperm=cperm.astype(np.int32),
         diag_pos=diag_pos,
+        a_diag_pos=a_diag_pos.astype(np.int32),
+        pos_arow=np.asarray(pos_arow, np.int32),
+        pos_acol=np.asarray(cperm[fc], np.int32),
         div_dst=tuple(div_dst), div_piv=tuple(div_piv),
         upd_dst=tuple(upd_dst), upd_l=tuple(upd_l), upd_u=tuple(upd_u),
         f_lev=tuple(f_lev), b_lev=tuple(b_lev), n_levels=n_levels)
@@ -325,6 +347,12 @@ def vals_from_dense(plan: SparsePlan, A):
     small-n path; circuit assembly scatters directly via ``in_pos``)."""
     v = jnp.zeros(plan.nnz_f, A.dtype)
     return v.at[plan.in_pos].add(A[plan.in_rows, plan.in_cols])
+
+
+def matvec(plan: SparsePlan, vals, x):
+    """A @ x from UNfactored filled values (fill positions hold zeros)."""
+    return jax.ops.segment_sum(vals * x[plan.pos_acol], plan.pos_arow,
+                               num_segments=plan.n)
 
 
 def factor(plan: SparsePlan, vals):

@@ -43,7 +43,8 @@ def dc_sweep_sharded(compiled: CompiledCircuit, sweep, mesh: Mesh = None,
                      params=None, ctx: SimSpec = None,
                      opts: NewtonOptions = None, mode=Modes.DCOP) -> DCResult:
     """Batched DC sweep sharded across the mesh's batch axis."""
-    opts = opts or NewtonOptions()
+    from cedarsim_tpu.analysis.dc import default_newton_options
+    opts = opts or default_newton_options(compiled)
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     if ctx is None:
