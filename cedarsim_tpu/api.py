@@ -3,12 +3,15 @@
 The reference's equivalents: ``tran!(::ParsedCircuit)`` reads the tspan from
 the netlist's ``.tran`` via ``find_default_tspan`` and
 ``solve(ps::ParsedCircuit)`` (/root/reference/src/circsummary.jl:109-128,
-src/sweeps.jl:450-465).
+src/sweeps.jl:450-465).  Spectre ``altergroup``/``alter`` statements split
+the run into segments — analyses after an alter see the altered parameters
+(the reference re-emits and re-elaborates, src/spectre.jl:1773-1829; here
+each segment re-elaborates with the altergroup bodies spliced in).
 """
 
 from __future__ import annotations
 
-from cedarsim_tpu.core.compile import compile_circuit
+from cedarsim_tpu.core.compile import compile_circuit, ensure_dynamic
 from cedarsim_tpu.core.context import SimSpec
 from cedarsim_tpu.frontend.elaborate import load_spice, elaborate
 from cedarsim_tpu.frontend.parser import parse_spice
@@ -43,6 +46,53 @@ def find_ac_directive(circuit):
     return None
 
 
+_ANALYSIS_CMDS = ("op", "tran", "dc", "ac", "noise")
+
+
+def _as_name(v):
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "ref":
+        return str(v[1])
+    return str(v)
+
+
+def _alter_segments(stmts):
+    """Split a statement list at altergroup/alter statements.  Returns None
+    when there are no alters, else a list of (stmt_list, label): segment k
+    contains every non-analysis statement, the bodies of alters 0..k-1
+    spliced at their original positions (sequential param/model collection
+    makes later definitions win), and only segment k's analyses."""
+    from cedarsim_tpu.frontend import parser as P
+
+    def is_alter(st):
+        return isinstance(st, P.Control) and st.cmd in ("altergroup",
+                                                        "alterstmt")
+
+    alters = [i for i, st in enumerate(stmts) if is_alter(st)]
+    if not alters:
+        return None
+    bounds = [-1] + alters + [len(stmts) + 1]
+    segs = []
+    for k in range(len(alters) + 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        seg = []
+        for i, st in enumerate(stmts):
+            if is_alter(st):
+                if i <= lo:
+                    if st.cmd == "altergroup":
+                        seg.extend(st.args[1])
+                    else:
+                        seg.append(st)   # device alter: applied post-elab
+                continue
+            if isinstance(st, P.Control) and st.cmd in _ANALYSIS_CMDS:
+                if lo < i < hi:
+                    seg.append(st)
+                continue
+            seg.append(st)
+        label = _as_name(stmts[alters[k - 1]].args[0]) if k else None
+        segs.append((seg, label))
+    return segs
+
+
 def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
              tran_opts: TranOptions = None, file="<netlist>", mc_seed=None,
              dialect=None):
@@ -51,7 +101,8 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
     ``dialect``: "spice", "spectre", or None to auto-detect (``simulator
     lang=`` or a .scs filename selects Spectre).
     Returns a dict: ``{"op": DCResult, "tran": TranSolution, "ac": ACSolution}``
-    with only the requested entries.
+    with only the requested entries; analyses after an ``altergroup``/
+    ``alter`` statement appear under suffixed keys (``"tran@<name>"``).
     """
     if isinstance(text_or_circuit, str):
         text = text_or_circuit
@@ -61,23 +112,49 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
         if dialect == "spectre" or "simulator lang" in text.lower():
             start = "spectre" if dialect == "spectre" else "spice"
             nl = parse_mixed(text, file=file, start_lang=start)
-            circuit = elaborate(nl, include_paths=include_paths,
-                                params=params, mc_seed=mc_seed)
         else:
-            circuit = load_spice(text, file=file,
-                                 include_paths=include_paths, params=params,
-                                 mc_seed=mc_seed)
+            nl = parse_spice(text, file=file)
+        segs = _alter_segments(nl.statements)
+        if segs is not None:
+            from cedarsim_tpu.frontend.parser import SpiceNetlist
+            out = {}
+            for k, (stmts, label) in enumerate(segs):
+                nl_k = SpiceNetlist(nl.title, stmts, nl.path)
+                circuit = elaborate(nl_k, include_paths=include_paths,
+                                    params=params, mc_seed=mc_seed)
+                res = _run_circuit(circuit, temp, tran_opts)
+                if k == 0:
+                    out.update(res)
+                else:
+                    sfx = label or f"alter{k}"
+                    out.update({f"{key}@{sfx}": v for key, v in res.items()})
+            return out
+        circuit = elaborate(nl, include_paths=include_paths,
+                            params=params, mc_seed=mc_seed)
     else:
         circuit = text_or_circuit
+    return _run_circuit(circuit, temp, tran_opts)
+
+
+def _run_circuit(circuit, temp=None, tran_opts=None):
     temp = temp if temp is not None else circuit.options.get("temp", 27.0)
     gmin = circuit.options.get("gmin", 1e-12)
     compiled = compile_circuit(circuit)
+    run_params = None
+    # device-targeted alter statements (a1 alter dev=r1 param=r value=2k)
+    for cmd, args, kw in circuit.directives:
+        if cmd == "alterstmt" and "dev" in kw and "param" in kw:
+            dotted = f"{_as_name(kw['dev'])}.{_as_name(kw['param'])}".lower()
+            compiled = ensure_dynamic(compiled, [dotted])
+            run_params = compiled.set_param(
+                run_params if run_params is not None else compiled.params0,
+                dotted, float(kw.get("value", 0.0)))
     ctx = SimSpec.make(temp_c=temp, gmin=gmin, dtype=compiled.dtype)
     out = {"circuit": circuit, "compiled": compiled}
     ran_any = False
     for cmd, args, kw in circuit.directives:
         if cmd == "op" and "op" not in out:
-            out["op"] = solve_dc(compiled, ctx=ctx)
+            out["op"] = solve_dc(compiled, params=run_params, ctx=ctx)
             ran_any = True
         elif cmd == "tran" and "tran" not in out:
             d = find_tran_directive(circuit)
@@ -90,7 +167,8 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
                 if d["uic"]:
                     okw["uic"] = True
                 opts = TranOptions(**okw)
-            out["tran"] = tran(compiled, (0.0, d["tstop"]), ctx=ctx, opts=opts)
+            out["tran"] = tran(compiled, (0.0, d["tstop"]), params=run_params,
+                               ctx=ctx, opts=opts)
             ran_any = True
         elif cmd == "dc" and "dc" not in out and args:
             # .dc src start stop step [src2 ...] — batched sweep
@@ -113,7 +191,7 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
                 i += 4
             if sweeps:
                 sw = sweeps[0] if len(sweeps) == 1 else ProductSweep(*sweeps)
-                out["dc"] = dc_sweep(compiled, sw, ctx=ctx)
+                out["dc"] = dc_sweep(compiled, sw, params=run_params, ctx=ctx)
                 out["dc_sweep"] = sw
                 ran_any = True
         elif cmd == "noise" and "noise" not in out:
@@ -123,12 +201,12 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
             outname = words[0].lower() if words else None
             if outname in ("v",) and len(words) > 1:
                 outname = words[1].lower()
-            import numpy as _np
             n_, f1, f2 = ((int(nums[0]), nums[1], nums[2])
                           if len(nums) >= 3 else (10, 1.0, 1e9))
             freqs = ac_mod.acdec(n_, f1, f2)
             from cedarsim_tpu.analysis.ac import noise as _noise
-            out["noise"] = _noise(compiled, outname, freqs, ctx=ctx)
+            out["noise"] = _noise(compiled, outname, freqs, ctx=ctx,
+                                  params=run_params)
             ran_any = True
         elif cmd == "ac" and "ac" not in out:
             d = find_ac_directive(circuit)
@@ -137,10 +215,10 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
             else:
                 import numpy as np
                 freqs = np.linspace(d["fstart"], d["fstop"], d["n"])
-            out["ac"] = ac_mod.ac(compiled, freqs, ctx=ctx)
+            out["ac"] = ac_mod.ac(compiled, freqs, ctx=ctx, params=run_params)
             ran_any = True
     if not ran_any:
-        out["op"] = solve_dc(compiled, ctx=ctx)
+        out["op"] = solve_dc(compiled, params=run_params, ctx=ctx)
     if "tran" in out:
         from cedarsim_tpu.analysis.measure import evaluate_all, fourier
         meas = evaluate_all(out["tran"], circuit)

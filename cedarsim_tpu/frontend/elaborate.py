@@ -73,6 +73,9 @@ class ParamEnv:
             if name in self._evaluating:
                 raise ExprError(f"circular parameter definition: {name!r}")
             e = self.exprs[name]
+            if isinstance(e, tuple) and e and e[0] == "funcdef":
+                self.cache[name] = e
+                return e
             if isinstance(e, (int, float)):
                 v = float(e)
             else:
@@ -211,6 +214,13 @@ class Elaborator:
 
     def _do_control(self, st: P.Control, scope):
         env = scope["env"]
+        if st.cmd == "funcdecl":
+            # Spectre user-defined function (reference FunctionDecl,
+            # forms.jl:145): registered in the lexical param scope; called
+            # from expressions via eval_expr's funcdef dispatch
+            name, args, body = st.args
+            env.define(name.lower() + "()", ("funcdef", list(args), body))
+            return
         if st.cmd in ("ic", "nodeset"):
             for node, v in st.kwargs.items():
                 val = self.vres(v, env, st.loc)
@@ -247,6 +257,21 @@ class Elaborator:
                 k: (self.vres(v, env, st.loc)
                     if not isinstance(v, (int, float)) else float(v))
                 for k, v in st.kwargs.items()}))
+            return
+        if st.cmd == "alterstmt":
+            # device-targeted alter (a1 alter dev=r1 param=r value=2k):
+            # recorded as a directive, applied per analysis segment in
+            # api.simulate via set_param
+            kw = {}
+            for k, v in st.kwargs.items():
+                if k in ("dev", "param"):
+                    kw[k] = (v[1] if isinstance(v, tuple) and v
+                             and v[0] == "ref" else str(v))
+                else:
+                    kw[k] = (self.vres(v, env, st.loc)
+                             if not isinstance(v, (int, float))
+                             else float(v))
+            self.ckt.directives.append(("alterstmt", list(st.args), kw))
             return
         if st.cmd in ("hdl", "va"):
             from cedarsim_tpu.va.codegen import load_va

@@ -163,6 +163,28 @@ _FUNCS = {
 }
 
 
+class _FuncScope:
+    """Local argument bindings over a parent env (user-defined functions)."""
+
+    def __init__(self, parent, local):
+        self.parent = parent
+        self.local = local
+
+    def __contains__(self, k):
+        return k in self.local or k in self.parent
+
+    def __getitem__(self, k):
+        if k in self.local:
+            return self.local[k]
+        return self.parent[k]
+
+    def get(self, k, default=None):
+        if k in self.local:
+            return self.local[k]
+        g = getattr(self.parent, "get", None)
+        return g(k, default) if g else default
+
+
 def eval_expr(ast, env, rng=None):
     """Evaluate a parsed expression AST. ``env`` maps lowercase names to
     values; ``rng`` is a numpy Generator for Monte-Carlo functions."""
@@ -212,6 +234,16 @@ def eval_expr(ast, env, rng=None):
                 else eval_expr(ast[3], env, rng))
     if kind == "call":
         name, args = ast[1], [eval_expr(a, env, rng) for a in ast[2]]
+        fkey = name + "()"
+        if fkey in env:
+            fd = env[fkey]
+            if isinstance(fd, tuple) and fd and fd[0] == "funcdef":
+                _, anames, body = fd
+                if len(args) != len(anames):
+                    raise ExprError(
+                        f"{name}() takes {len(anames)} args, got {len(args)}")
+                return eval_expr(body, _FuncScope(env, dict(zip(anames,
+                                                                args))), rng)
         if name in _FUNCS:
             return _FUNCS[name](*args)
         # Monte-Carlo sampling functions (reference agauss:

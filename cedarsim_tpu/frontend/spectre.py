@@ -111,7 +111,7 @@ _PRIMITIVES = {
     "mos1": ("m", {}),
 }
 
-_ANALYSES = {"tran", "dc", "ac", "noise", "sp", "xf", "pss", "mc"}
+_ANALYSES = {"tran", "dc", "ac", "noise", "sp", "xf", "pss", "mc", "op"}
 
 
 class SpectreParser:
@@ -162,6 +162,14 @@ class SpectreParser:
             return P.Control("global", [t[1] for t in toks[1:]], {}, loc)
         if hl == "subckt":
             return self._subckt(toks, loc)
+        if hl == "inline" and len(toks) >= 2 and \
+                toks[1][1].lower() == "subckt":
+            # inline subckt (reference forms.jl:26-120): same scoping as a
+            # subckt; the body instance named like the subckt is the device
+            # the instance name binds to
+            return self._subckt(toks[1:], loc)
+        if hl == "real" and "(" in line:
+            return self._funcdecl(line, loc)
         if hl == "model":
             words = [t for t in toks if t[0] == "w"]
             name, mtype = words[1][1].lower(), words[2][1].lower()
@@ -170,17 +178,34 @@ class SpectreParser:
         if hl in ("ic", "nodeset"):
             kw = {k: v for k, v in self._assignments(toks[1:], loc)}
             return P.Control(hl, toks[1:], kw, loc)
-        # named altergroup blocks: "<name> altergroup { ... }" — skip body
+        # named altergroup blocks: "<name> altergroup { ... }" — the body is
+        # regular statements (parameters/model) applied at this point in the
+        # analysis sequence (reference forms.jl AlterGroup; spectre.jl
+        # re-emits byte-exactly, we re-elaborate per segment — see
+        # api.simulate)
         if len(toks) >= 2 and toks[1] == ("w", "altergroup"):
+            name = toks[0][1]
+            body_lines = []
             depth = line.count("{") - line.count("}")
             while depth > 0 and self.i < len(self.lines):
-                _, l2 = self.lines[self.i]
+                n2, l2 = self.lines[self.i]
                 depth += l2.count("{") - l2.count("}")
                 self.i += 1
-            return None
+                stripped = l2.strip()
+                if depth <= 0:
+                    stripped = stripped.rstrip("}").strip()
+                if stripped:
+                    body_lines.append((n2, stripped))
+            sub = SpectreParser("", self.file)
+            sub.lines = body_lines
+            body = sub._block(end=None)
+            return P.Control("altergroup", [name, body], {}, loc)
         if len(toks) >= 2 and toks[1][0] == "w" \
                 and toks[1][1].lower() == "alter":
-            return None
+            # "a1 alter dev=x1 param=r value=2k" or "a1 alter param=..
+            # value=.." (reference AlterStatement) — applied per segment
+            kw = dict(self._assignments(toks[2:], loc))
+            return P.Control("alterstmt", [toks[0][1]], kw, loc)
         if hl in ("save", "options", "set", "info", "shell", "check",
                   "alter", "altergroup", "statistics", "real",
                   "statistics{", "}"):
@@ -209,6 +234,30 @@ class SpectreParser:
         # instance: name (nodes) master param=val ...
         return self._instance(toks, loc)
 
+    def _funcdecl(self, line, loc):
+        """``real NAME([real] a, [real] b) { return EXPR; }`` — user-defined
+        function (reference FunctionDecl,
+        SpectreNetlistParser.jl/src/parse/forms.jl:145)."""
+        text = line
+        depth = text.count("{") - text.count("}")
+        while (depth > 0 or "{" not in text) and self.i < len(self.lines):
+            _, l2 = self.lines[self.i]
+            self.i += 1
+            text += " " + l2
+            depth = text.count("{") - text.count("}")
+        m = re.match(
+            r"real\s+(\w+)\s*\(([^)]*)\)\s*\{\s*return\s+(.*?);?\s*\}\s*$",
+            text, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SpectreParseError(
+                f"cannot parse function declaration: {text!r}",
+                loc.file, loc.line, loc.src)
+        name = m.group(1)
+        args = [a.strip().split()[-1].lower()
+                for a in m.group(2).split(",") if a.strip()]
+        body = parse_expr(m.group(3), "spectre")
+        return P.Control("funcdecl", [name, args, body], {}, loc)
+
     def _assignments(self, toks, loc):
         out = []
         j = 0
@@ -227,6 +276,28 @@ class SpectreParser:
                     j += 1
                     out.append((name, tuple(vec)))
                     continue
+                # function-call value: f(a, b) — rebuild the text through
+                # the matching paren and parse as an expression
+                if (toks[j + 2][0] == "w" and j + 3 < len(toks)
+                        and toks[j + 3] == ("p", "(")):
+                    parts = [toks[j + 2][1], "("]
+                    depth = 1
+                    j2 = j + 4
+                    while j2 < len(toks) and depth > 0:
+                        kind, s = toks[j2]
+                        if (kind, s) == ("p", "("):
+                            depth += 1
+                        elif (kind, s) == ("p", ")"):
+                            depth -= 1
+                        parts.append(s)
+                        j2 += 1
+                    try:
+                        out.append((name,
+                                    parse_expr("".join(parts), "spectre")))
+                        j = j2
+                        continue
+                    except ExprError:
+                        pass
                 out.append((name, _val(toks[j + 2], loc)))
                 j += 3
             else:

@@ -392,3 +392,38 @@ R1 a 0 1k
     f = res["fourier"]["v(a)"]
     assert np.isclose(f["f0_mag"], 1.0, rtol=5e-3)
     assert f["thd_percent"] < 1.0
+
+
+def test_alter_scoped():
+    # offset-targeted substitution: same-named params in different subckts,
+    # only the targeted one changes (reference spectre.jl:1773-1829)
+    from cedarsim_tpu.frontend.alter import alter, AlterError
+    import pytest as _pytest
+    src = """* scoped
+.subckt blockA in out
+.param rr=100
+R1 in out {rr}
+.ends
+.subckt blockB in out
+.param rr=200
+R1 in out {rr}
+.ends
+XA a b blockA
+XB b c blockB
+RL c 0 rr=50
+.end
+"""
+    out = alter(src, scoped={"blockA.rr": 111})
+    assert "rr=111" in out
+    assert "rr=200" in out          # blockB untouched
+    assert "rr=50" in out           # top-level instance untouched
+    # instance-card scoping (with continuation line)
+    src2 = "* t\nX1 a b sub w=1u\n+ l=2u\nX2 a b sub w=3u\n.end\n"
+    out2 = alter(src2, scoped={"x1.w": "9u"})
+    assert "w=9u" in out2 and "w=3u" in out2
+    out3 = alter(src2, scoped={"x1.l": "7u"})
+    assert "l=7u" in out3
+    with _pytest.raises(AlterError):
+        alter(src, scoped={"blockC.rr": 1})
+    with _pytest.raises(AlterError):
+        alter(src, scoped={"blockA.zz": 1})

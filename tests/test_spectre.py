@@ -73,3 +73,87 @@ op1 dc
     assert bool(res["op"].converged)
     # strong NMOS pulls d low
     assert x[c.node_names.index("d")] < 0.5
+
+
+def test_spectre_user_function():
+    # reference FunctionDecl (SpectreNetlistParser forms.jl:145)
+    import numpy as np
+    from cedarsim_tpu import simulate
+    src = """// user functions
+simulator lang=spectre
+real rscale(real base, real k) {
+    return base * k + 100;
+}
+parameters rbase=1k rk=2
+V1 (in 0) vsource dc=2.1
+R1 (in out) resistor r=rscale(rbase, rk)
+R2 (out 0) resistor r=rscale(rbase, rk)
+"""
+    res = simulate(src, dialect="spectre")
+    c = res["compiled"]
+    v = np.asarray(res["op"].x)[c.node_names.index("out")]
+    assert abs(v - 1.05) < 1e-6          # equal divider → vin/2
+
+
+def test_spectre_inline_subckt():
+    import numpy as np
+    from cedarsim_tpu import simulate
+    src = """// inline subckt
+simulator lang=spectre
+inline subckt myres (p n)
+parameters r=1k
+myres (p n) resistor r=r
+ends myres
+V1 (in 0) vsource dc=1.0
+X1 (in mid) myres r=2k
+X2 (mid 0) myres r=2k
+"""
+    res = simulate(src, dialect="spectre")
+    c = res["compiled"]
+    v = np.asarray(res["op"].x)[c.node_names.index("mid")]
+    assert abs(v - 0.5) < 1e-9
+
+
+def test_spectre_altergroup_applies():
+    import numpy as np
+    from cedarsim_tpu import simulate
+    src = """// altergroup
+simulator lang=spectre
+parameters rr=1k
+V1 (in 0) vsource dc=1.0
+R1 (in out) resistor r=rr
+R2 (out 0) resistor r=1k
+op1 op
+ag1 altergroup {
+parameters rr=3k
+}
+op2 op
+"""
+    res = simulate(src, dialect="spectre")
+    c0 = res["compiled"]
+    v0 = np.asarray(res["op"].x)[c0.node_names.index("out")]
+    assert abs(v0 - 0.5) < 1e-9          # 1k/1k divider
+    c1 = res["compiled@ag1"]
+    v1 = np.asarray(res["op@ag1"].x)[c1.node_names.index("out")]
+    assert abs(v1 - 0.25) < 1e-9         # 3k/1k divider
+
+
+def test_spectre_alter_device_param():
+    import numpy as np
+    from cedarsim_tpu import simulate
+    src = """// device alter
+simulator lang=spectre
+V1 (in 0) vsource dc=1.0
+R1 (in out) resistor r=1k
+R2 (out 0) resistor r=1k
+op1 op
+a1 alter dev=r2 param=r value=3k
+op2 op
+"""
+    res = simulate(src, dialect="spectre")
+    c0 = res["compiled"]
+    v0 = np.asarray(res["op"].x)[c0.node_names.index("out")]
+    assert abs(v0 - 0.5) < 1e-9
+    c1 = res["compiled@a1"]
+    v1 = np.asarray(res["op@a1"].x)[c1.node_names.index("out")]
+    assert abs(v1 - 0.75) < 1e-9         # r2 = 3k
