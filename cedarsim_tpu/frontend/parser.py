@@ -106,6 +106,38 @@ class SpiceNetlist:
     path: str = "<string>"
 
 
+@dataclasses.dataclass
+class ErrorNode:
+    """A statement that failed to parse, kept in the statement list so
+    parsing continues — the reference's error nodes + ``visit_errors``
+    (/root/reference/SpectreNetlistParser.jl/src/SpectreNetlistParser.jl:35).
+    """
+    message: str
+    loc: "Loc"
+
+
+def visit_errors(netlist, visit=None):
+    """Walk every statement (incl. subckt/.if bodies) and collect/visit the
+    ErrorNodes.  Returns the list of (message, loc)."""
+    out = []
+
+    def walk(stmts):
+        for st in stmts:
+            if isinstance(st, ErrorNode):
+                out.append(st)
+                if visit is not None:
+                    visit(st)
+            body = getattr(st, "body", None)
+            if isinstance(body, list):
+                walk(body)
+            branches = getattr(st, "branches", None)
+            if branches:
+                for _, b in branches:
+                    walk(b)
+    walk(netlist.statements)
+    return out
+
+
 # --------------------------------------------------------------------- lexer
 
 def logical_lines(text: str, file="<netlist>"):
@@ -188,9 +220,12 @@ def _val(tok, loc, dialect="spice"):
 
 class SpiceParser:
     def __init__(self, text: str, file="<netlist>", title_line=True,
-                 dialect="spice"):
+                 dialect="spice", errors="raise"):
         self.file = file
         self.dialect = dialect
+        #: "raise": first error throws; "collect": bad statements become
+        #: ErrorNodes and parsing continues with the next logical line
+        self.errors = errors
         # SPICE semantics: the first line is ALWAYS the title (even if it
         # looks like a comment or an element card) — except when it is a dot
         # command, a common modern-netlist deviation we accept.
@@ -200,7 +235,9 @@ class SpiceParser:
             first = raw[0].strip() if raw else ""
             if first and not first.startswith("."):
                 self.title = first
-                text = "\n".join(raw[1:])
+                # keep a blank placeholder so line numbers stay 1-based
+                # against the original file
+                text = "\n".join([""] + raw[1:])
         self.lines = list(logical_lines(text, file))
         self.i = 0
 
@@ -217,7 +254,13 @@ class SpiceParser:
                 return stmts
             self.i += 1
             loc = Loc(self.file, lineno, line)
-            s = self._parse_statement(head, line, loc)
+            if self.errors == "collect":
+                try:
+                    s = self._parse_statement(head, line, loc)
+                except SpiceParseError as e:
+                    s = ErrorNode(str(e), loc)
+            else:
+                s = self._parse_statement(head, line, loc)
             if s is not None:
                 stmts.append(s)
         if ".end" not in end_tokens:
@@ -514,6 +557,9 @@ _ELEMENT_SHAPE = {
 }
 
 
-def parse_spice(text: str, file="<netlist>", title_line=True) -> SpiceNetlist:
-    """Parse SPICE netlist text to an AST."""
-    return SpiceParser(text, file, title_line).parse()
+def parse_spice(text: str, file="<netlist>", title_line=True,
+                errors="raise") -> SpiceNetlist:
+    """Parse SPICE netlist text to an AST.  ``errors="collect"`` keeps
+    parsing past bad statements (ErrorNodes in the statement list; gather
+    them with ``visit_errors``)."""
+    return SpiceParser(text, file, title_line, errors=errors).parse()

@@ -115,8 +115,9 @@ _ANALYSES = {"tran", "dc", "ac", "noise", "sp", "xf", "pss", "mc", "op"}
 
 
 class SpectreParser:
-    def __init__(self, text, file="<spectre>"):
+    def __init__(self, text, file="<spectre>", errors="raise"):
         self.file = file
+        self.errors = errors
         self.lines = _logical_lines(text, file)
         self.i = 0
 
@@ -132,7 +133,14 @@ class SpectreParser:
             if end is not None and head == end:
                 return out
             self.i += 1
-            st = self._statement(head, line, P.Loc(self.file, lineno, line))
+            loc = P.Loc(self.file, lineno, line)
+            if self.errors == "collect":
+                try:
+                    st = self._statement(head, line, loc)
+                except P.SpiceParseError as e:
+                    st = P.ErrorNode(str(e), loc)
+            else:
+                st = self._statement(head, line, loc)
             if st is not None:
                 out.append(st)
         if end is not None:
@@ -421,11 +429,13 @@ _LANG_RE = re.compile(r"^[ \t]*simulator[ \t]+lang[ \t]*=[ \t]*(\w+)[^\n]*",
                       re.M | re.I)
 
 
-def parse_spectre(text: str, file="<spectre>") -> P.SpiceNetlist:
-    return SpectreParser(text, file).parse()
+def parse_spectre(text: str, file="<spectre>",
+                  errors="raise") -> P.SpiceNetlist:
+    return SpectreParser(text, file, errors=errors).parse()
 
 
-def parse_mixed(text: str, file="<netlist>", start_lang="spectre"):
+def parse_mixed(text: str, file="<netlist>", start_lang="spectre",
+                errors="raise"):
     """Parse source with ``simulator lang=`` switching — the reference's
     mixed-dialect entry (SpectreNetlistParser.parse(io; start_lang),
     /root/reference/SpectreNetlistParser.jl/src/SpectreNetlistParser.jl:35).
@@ -446,9 +456,11 @@ def parse_mixed(text: str, file="<netlist>", start_lang="spectre"):
     title = ""
     for k, (lg, seg) in enumerate(segments):
         if lg == "spice":
-            nl = P.SpiceParser(seg, file, title_line=(k == 0)).parse()
+            nl = P.SpiceParser(seg, file, title_line=(k == 0),
+                               errors=errors).parse()
             title = title or nl.title
             stmts.extend(nl.statements)
         else:
-            stmts.extend(SpectreParser(seg, file).parse().statements)
+            stmts.extend(SpectreParser(seg, file,
+                                       errors=errors).parse().statements)
     return P.SpiceNetlist(title, stmts, file)

@@ -427,3 +427,38 @@ RL c 0 rr=50
         alter(src, scoped={"blockC.rr": 1})
     with _pytest.raises(AlterError):
         alter(src, scoped={"blockA.zz": 1})
+
+
+def test_parser_error_recovery_multi_error():
+    # error nodes + continue parsing + visit_errors — the reference's
+    # SpectreNetlistParser.parse error recovery (SpectreNetlistParser.jl:35)
+    from cedarsim_tpu.frontend.parser import parse_spice, visit_errors
+    src = """* three seeded errors
+R1 a b 1k
+Rbad a           $ missing nodes/value
+C1 b 0 1n
+E1 x y            $ controlled source missing controls
+V1 a 0 'unclosed
+V2 a 0 5
+"""
+    nl = parse_spice(src, errors="collect")
+    errs = visit_errors(nl)
+    assert len(errs) == 3, [e.message for e in errs]
+    lines = sorted(e.loc.line for e in errs)
+    assert lines == [3, 5, 6], lines
+    # good statements survived
+    names = [getattr(st, "name", None) for st in nl.statements]
+    assert "R1" in names and "C1" in names and "V2" in names
+
+    # spectre dialect too
+    from cedarsim_tpu.frontend.spectre import parse_spectre
+    from cedarsim_tpu.frontend.parser import visit_errors as ve
+    ssrc = """// errs
+parameters a=1
+R1 (p n) resistor r=1k
+X9                     // no master
+C1 (n 0) capacitor c=1p
+"""
+    nl2 = parse_spectre(ssrc, errors="collect")
+    errs2 = ve(nl2)
+    assert len(errs2) == 1 and errs2[0].loc.line == 4
