@@ -48,6 +48,11 @@ class TranOptions:
     rtol: float = 1e-3
     atol: float = 1e-6
     trtol: float = 7.0
+    #: integration method: "trap" (trapezoidal w/ BE starts — default),
+    #: "be" (backward Euler), or "bdf2" (variable-step BDF, order 1-2 —
+    #: the stiff-robust choice matching IDA's low orders; reference solver
+    #: bench sweeps integrators, benchmarks/gf180_dff_solver_bench.jl:60-96)
+    method: str = "trap"
     max_steps: int = 8192          # output buffer size
     max_newton: int = 12
     newton_reltol: float = 1e-6
@@ -181,19 +186,23 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             return sops.res_jacs_sparse(x, ctx_t.at_time(t), params)
         return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params)
 
-    def newton_step(x_init, t_new, h, Qn, Sn, use_be):
-        """Implicit-step Newton.  (S, Q, G, C) from ONE fused model walk per
-        iteration ride in the carry, so the loop body instantiates the
-        group-walk subgraph exactly once (compile-time discipline — see
-        dc.py docstring) and each iteration costs a single model evaluation;
-        the final (S, Q) at the accepted point come out for free."""
-        beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
+    def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta):
+        """Implicit-step Newton for the generalized multistep corrector
+
+            f = (a0*Q(x) + Qhist)/h + beta*S(x) + (1-beta)*Sn
+
+        (BE: a0=1, Qhist=-Qn, beta=1; trap: beta=1/2; BDF2: variable-step
+        alpha coefficients with Qhist = a1*Qn + a2*Qprev).  The coefficients
+        are data, so every method shares ONE loop-body instantiation.
+        (S, Q, G, C) from ONE fused model walk per iteration ride in the
+        carry (compile-time discipline — see dc.py docstring); the final
+        (S, Q) at the accepted point come out for free."""
         S0_, Q0_, G0_, C0_ = rj(x_init, t_new)
 
         def body(carry):
             x, S, Q, G, C, _, it, nnwt = carry
-            f = (Q - Qn) / h + beta * S + (1.0 - beta) * Sn
-            J = damp_J(C / h + beta * G)
+            f = (a0 * Q + Qhist) / h + beta * S + (1.0 - beta) * Sn
+            J = damp_J(a0 * C / h + beta * G)
             dx = lin_solve(J, -f)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
             dx = jnp.where(bad, jnp.zeros_like(dx), dx)
@@ -203,8 +212,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new)
             # residual check as well as dx — a dx-only test false-converges
             # at piecewise-model kinks where Newton stalls with f ≠ 0
-            f_new = (Qn1 - Qn) / h + beta * Sn1 + (1.0 - beta) * Sn
-            scale = (jnp.abs(Qn1 - Qn) / h + jnp.abs(beta * Sn1)
+            f_new = (a0 * Qn1 + Qhist) / h + beta * Sn1 + (1.0 - beta) * Sn
+            scale = (jnp.abs(a0 * Qn1 + Qhist) / h + jnp.abs(beta * Sn1)
                      + jnp.abs((1.0 - beta) * Sn))
             res_ok = jnp.all(jnp.abs(f_new)
                              <= opts.res_rel * scale + opts.res_tol)
@@ -235,7 +244,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
     state0 = dict(
         t=jnp.asarray(t0, dtype), h=jnp.asarray(h0, dtype),
-        x=x0, xdot=xdot0, Qn=Q0, Sn=S0,
+        x=x0, xdot=xdot0, Qn=Q0, Qp=Q0, Sn=S0,
         x1=x0, x2=x0, t1=jnp.asarray(t0, dtype), t2=jnp.asarray(t0, dtype),
         nhist=jnp.asarray(0, jnp.int32), bpi=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
@@ -274,8 +283,23 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         x_pred = jnp.where(nh >= 2, x_quad, jnp.where(nh >= 1, x_lin, x))
 
         use_be = nh == 0
+        one = jnp.asarray(1.0, dtype)
+        if opts.method == "bdf2":
+            # variable-step BDF2 alphas; order drops to BE without history
+            hi = nh >= 1
+            r = h_real / jnp.maximum(t - t1, 1e-300)
+            a0 = jnp.where(hi, (1.0 + 2.0 * r) / (1.0 + r), one)
+            a1 = jnp.where(hi, -(1.0 + r), -one)
+            a2 = jnp.where(hi, r * r / (1.0 + r), 0.0)
+            beta = one
+        elif opts.method == "be":
+            a0, a1, a2, beta = one, -one, one * 0.0, one
+        else:  # trap with BE starts
+            a0, a1, a2 = one, -one, one * 0.0
+            beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
+        Qhist = a1 * c["Qn"] + a2 * c["Qp"]
         xn, Sn_new, Qn_new, nok, nnwt = newton_step(
-            x_pred, t_new, h_real, c["Qn"], c["Sn"], use_be)
+            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta)
 
         # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
@@ -287,10 +311,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         accept = jnp.logical_and(nok, jnp.logical_or(
             jnp.logical_not(have_lte), err <= 1.0))
 
-        # new step size
+        # new step size; variable-step BDF2 is zero-stable only for step
+        # ratios < 1+sqrt(2), and its r-dependent error constant makes even
+        # ratio-2 growth limit-cycle on oscillatory problems (measured: 70
+        # rejects/accept at grow=2, 0.05 at grow=1.5) — clamp well below
+        grow = min(opts.grow, 1.5) if opts.method == "bdf2" else opts.grow
         fac = jnp.where(have_lte,
                         jnp.clip(0.9 * err ** (-1.0 / 3.0),
-                                 opts.shrink, opts.grow),
+                                 opts.shrink, grow),
                         2.0)
         h_acc = jnp.clip(h_real * fac, hmin, hmax)
         # after a breakpoint: restart small relative to the NEXT waveform
@@ -306,7 +334,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
         xdot_be = (xn - x) / h_real
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
-        xdot_n = jnp.where(use_be, xdot_be, xdot_tr)
+        if opts.method == "bdf2":
+            xdot_n = (a0 * xn + a1 * x + a2 * x1) / h_real
+        elif opts.method == "be":
+            xdot_n = xdot_be
+        else:
+            xdot_n = jnp.where(use_be, xdot_be, xdot_tr)
 
         ok_cont = jnp.logical_or(accept, h_rej > hmin * 1.0000001)
 
@@ -321,6 +354,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             x=jnp.where(acc, xn, x),
             xdot=jnp.where(acc, xdot_n, c["xdot"]),
             Qn=jnp.where(acc, Qn_new, c["Qn"]),
+            Qp=jnp.where(acc, c["Qn"], c["Qp"]),
             Sn=jnp.where(acc, Sn_new, c["Sn"]),
             x1=jnp.where(acc, x, c["x1"]),
             x2=jnp.where(acc, c["x1"], c["x2"]),

@@ -1,0 +1,121 @@
+"""Integrator ladder (BE / trap / BDF2) — correctness-gated torture tests.
+
+The reference benches four integrators on the DFF
+(/root/reference/benchmarks/gf180_dff_solver_bench.jl:60-96) and probes
+metastable initialization (scratch/initialization_fragility.jl:57-76); here
+each method is gated against closed forms: RC step, lightly-damped RLC
+ringing (amplitude fidelity), and a two-decade stiff time-constant split
+(stability at steps >> the fast constant).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from cedarsim_tpu import (Circuit, Resistor, Capacitor, Inductor, VSource,
+                          VSourcePULSE, compile_circuit, tran, TranOptions)
+
+METHODS = ["be", "trap", "bdf2"]
+
+
+def _rc():
+    ckt = Circuit()
+    vin, vout = ckt.net("vin"), ckt.net("vout")
+    ckt.add(VSourcePULSE, "Vin", (vin, ckt.gnd),
+            dict(v1=0.0, v2=1.0, td=0.0, tr=1e-9, tf=1e-9, pw=1.0, per=2.0))
+    ckt.add(Resistor, "R1", (vin, vout), dict(r=1e3))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=1e-9))
+    return compile_circuit(ckt)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_rc_step_closed_form(method):
+    c = _rc()
+    sol = tran(c, (0.0, 5e-6), opts=TranOptions(method=method))
+    assert sol.converged
+    for t in (1e-6, 2e-6, 3e-6):
+        want = 1.0 - math.exp(-(t - 1e-9) / 1e-6)
+        got = float(sol.interp("vout", t))
+        tol = 0.02 if method == "be" else 0.005
+        assert abs(got - want) < tol, (method, t, got, want)
+
+
+@pytest.mark.parametrize("method", ["trap", "bdf2"])
+def test_rlc_ringing_amplitude(method):
+    """Underdamped series RLC (Q ~ 20): second-order methods must track the
+    decay envelope — excessive numerical damping (BE-like) fails this."""
+    ckt = Circuit()
+    vin, mid, vout = ckt.net("vin"), ckt.net("mid"), ckt.net("vout")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=1.0, td=0.0, tr=1e-9, tf=1e-9, pw=1.0, per=2.0))
+    R, L, C = 5.0, 1e-6, 1e-9
+    ckt.add(Resistor, "R1", (vin, mid), dict(r=R))
+    ckt.add(Inductor, "L1", (mid, vout), dict(l=L))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=C))
+    comp = compile_circuit(ckt)
+    w0 = 1.0 / math.sqrt(L * C)
+    alpha = R / (2 * L)
+    wd = math.sqrt(w0 * w0 - alpha * alpha)
+    sol = tran(comp, (0.0, 2e-6),
+               opts=TranOptions(method=method, rtol=1e-4, atol=1e-7,
+                                max_steps=16384))
+    assert sol.converged
+    # closed form: vout = 1 - e^{-alpha t}(cos wd t + alpha/wd sin wd t)
+    for t in np.linspace(2e-7, 1.4e-6, 7):
+        want = 1.0 - math.exp(-alpha * t) * (
+            math.cos(wd * t) + alpha / wd * math.sin(wd * t))
+        got = float(sol.interp("vout", t))
+        assert abs(got - want) < 0.02, (method, t, got, want)
+
+
+@pytest.mark.parametrize("method", ["be", "bdf2"])
+def test_stiff_two_time_constants(method):
+    """tau_fast = 1 us, tau_slow = 10 ms over a 30 ms window: stiff-stable
+    methods must take steps >> tau_fast without instability."""
+    ckt = Circuit()
+    vin, a, b = ckt.net("vin"), ckt.net("a"), ckt.net("b")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=1.0, td=1e-6, tr=1e-9, tf=1e-9, pw=1.0, per=2.0))
+    ckt.add(Resistor, "R1", (vin, a), dict(r=1e3))
+    ckt.add(Capacitor, "C1", (a, ckt.gnd), dict(c=1e-9))    # 1 us
+    ckt.add(Resistor, "R2", (a, b), dict(r=1e6))
+    ckt.add(Capacitor, "C2", (b, ckt.gnd), dict(c=1e-8))    # 10 ms
+    comp = compile_circuit(ckt)
+    sol = tran(comp, (0.0, 30e-3), opts=TranOptions(method=method))
+    assert sol.converged
+    # slow node: ~1 - e^{-t/10ms}; fast node settles to 1 immediately
+    for t in (5e-3, 10e-3, 25e-3):
+        want = 1.0 - math.exp(-t / 1e-2)
+        got = float(sol.interp("b", t))
+        assert abs(got - want) < 0.02, (method, t, got, want)
+    assert abs(float(sol.interp("a", 20e-3)) - 1.0) < 1e-3
+    # stiff efficiency: the integrator must not be slaved to tau_fast
+    assert sol.n_accepted < 2000, sol.n_accepted
+
+
+def test_solver_bench_table_dff():
+    """All three methods reproduce the DFF logic golden (the reference's
+    solver-bench comparison, gated on correctness)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "gf180_dff"))
+    from cedarsim_tpu import parse_spice, elaborate, SimSpec
+    D = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "benchmarks", "gf180_dff")
+    with open(os.path.join(D, "dff_tb.cir")) as f:
+        nl = parse_spice(f.read(), file="dff_tb.cir")
+    comp = compile_circuit(elaborate(nl, include_paths=[D]))
+    ctx = SimSpec.make(gmin=1e-15)
+    rows = {}
+    for method in METHODS:
+        sol = tran(comp, (0.0, 7e-7), ctx=ctx,
+                   opts=TranOptions(method=method, max_steps=16384))
+        assert sol.converged, method
+        q = [float(sol.interp("q", t)) for t in (1.5e-7, 2.5e-7, 7e-7)]
+        assert abs(q[0]) < 0.05 and abs(q[1]) < 0.05 and \
+            abs(q[2] - 5.0) < 0.05, (method, q)
+        rows[method] = (sol.n_accepted, sol.n_rejected, sol.n_newton)
+    # bdf2 must not need dramatically more steps than trap
+    assert rows["bdf2"][0] < 4 * rows["trap"][0], rows
