@@ -39,6 +39,11 @@ class Tok:
     line: int
     col: int
     value: float = None   # for numbers
+    file: str = "<va>"
+    #: macro-expansion backtrace, outermost first: tuples of
+    #: (macro_name, use_file, use_line, use_col, def_file, def_line) —
+    #: the reference's virtual positions (VerilogAParser preproc.jl:6-60)
+    origin: tuple = None
 
     def __repr__(self):
         return f"{self.kind}:{self.text!r}@{self.line}"
@@ -98,4 +103,6 @@ def lex_va(text: str, file="<va>"):
             col += len(s)
         pos = m.end()
     toks.append(Tok("eof", "", line, col))
+    for t in toks:
+        t.file = file
     return toks

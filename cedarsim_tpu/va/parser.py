@@ -21,9 +21,19 @@ from cedarsim_tpu.va.preproc import preprocess
 
 class VAParseError(ValueError):
     def __init__(self, msg, tok=None, file="<va>"):
+        self.tok = tok
+        self.raw_message = msg
         if tok is not None:
             msg = f"{file}:{tok.line}:{tok.col}: {msg} (at {tok.text!r})"
         super().__init__(msg)
+
+    def render(self, sources=None, color=False):
+        """Caret/highlight rendering with macro backtrace
+        (va/diagnostics.py); falls back to str() without a token."""
+        if self.tok is None:
+            return str(self)
+        from cedarsim_tpu.va.diagnostics import render
+        return render(self.raw_message, self.tok, sources, color)
 
 
 _BIN_PREC = {

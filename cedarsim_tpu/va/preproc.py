@@ -25,10 +25,12 @@ _BUILTIN_DEFINES = {
 
 
 class Macro:
-    def __init__(self, name, params, body):
+    def __init__(self, name, params, body, def_file="<va>", def_line=0):
         self.name = name
         self.params = params      # None = object-like, list = function-like
         self.body = body          # list[Tok] (no trailing nl)
+        self.def_file = def_file
+        self.def_line = def_line
 
 
 def preprocess(text: str, file="<va>", include_paths=(), defines=None,
@@ -103,7 +105,8 @@ def preprocess(text: str, file="<va>", include_paths=(), defines=None,
                         and toks[i].kind != "eof":
                     body.append(toks[i])
                     i += 1
-                macros[name] = Macro(name, params, body)
+                macros[name] = Macro(name, params, body,
+                                     def_file=file, def_line=name_tok.line)
                 continue
             if d == "undef":
                 macros.pop(toks[i + 1].text, None)
@@ -206,6 +209,12 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
                 f"{file}:{use_tok.line}: macro `{macro.name} expects "
                 f"{len(macro.params)} args, got {len(args)}")
     argmap = dict(zip(macro.params or [], args))
+    # virtual-position frame: tokens from the macro BODY keep their
+    # definition-site coordinates plus this use-site frame prepended to the
+    # origin chain (reference preproc.jl:6-60); argument tokens are use-site
+    # text and keep their own coordinates/chain.
+    frame = (macro.name, getattr(use_tok, "file", file), use_tok.line,
+             use_tok.col, macro.def_file, macro.def_line)
     out = []
     j = 0
     body = macro.body
@@ -213,20 +222,25 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
         bt = body[j]
         if bt.kind == "id" and bt.text in argmap:
             for at in argmap[bt.text]:
-                out.append(Tok(at.kind, at.text, use_tok.line, use_tok.col,
-                               at.value))
+                out.append(Tok(at.kind, at.text, at.line, at.col,
+                               at.value, getattr(at, "file", file),
+                               getattr(at, "origin", None)))
             j += 1
             continue
         if bt.kind == "directive":
             if bt.text in macros:
                 sub, j2 = _expand_macro(macros[bt.text], body, j + 1, use_tok,
                                         macros, file, _depth + 1)
+                for st2 in sub:
+                    st2.origin = (frame,) + (st2.origin or ())
                 out.extend(sub)
                 j = j2
                 continue
             raise VAPreprocError(
                 f"{file}:{use_tok.line}: undefined macro `{bt.text} "
                 f"(in expansion of `{macro.name})")
-        out.append(Tok(bt.kind, bt.text, use_tok.line, use_tok.col, bt.value))
+        nt = Tok(bt.kind, bt.text, bt.line, bt.col, bt.value,
+                 macro.def_file, ((frame,) + (bt.origin or ())))
+        out.append(nt)
         j += 1
     return out, i

@@ -360,3 +360,27 @@ def test_va_switch_branch():
     assert bool(r_off.converged)
     vb_off = float(np.asarray(r_off.x)[c_off.node_names.index("b")])
     assert vb_off > 1.99  # open: only leakage, b ≈ 2V
+
+
+def test_va_error_rendering_golden():
+    """Caret/highlight diagnostics incl. macro-expansion backtraces, golden-
+    file tested byte-for-byte (reference renderer errors.jl:1-1142 +
+    test/errors.jl golden pairs; inputs are the reference's error corpus,
+    goldens are this renderer's)."""
+    import os
+    from cedarsim_tpu.va.parser import parse_va, VAParseError
+    D = "/root/reference/VerilogAParser.jl/test/errors"
+    if not os.path.isdir(D):
+        pytest.skip("reference error corpus not available")
+    gold_dir = os.path.join(os.path.dirname(__file__), "data", "va_errors")
+    cases = ["ptr_deref.va", "undef_in_expansion.va",
+             "unterm_analog_block.va", "vtemexp.va"]
+    for f in cases:
+        with pytest.raises(VAParseError) as ei:
+            parse_va(open(os.path.join(D, f)).read(), os.path.join(D, f))
+        rendered = ei.value.render() + "\n"
+        want = open(os.path.join(gold_dir, f[:-3] + ".out")).read()
+        assert rendered == want, f
+    # the macro-backtrace case must actually show the chain
+    chain = open(os.path.join(gold_dir, "undef_in_expansion.out")).read()
+    assert "in expansion of `MPRnb" in chain and "defined at" in chain
