@@ -424,6 +424,11 @@ class Elaborator:
             mdl = self._model(el.model, scope, el.loc,
                               l=kw.get("l"), w=kw.get("w"), env=env)
             level = self.vres(mdl.params.get("level", 1.0), env, el.loc)
+            if level in (8.0, 14.0, 49.0, 53.0, 54.0):
+                # reference level table: 14/54 -> bsim4 (spectre.jl:599-607);
+                # BSIM3-class levels 8/49/53 share the core via aliases
+                self._instantiate_bsim4(el, name, nets, kw, mdl, env, m)
+                return
             if level not in (1.0,):
                 self.warn(f"MOS level {level:g} not built in yet; using "
                           "level 1", el.loc)
@@ -505,6 +510,37 @@ class Elaborator:
         raise ElabError(
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)
+
+    def _instantiate_bsim4(self, el, name, nets, kw, mdl, env, m):
+        """BSIM4-class MOSFET from a `.model level=8/14/49/53/54` card.
+        Model-card parameters map case-insensitively onto the VA module's
+        parameters (the reference's case_adjust_kwargs role, spectre.jl:
+        1113-1149); names the core does not implement are collected into one
+        warning instead of failing the card."""
+        from cedarsim_tpu.models import bsim4_class
+        cls = bsim4_class()
+        p = {"TYPE": 1.0 if mdl.mtype == "nmos" else -1.0}
+        ignored = []
+        for k, v in mdl.params.items():
+            if k in ("level", "version"):
+                continue
+            actual = cls.param_lower.get(k.lower())
+            if actual is None:
+                ignored.append(k)
+                continue
+            p[actual] = self.vres(v, env, el.loc)
+        for k, v in kw.items():
+            actual = cls.param_lower.get(k.lower())
+            if actual is None:
+                ignored.append(k)
+                continue
+            p[actual] = v
+        if ignored:
+            self.warn(f"bsim4 model {el.model!r}: ignoring unsupported "
+                      f"parameter(s) {sorted(set(ignored))}", el.loc)
+        while len(nets) < 4:
+            nets.append(nets[-1])
+        self.ckt.add(cls, name, nets[:4], p, m=m)
 
     def _instantiate_bsource(self, el, name, nets, env, m, prefix,
                              nodemap):
