@@ -65,6 +65,14 @@ class TranOptions:
     #: magnitudes of the residual's constituent terms); the f64 default is
     #: 1e-7, f32 evals need ~3e-5
     res_rel: float = 1e-7
+    #: consecutive LTE rejections (with converged Newton) before the step is
+    #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
+    #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
+    #: otherwise repeats {reject, shrink, tiny-accept, regrow, re-clip onto
+    #: the breakpoint} until the try budget burns out (measured 45k rejected
+    #: steps at one PWL corner).  IDA similarly escalates after repeated
+    #: error-test failures rather than looping forever.
+    stall_accept: int = 12
     h0: float = None               # initial step (default span·1e-6)
     hmax_frac: float = 0.04        # h_max = span·hmax_frac (≈ tstop/25)
     hmin_frac: float = 1e-12
@@ -249,6 +257,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         nhist=jnp.asarray(0, jnp.int32), bpi=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
+        rrun=jnp.asarray(0, jnp.int32),
     )
 
     t_end = tstop - 1e-12 * span
@@ -308,8 +317,10 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             lerr = lerr * lte_mask
         err = jnp.max(lerr) / opts.trtol
         have_lte = nh >= 2
-        accept = jnp.logical_and(nok, jnp.logical_or(
-            jnp.logical_not(have_lte), err <= 1.0))
+        stalled = c["rrun"] >= opts.stall_accept
+        lte_ok = jnp.logical_or(jnp.logical_not(have_lte), err <= 1.0)
+        accept = jnp.logical_and(nok, jnp.logical_or(lte_ok, stalled))
+        forced = jnp.logical_and(accept, jnp.logical_not(lte_ok))
 
         # new step size; variable-step BDF2 is zero-stable only for step
         # ratios < 1+sqrt(2), and its r-dependent error constant makes even
@@ -362,9 +373,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             t2=jnp.where(acc, c["t1"], c["t2"]),
             nhist=jnp.where(
                 acc,
-                jnp.where(hit_bp, jnp.asarray(0, jnp.int32),
+                jnp.where(jnp.logical_or(hit_bp, forced),
+                          jnp.asarray(0, jnp.int32),
                           jnp.minimum(nh + 1, jnp.asarray(3, jnp.int32))),
                 nh).astype(jnp.int32),
+            rrun=jnp.where(acc, jnp.asarray(0, jnp.int32),
+                           c["rrun"] + 1).astype(jnp.int32),
             bpi=(c["bpi"] + jnp.where(acc, hit_bp.astype(jnp.int32),
                                       jnp.asarray(0, jnp.int32))
                  ).astype(jnp.int32),
