@@ -423,11 +423,12 @@ class Elaborator:
         if letter == "m":
             mdl = self._model(el.model, scope, el.loc,
                               l=kw.get("l"), w=kw.get("w"), env=env)
-            level = self.vres(mdl.params.get("level", 1.0), env, el.loc)
+            polarity, level = self._mos_kind(mdl, env, el.loc)
             if level in (8.0, 14.0, 49.0, 53.0, 54.0):
                 # reference level table: 14/54 -> bsim4 (spectre.jl:599-607);
                 # BSIM3-class levels 8/49/53 share the core via aliases
-                self._instantiate_bsim4(el, name, nets, kw, mdl, env, m)
+                self._instantiate_bsim4(el, name, nets, kw, mdl, env, m,
+                                        polarity)
                 return
             if level not in (1.0,):
                 self.warn(f"MOS level {level:g} not built in yet; using "
@@ -446,7 +447,7 @@ class Elaborator:
                                          "neff": None, "delta": None,
                                          "vmax": None, "theta": None,
                                          "eta": None, "kappa": None})
-            p["ptype"] = 1.0 if mdl.mtype == "nmos" else -1.0
+            p["ptype"] = 1.0 if polarity == "nmos" else -1.0
             for k in ("w", "l"):
                 if k in kw:
                     p[k] = kw[k]
@@ -511,7 +512,29 @@ class Elaborator:
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)
 
-    def _instantiate_bsim4(self, el, name, nets, kw, mdl, env, m):
+    #: Spectre MOS master name -> equivalent SPICE level (reference
+    #: spice_select_device inverse, spectre.jl:589-630)
+    _SPECTRE_MOS_LEVEL = {"bsim4": 54.0, "bsim3v3": 49.0, "bsim3": 49.0,
+                          "bsimcmg": 72.0, "bsimcmg107": 72.0,
+                          "mos1": 1.0, "mos902": 1.0, "mos0": 1.0}
+
+    def _mos_kind(self, mdl, env, loc):
+        """Normalize a MOS model statement to (polarity, level): SPICE cards
+        carry nmos/pmos + level=, Spectre cards carry the master name +
+        type=n/p."""
+        t = mdl.mtype
+        if t in ("nmos", "pmos"):
+            return t, self.vres(mdl.params.get("level", 1.0), env, loc)
+        if t in self._SPECTRE_MOS_LEVEL:
+            ty = mdl.params.get("type")
+            if isinstance(ty, tuple) and ty and ty[0] == "ref":
+                ty = ty[1]
+            pol = "pmos" if str(ty).lower().startswith("p") else "nmos"
+            return pol, self._SPECTRE_MOS_LEVEL[t]
+        raise ElabError(f"model {mdl.name!r}: unknown MOS model kind {t!r}",
+                        loc)
+
+    def _instantiate_bsim4(self, el, name, nets, kw, mdl, env, m, polarity):
         """BSIM4-class MOSFET from a `.model level=8/14/49/53/54` card.
         Model-card parameters map case-insensitively onto the VA module's
         parameters (the reference's case_adjust_kwargs role, spectre.jl:
@@ -519,10 +542,10 @@ class Elaborator:
         warning instead of failing the card."""
         from cedarsim_tpu.models import bsim4_class
         cls = bsim4_class()
-        p = {"TYPE": 1.0 if mdl.mtype == "nmos" else -1.0}
+        p = {"TYPE": 1.0 if polarity == "nmos" else -1.0}
         ignored = []
         for k, v in mdl.params.items():
-            if k in ("level", "version"):
+            if k in ("level", "version", "type"):
                 continue
             actual = cls.param_lower.get(k.lower())
             if actual is None:
@@ -724,7 +747,11 @@ class Elaborator:
     _MTYPE_LETTER = {"nmos": "m", "pmos": "m", "d": "d", "diode": "d",
                      "npn": "q", "pnp": "q", "r": "r", "res": "r",
                      "resistor": "r", "c": "c", "capacitor": "c",
-                     "l": "l", "inductor": "l"}
+                     "l": "l", "inductor": "l",
+                     # Spectre MOS masters (normalized by _mos_kind)
+                     "bsim4": "m", "bsim3v3": "m", "bsim3": "m",
+                     "bsimcmg": "m", "bsimcmg107": "m", "mos1": "m",
+                     "mos902": "m", "mos0": "m"}
 
     def _instantiate_subckt(self, el, scope, prefix, nodemap, mfac, kw):
         entry = self._subckt(el.model, scope, el.loc)

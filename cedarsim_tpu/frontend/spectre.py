@@ -221,6 +221,11 @@ class SpectreParser:
                 return P.Control("option",  [],
                                  dict(self._assignments(toks[1:], loc)), loc)
             return None
+        # named options statement: "<name> options temp=27 reltol=..."
+        if len(toks) >= 2 and toks[1][0] == "w" \
+                and toks[1][1].lower() == "options":
+            return P.Control("option", [],
+                             dict(self._assignments(toks[2:], loc)), loc)
         # analysis statement: <name> <type> param=val ...
         if len(toks) >= 2 and toks[1][0] == "w" \
                 and toks[1][1].lower() in _ANALYSES:
@@ -284,21 +289,40 @@ class SpectreParser:
                     j += 1
                     out.append((name, tuple(vec)))
                     continue
-                # function-call value: f(a, b) — rebuild the text through
-                # the matching paren and parse as an expression
-                if (toks[j + 2][0] == "w" and j + 3 < len(toks)
-                        and toks[j + 3] == ("p", "(")):
-                    parts = [toks[j + 2][1], "("]
-                    depth = 1
-                    j2 = j + 4
-                    while j2 < len(toks) and depth > 0:
+                # expression value spanning several tokens: a parenthesized
+                # group, a function call f(a,b), and operator-continued
+                # tails like (a+b)*c — rebuild source text through matching
+                # parens and parse as one expression (real Spectre decks put
+                # bare expressions after '=')
+                starts_group = toks[j + 2] == ("p", "(")
+                starts_call = (toks[j + 2][0] == "w" and j + 3 < len(toks)
+                               and toks[j + 3] == ("p", "("))
+                if starts_group or starts_call:
+                    parts = []
+                    depth = 0
+                    j2 = j + 2
+                    while j2 < len(toks):
                         kind, s = toks[j2]
                         if (kind, s) == ("p", "("):
                             depth += 1
                         elif (kind, s) == ("p", ")"):
+                            if depth == 0:
+                                break
                             depth -= 1
+                        elif depth == 0 and parts and kind == "w" \
+                                and s[0] not in "+-*/%?:^<>!&|," \
+                                and not (j2 + 1 < len(toks)
+                                         and toks[j2 + 1] == ("p", "(")):
+                            break
+                        elif depth == 0 and kind == "p" and s in ("=", "["):
+                            break
                         parts.append(s)
                         j2 += 1
+                    # don't swallow the next assignment's name
+                    if (parts and j2 - 1 >= 0 and toks[j2 - 1][0] == "w"
+                            and j2 < len(toks) and toks[j2] == ("p", "=")):
+                        parts.pop()
+                        j2 -= 1
                     try:
                         out.append((name,
                                     parse_expr("".join(parts), "spectre")))
