@@ -406,7 +406,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
         (state, (ts_b, xs_b, xd_b, kc)) = jax.lax.while_loop(
             cond, body, (state, (ts_b, xs_b, xd_b, kc0)))
-        # pad unwritten slots with the last state so interp stays monotone
+        # pad unwritten slots with the current state so raw tran_core output
+        # interps monotonically (the tran() wrapper compacts on host, but
+        # vmapped consumers read these buffers directly)
+        written = (jnp.arange(CH) < kc)[:, None]
+        xs_b = jnp.where(written, xs_b, state["x"])
+        xd_b = jnp.where(written, xd_b, state["xdot"])
         return state, (ts_b, xs_b, xd_b, kc)
 
     state, (ts_c, xs_c, xd_c, kc_c) = jax.lax.scan(

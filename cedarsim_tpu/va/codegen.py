@@ -152,7 +152,16 @@ def _dual(a):
     return a[0], a[2]
 
 
-def _limexp(x, lim=80.0):
+def _limexp_cap(x):
+    # f32 evals: e^80 = 5.5e34, so the linear tail e^80·(1+x−80) overflows
+    # f32 (max 3.4e38) once x ≳ 6000 — reachable by wandering continuation
+    # iterates inside x_limit.  Cap lower so the tail stays finite across
+    # the whole clipped iterate range.
+    return 55.0 if jnp.result_type(x) == jnp.float32 else 80.0
+
+
+def _limexp(x, lim=None):
+    lim = _limexp_cap(x) if lim is None else lim
     xe = jnp.exp(jnp.minimum(x, lim))
     return jnp.where(x <= lim, xe, jnp.exp(lim) * (1.0 + (x - lim)))
 
@@ -282,8 +291,9 @@ _DMATH1 = {
     "log10": lambda x: 1.0 / (x * math.log(10.0)),
     "sqrt": lambda x: 0.5 / jnp.sqrt(jnp.maximum(x, 1e-300)),
     "abs": jnp.sign,
-    "limexp": lambda x: jnp.where(x <= 80.0, jnp.exp(jnp.minimum(x, 80.0)),
-                                  jnp.exp(80.0)),
+    "limexp": lambda x: jnp.where(
+        x <= _limexp_cap(x), jnp.exp(jnp.minimum(x, _limexp_cap(x))),
+        jnp.exp(_limexp_cap(x))),
     "sin": jnp.cos, "cos": lambda x: -jnp.sin(x),
     "tan": lambda x: 1.0 + jnp.tan(x) ** 2,
     "asin": lambda x: 1.0 / jnp.sqrt(jnp.maximum(1 - x * x, 1e-300)),
