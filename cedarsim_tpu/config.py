@@ -23,9 +23,29 @@ if not os.environ.get("CEDARSIM_TPU_NO_X64"):
 # (Newton + continuation + adaptive stepping); caching compiled executables
 # across processes addresses the reference's known weak point — compile
 # latency "often exceeding simulation time" (/root/reference/README-CedarSim.md:28).
+def _machine_tag():
+    # XLA:CPU AOT executables embed the *compile* host's CPU feature set and
+    # can SIGILL when loaded on a host missing one (observed across container
+    # migrations: "+prefer-no-scatter is not supported on the host machine").
+    # JAX's cache key does not cover this, so segregate the cache per CPU
+    # feature fingerprint.
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 _cache_dir = os.environ.get(
     "CEDARSIM_TPU_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "cedarsim_tpu", "xla"))
+    os.path.join(os.path.expanduser("~"), ".cache", "cedarsim_tpu", "xla",
+                 _machine_tag()))
 if _cache_dir and _cache_dir != "0":
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
