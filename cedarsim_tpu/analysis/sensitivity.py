@@ -97,7 +97,7 @@ def tran_sensitivity(compiled, observable: str, wrt: str, tspan, t_eval,
 
     def value_at(pv):
         p = compiled.set_param(params, wrt, pv)
-        ts, xs, xds, k, fin, nrej, nnwt = tran_core(
+        ts, xs, xds, k, fin, nrej, nnwt, _ = tran_core(
             compiled, p, ctx, op.x, xd0, jnp.asarray(t0, d),
             jnp.asarray(tstop, d), jnp.asarray(bps, d),
             jnp.asarray((tstop - t0) * 1e-6, d), opts, mask)

@@ -80,6 +80,18 @@ class TranOptions:
     shrink: float = 0.2
     bp_restart: float = 0.1        # h multiplier after a breakpoint
     uic: bool = False              # skip operating point, use ICs directly
+    #: corrector formulation: "charge" discretizes dQ/dt as charge
+    #: differences (Q(x)-Qn)/h — exactly charge-conserving, the f64 default;
+    #: "cap" uses the companion-model capacitance form S(x) + C(x)·ẋ(x)
+    #: with ẋ from the method's derivative recurrence on the f64 states.
+    #: "auto" picks cap for mixed-precision (f32) model evals: TPU f32
+    #: transcendentals carry ~1e-6 relative error (measured: pow 4e-6 vs
+    #: 7e-8 on CPU), and dividing that charge noise by h floors the
+    #: charge-form residual at ~1e-5 A for small steps — Newton then never
+    #: converges and h death-spirals.  The cap form never divides an
+    #: f32-evaluated quantity by h (the x-difference in ẋ is exact f64), so
+    #: eval noise stays relative.
+    formulation: str = "auto"
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -100,6 +112,10 @@ class TranSolution:
     compiled: CompiledCircuit
     ctx: SimSpec
     params: dict
+    #: final integrator state (CHECKPOINT_FIELDS dict of host arrays);
+    #: pass as ``tran(..., resume=sol.checkpoint)`` to continue, or
+    #: persist with save_checkpoint/load_checkpoint
+    checkpoint: dict = None
 
     @property
     def t(self):
@@ -145,15 +161,27 @@ def _differential_mask(compiled, x, ctx, params):
     return jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
 
 
+#: integrator-state fields that make a transient resumable: the current
+#: point, step size, and the two-point history behind the predictor/BDF2
+CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "t1", "t2", "nhist")
+
+
 def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
-              t0, tstop, bps, h0, opts: TranOptions, lte_mask=None):
+              t0, tstop, bps, h0, opts: TranOptions, lte_mask=None,
+              init_state=None):
     """Traceable adaptive transient loop. vmap-safe over params/x0.
 
     ``lte_mask``: 1.0 for differential variables (those with charge/flux
     dynamics), 0.0 for algebraic ones (branch currents, purely resistive
     nodes).  LTE control applies only to differential variables — algebraic
     quantities jump legitimately at waveform corners and must not drive the
-    step-size controller (SPICE applies LTE to states only)."""
+    step-size controller (SPICE applies LTE to states only).
+
+    ``init_state``: optional CHECKPOINT_FIELDS dict from a previous run's
+    final state (element 7 of the return tuple) — resumes the integrator
+    with its step size and predictor history intact (solver-state
+    checkpoint/resume, SURVEY.md §5).  ``t0``/``x0``/``xdot0`` must equal
+    the checkpoint's; ``bps`` must contain only breakpoints > t0."""
     n = compiled.n_x
     dtype = compiled.dtype
     span = tstop - t0
@@ -169,8 +197,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         from cedarsim_tpu.core.sparse_ops import get_sparse_ops
         sops = get_sparse_ops(compiled)
         lin_solve = sops.solve
+        c_apply = sops.matvec
     else:
         lin_solve = linalg.solve
+        c_apply = lambda C, v: C @ v
+    cap_form = (opts.formulation == "cap"
+                or (opts.formulation == "auto"
+                    and compiled.eval_dtype != compiled.dtype))
     nv = compiled.n_nodes + compiled.n_internal
     _jsh_vec = (opts.jac_shunt
                 * (jnp.arange(n) < nv).astype(dtype)) if opts.jac_shunt \
@@ -194,23 +227,41 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             return sops.res_jacs_sparse(x, ctx_t.at_time(t), params)
         return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params)
 
-    def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta):
-        """Implicit-step Newton for the generalized multistep corrector
+    def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh):
+        """Implicit-step Newton.  Charge form solves the generalized
+        multistep corrector
 
             f = (a0*Q(x) + Qhist)/h + beta*S(x) + (1-beta)*Sn
 
         (BE: a0=1, Qhist=-Qn, beta=1; trap: beta=1/2; BDF2: variable-step
-        alpha coefficients with Qhist = a1*Qn + a2*Qprev).  The coefficients
+        alpha coefficients with Qhist = a1*Qn + a2*Qprev).  Cap form solves
+        the companion-model corrector
+
+            f = S(x) + C(x)·(c0*x + xdh)/h
+
+        (BE: c0=1, xdh=-xn; trap: c0=2, xdh=-(2xn+h·ẋn); BDF2: c0=a0,
+        xdh=a1*xn+a2*xp — each exactly the method's ẋ recurrence, so the
+        stored ẋ stays consistent with the corrector).  The coefficients
         are data, so every method shares ONE loop-body instantiation.
         (S, Q, G, C) from ONE fused model walk per iteration ride in the
         carry (compile-time discipline — see dc.py docstring); the final
         (S, Q) at the accepted point come out for free."""
         S0_, Q0_, G0_, C0_ = rj(x_init, t_new)
 
+        def fres(x, S, Q, C):
+            if cap_form:
+                ic = c_apply(C, (c0 * x + xdh) / h)
+                return ic + S, jnp.abs(ic) + jnp.abs(S)
+            f = (a0 * Q + Qhist) / h + beta * S + (1.0 - beta) * Sn
+            scale = (jnp.abs(a0 * Q + Qhist) / h + jnp.abs(beta * S)
+                     + jnp.abs((1.0 - beta) * Sn))
+            return f, scale
+
         def body(carry):
             x, S, Q, G, C, _, it, nnwt = carry
-            f = (a0 * Q + Qhist) / h + beta * S + (1.0 - beta) * Sn
-            J = damp_J(a0 * C / h + beta * G)
+            f, _ = fres(x, S, Q, C)
+            J = damp_J(c0 * C / h + G) if cap_form \
+                else damp_J(a0 * C / h + beta * G)
             dx = lin_solve(J, -f)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
             dx = jnp.where(bad, jnp.zeros_like(dx), dx)
@@ -220,9 +271,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new)
             # residual check as well as dx — a dx-only test false-converges
             # at piecewise-model kinks where Newton stalls with f ≠ 0
-            f_new = (a0 * Qn1 + Qhist) / h + beta * Sn1 + (1.0 - beta) * Sn
-            scale = (jnp.abs(a0 * Qn1 + Qhist) / h + jnp.abs(beta * Sn1)
-                     + jnp.abs((1.0 - beta) * Sn))
+            f_new, scale = fres(xn, Sn1, Qn1, Cn1)
             res_ok = jnp.all(jnp.abs(f_new)
                              <= opts.res_rel * scale + opts.res_tol)
             done = jnp.logical_and(
@@ -259,6 +308,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
         rrun=jnp.asarray(0, jnp.int32),
     )
+    if init_state is not None:
+        # Qn/Sn are recomputed at the checkpoint point (S0/Q0 above, since
+        # x0/t0 equal the checkpoint's); history restores the predictor
+        for f in CHECKPOINT_FIELDS:
+            if f in ("t", "x", "xdot"):
+                continue  # already seeded via t0/x0/xdot0
+            v = jnp.asarray(init_state[f])
+            state0[f] = v.astype(jnp.int32 if f == "nhist" else dtype)
 
     t_end = tstop - 1e-12 * span
 
@@ -307,8 +364,18 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             a0, a1, a2 = one, -one, one * 0.0
             beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
         Qhist = a1 * c["Qn"] + a2 * c["Qp"]
+        # cap-form ẋ recurrence coefficients (mirror the xdot_* updates)
+        if opts.method == "bdf2":
+            c0 = a0
+            xdh = a1 * x + a2 * x1
+        elif opts.method == "be":
+            c0 = one
+            xdh = -x
+        else:  # trap with BE starts
+            c0 = jnp.where(use_be, 1.0, 2.0).astype(dtype)
+            xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
         xn, Sn_new, Qn_new, nok, nnwt = newton_step(
-            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta)
+            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh)
 
         # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
@@ -424,15 +491,34 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     xs_all = jnp.concatenate([x0[None], xs_all])
     xd_all = jnp.concatenate([xdot0[None], xd_all])
     finished = jnp.logical_and(state["ok"], state["t"] >= t_end)
+    final = {f: state[f] for f in CHECKPOINT_FIELDS}
     return (ts_all, xs_all, xd_all, state["k"] + 1, finished,
-            state["nrej"], state["nnwt"])
+            state["nrej"], state["nnwt"], final)
+
+
+def save_checkpoint(path, ckpt: dict):
+    """Persist a transient checkpoint (``sol.checkpoint``) to an .npz file —
+    SURVEY.md §5 solver-state checkpointing (a capability the reference
+    lacks; its runs restart from t=0 on failure)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in ckpt.items()})
+
+
+def load_checkpoint(path) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
 
 
 def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
          opts: TranOptions = None, dc_opts: NewtonOptions = None,
-         x0=None) -> TranSolution:
+         x0=None, resume: dict = None) -> TranSolution:
     """Run a transient analysis (reference ``tran!``,
-    /root/reference/src/sweeps.jl:450-465)."""
+    /root/reference/src/sweeps.jl:450-465).
+
+    ``resume``: a checkpoint dict (``sol.checkpoint`` from a previous run,
+    or ``load_checkpoint(path)``) — continues the integration from the
+    checkpoint's time with step size and predictor history intact; the DC
+    operating point is skipped and ``tspan[0]`` is ignored in favor of the
+    checkpoint time."""
     if opts is None:
         if compiled.eval_dtype != compiled.dtype and \
                 compiled.eval_dtype == jnp.float32:
@@ -449,6 +535,11 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
     if ctx is None:
         ctx = SimSpec.make(dtype=compiled.dtype)
     t0, tstop = float(tspan[0]), float(tspan[1])
+    if resume is not None:
+        t0 = float(np.asarray(resume["t"]))
+        if t0 >= tstop:
+            raise ValueError(f"checkpoint time {t0} is already past "
+                             f"tstop={tstop}")
     span = tstop - t0
 
     # breakpoint schedule (static)
@@ -461,7 +552,10 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
         h0 = min(h0, max(float(bps[0] - t0) * 0.1, span * 1e-9))
 
     # initial operating point
-    if x0 is None:
+    if resume is not None:
+        x0 = jnp.asarray(resume["x"], compiled.dtype)
+        converged0 = True
+    elif x0 is None:
         if opts.uic:
             x0 = jnp.zeros(compiled.n_x, compiled.dtype)
             for name, v in compiled.circuit.ics.items():
@@ -478,14 +572,18 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
         x0 = jnp.asarray(x0, compiled.dtype)
         converged0 = True
 
-    fn = _get_tran_jit(compiled, opts, len(bps))
+    fn = _get_tran_jit(compiled, opts, len(bps), resume is not None)
     ctx_op = ctx.with_mode(Modes.TRANOP).at_time(t0)
-    xdot0 = _consistent_xdot(compiled, x0, ctx_op, params)
+    if resume is not None:
+        xdot0 = jnp.asarray(resume["xdot"], compiled.dtype)
+        h0 = float(np.asarray(resume["h"]))
+    else:
+        xdot0 = _consistent_xdot(compiled, x0, ctx_op, params)
     lte_mask = _differential_mask(compiled, x0, ctx_op, params)
-    ts, xs, xd, k, fin, nrej, nnwt = fn(
+    ts, xs, xd, k, fin, nrej, nnwt, final = fn(
         params, ctx, x0, xdot0, jnp.asarray(t0, compiled.dtype),
         jnp.asarray(tstop, compiled.dtype), bps_j,
-        jnp.asarray(h0, compiled.dtype), lte_mask)
+        jnp.asarray(h0, compiled.dtype), lte_mask, resume)
     k = int(k)
     # compact chunk buffers on host: each chunk's first kc rows are valid
     ts = np.asarray(ts)
@@ -507,15 +605,17 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
         ts=ts_f, xs=xs_f, xdots=xd_f,
         converged=bool(fin) and converged0, n_accepted=k,
         n_rejected=int(nrej), n_newton=int(nnwt),
-        compiled=compiled, ctx=ctx.with_mode(Modes.TRAN), params=params)
+        compiled=compiled, ctx=ctx.with_mode(Modes.TRAN), params=params,
+        checkpoint={f: np.asarray(v) for f, v in final.items()})
 
 
-def _get_tran_jit(compiled: CompiledCircuit, opts: TranOptions, nbp: int):
+def _get_tran_jit(compiled: CompiledCircuit, opts: TranOptions, nbp: int,
+                  resuming: bool = False):
     cache = compiled.__dict__.setdefault("_tran_jit_cache", {})
-    key = (opts, nbp)
+    key = (opts, nbp, resuming)
     if key not in cache:
         cache[key] = jax.jit(
-            lambda params, ctx, x0, xdot0, t0, tstop, bps, h0, m: tran_core(
-                compiled, params, ctx, x0, xdot0, t0, tstop, bps, h0, opts,
-                m))
+            lambda params, ctx, x0, xdot0, t0, tstop, bps, h0, m, ist:
+            tran_core(compiled, params, ctx, x0, xdot0, t0, tstop, bps, h0,
+                      opts, m, init_state=ist))
     return cache[key]

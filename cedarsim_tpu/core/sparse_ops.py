@@ -155,6 +155,13 @@ class SparseOps:
         f = sparse_lu.factor(self.plan, vals)
         return sparse_lu.solve_factored(self.plan, f, rhs)
 
+    def matvec(self, vals, v):
+        """y = A·v for a value vector in the filled pattern (A-space
+        indices; fill positions hold 0 for unassembled entries)."""
+        contrib = vals * v[self.plan.pos_acol]
+        return jax.ops.segment_sum(contrib, jnp.asarray(self.plan.pos_arow),
+                                   num_segments=self.compiled.n_x)
+
     def mask_rows(self, vals, keep):
         """Scale every stored value by keep[row] (for .ic row overwrites)."""
         return vals * keep[self.plan.pos_arow]
