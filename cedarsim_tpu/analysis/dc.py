@@ -237,12 +237,18 @@ def ic_arrays(compiled: CompiledCircuit):
 
 def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
              x0=None, opts: NewtonOptions = None, mode=Modes.DCOP,
-             use_ics=None) -> DCResult:
+             use_ics=None, artifact_cache=True) -> DCResult:
     """Solve the DC operating point.  ``params`` is the (possibly overridden /
     vmapped) parameter pytree; defaults to the compiled nominal values.
 
     ``use_ics``: pin ``.ic``'d nodes during the solve (default: only for the
-    transient operating point, SPICE ``.ic`` semantics)."""
+    transient operating point, SPICE ``.ic`` semantics).
+
+    ``artifact_cache``: consult the netlist-keyed artifact cache
+    (utils/artifacts.py) for a warm-start x0 and store the converged point —
+    a cache hit converges on the plain-attempt rung instead of walking the
+    continuation ladder.  Skipped automatically for traced/batched inputs
+    and when ``x0`` is given."""
     opts = opts or default_newton_options(compiled)
     params = compiled.params0 if params is None else params
     if ctx is None:
@@ -255,6 +261,7 @@ def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
     mask, vals = ic_arrays(compiled)
     if not use_ics:
         mask = jnp.zeros_like(mask)
+    akey = None
     if x0 is None:
         x0 = jnp.zeros(compiled.n_x, compiled.dtype)
         # .nodeset initial guesses (guess only, not pinned)
@@ -263,8 +270,19 @@ def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
             if net is not None and not net.is_ground:
                 x0 = x0.at[net.index].set(v)
         x0 = jnp.where(mask > 0, vals, x0)
+        if artifact_cache:
+            from cedarsim_tpu.utils import artifacts
+            akey = artifacts.op_key(compiled, params, ctx, mode)
+            warm = artifacts.load_op(akey)
+            if warm is not None and warm.shape == (compiled.n_x,):
+                x0 = jnp.asarray(warm, compiled.dtype)
     fn = _get_dc_jit(compiled, opts)
-    return fn(params, ctx, x0, mask, vals)
+    res = fn(params, ctx, x0, mask, vals)
+    if akey is not None and not isinstance(res.x, jax.core.Tracer):
+        from cedarsim_tpu.utils import artifacts
+        if bool(np.all(np.asarray(res.converged))):
+            artifacts.store_op(akey, res.x)
+    return res
 
 
 def _get_dc_jit(compiled: CompiledCircuit, opts: NewtonOptions):
