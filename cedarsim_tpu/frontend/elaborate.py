@@ -508,6 +508,16 @@ class Elaborator:
                 self.ckt.add(CCVS, name, nets, dict(r=val(0, 1.0)), m=m,
                              ctrl=ctrl)
             return
+        if el.letter == "osdi":
+            raise ElabError(
+                f"{el.name}: OSDI compiled-binary models are not supported — "
+                "load the model's Verilog-A source instead (`.hdl "
+                "\"model.va\"` / ahdl_include), which compiles through the "
+                "native VA→JAX pipeline", el.loc)
+        if el.letter == "sparam":
+            raise ElabError(
+                f"{el.name}: S-parameter elements (touchstone frequency "
+                "data) are not implemented yet", el.loc)
         raise ElabError(
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)

@@ -220,9 +220,11 @@ def _val(tok, loc, dialect="spice"):
 
 class SpiceParser:
     def __init__(self, text: str, file="<netlist>", title_line=True,
-                 dialect="spice", errors="raise"):
+                 dialect="spice", errors="raise", spice_dialect="ngspice"):
         self.file = file
         self.dialect = dialect
+        #: SPICE sub-dialect for letter disambiguation (ngspice/hspice/xyce)
+        self.spice_dialect = spice_dialect
         #: "raise": first error throws; "collect": bad statements become
         #: ErrorNodes and parsing continues with the next logical line
         self.errors = errors
@@ -322,12 +324,22 @@ class SpiceParser:
             nodes_vals.append(t)
             j += 1
 
+        # dialect-dependent letters (reference lexer.jl:578-612): N is the
+        # ngspice OSDI device, Y the xyce one; S is the hspice S-parameter
+        # element but the ngspice voltage switch
+        if letter == "n" and self.spice_dialect == "ngspice" or \
+                letter == "y" and self.spice_dialect == "xyce":
+            letter = "osdi"
+        elif letter == "s" and self.spice_dialect == "hspice":
+            letter = "sparam"
         n_nodes, has_model = _ELEMENT_SHAPE.get(letter, (2, False))
         if letter == "q":
             # BJT: 3 or 4 nodes — 4th positional is substrate if followed by
             # a model token
             n_nodes = 4 if len(nodes_vals) >= 5 else 3
-        if letter == "x":
+        if letter in ("x", "osdi"):
+            # variable node count with trailing model name (the reference
+            # parses OSDI "kinda a subckt call", parse.jl:867)
             if not nodes_vals:
                 raise SpiceParseError("subckt call without name", loc.file,
                                       loc.line, line)
@@ -554,12 +566,17 @@ _ELEMENT_SHAPE = {
     "b": (2, False),
     "s": (4, True), "w": (2, True),
     "k": (0, False),
+    "sparam": (2, True),     # hspice S-parameter element: S n1 n2 mname ...
 }
 
 
 def parse_spice(text: str, file="<netlist>", title_line=True,
-                errors="raise") -> SpiceNetlist:
+                errors="raise", spice_dialect="ngspice") -> SpiceNetlist:
     """Parse SPICE netlist text to an AST.  ``errors="collect"`` keeps
     parsing past bad statements (ErrorNodes in the statement list; gather
-    them with ``visit_errors``)."""
-    return SpiceParser(text, file, title_line, errors=errors).parse()
+    them with ``visit_errors``).  ``spice_dialect`` resolves the
+    dialect-dependent element letters (reference tokenize/lexer.jl:578-612):
+    ngspice N→OSDI / S,W→switches; hspice S→S-parameter element;
+    xyce Y→OSDI."""
+    return SpiceParser(text, file, title_line, errors=errors,
+                       spice_dialect=spice_dialect).parse()
