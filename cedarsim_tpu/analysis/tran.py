@@ -7,11 +7,16 @@ per step, so a vmapped sweep of transients runs as one XLA program.
 
 Method
 ======
-Charge-oriented residual F = S(x,t) + dQ(x)/dt.
+DAE residual F = S(x,t) + dQ(x)/dt, discretized per TranOptions.method
+("auto": trap for f64, BDF2 for mixed precision) and
+TranOptions.formulation ("auto": charge differences for f64 — exactly
+charge-conserving; companion-model capacitance form for f32 evals — never
+divides eval noise by h).
 
-* Corrector (trapezoidal):  (Q(x₁)−Q(x₀))/h + ½(S(x₁,t₁)+S(x₀,t₀)) = 0,
+* Charge-form trap corrector:  (Q(x₁)−Q(x₀))/h + ½(S(x₁,t₁)+S(x₀,t₀)) = 0,
   Newton matrix C/h + ½G.  Backward Euler for the first step and after each
-  waveform breakpoint (order reset at discontinuities).
+  waveform breakpoint (order reset at discontinuities).  Cap-form corrector:
+  S(x₁) + C(x₁)·ẋ₁ = 0 with ẋ₁ from the method's derivative recurrence.
 * Predictor: quadratic Newton divided-difference extrapolation through the
   last three accepted points.
 * LTE control: predictor-corrector difference scaled by (atol + rtol·|x|),
@@ -48,11 +53,17 @@ class TranOptions:
     rtol: float = 1e-3
     atol: float = 1e-6
     trtol: float = 7.0
-    #: integration method: "trap" (trapezoidal w/ BE starts — default),
-    #: "be" (backward Euler), or "bdf2" (variable-step BDF, order 1-2 —
-    #: the stiff-robust choice matching IDA's low orders; reference solver
-    #: bench sweeps integrators, benchmarks/gf180_dff_solver_bench.jl:60-96)
-    method: str = "trap"
+    #: integration method: "trap" (trapezoidal w/ BE starts), "be"
+    #: (backward Euler), or "bdf2" (variable-step BDF, order 1-2 — the
+    #: stiff-robust choice matching IDA's low orders; reference solver
+    #: bench sweeps integrators, benchmarks/gf180_dff_solver_bench.jl:60-96).
+    #: "auto" (default) resolves to trap for the charge formulation and
+    #: bdf2 for the cap formulation: the cap-form trap recurrence
+    #: ẋ_{n+1} = 2(x_{n+1}-x_n)/h - ẋ_n carries eval noise forward with
+    #: alternating sign, inflating LTE (measured 7.7x more Newton solves
+    #: than bdf2/cap on the f32 BSIM4 DFF); BDF2's recurrence never
+    #: references ẋ and is immune.
+    method: str = "auto"
     max_steps: int = 8192          # output buffer size
     max_newton: int = 12
     newton_reltol: float = 1e-6
@@ -204,6 +215,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     cap_form = (opts.formulation == "cap"
                 or (opts.formulation == "auto"
                     and compiled.eval_dtype != compiled.dtype))
+    method = opts.method
+    if method == "auto":
+        method = "bdf2" if cap_form else "trap"
     nv = compiled.n_nodes + compiled.n_internal
     _jsh_vec = (opts.jac_shunt
                 * (jnp.arange(n) < nv).astype(dtype)) if opts.jac_shunt \
@@ -350,7 +364,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
         use_be = nh == 0
         one = jnp.asarray(1.0, dtype)
-        if opts.method == "bdf2":
+        if method == "bdf2":
             # variable-step BDF2 alphas; order drops to BE without history
             hi = nh >= 1
             r = h_real / jnp.maximum(t - t1, 1e-300)
@@ -358,17 +372,17 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             a1 = jnp.where(hi, -(1.0 + r), -one)
             a2 = jnp.where(hi, r * r / (1.0 + r), 0.0)
             beta = one
-        elif opts.method == "be":
+        elif method == "be":
             a0, a1, a2, beta = one, -one, one * 0.0, one
         else:  # trap with BE starts
             a0, a1, a2 = one, -one, one * 0.0
             beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
         Qhist = a1 * c["Qn"] + a2 * c["Qp"]
         # cap-form ẋ recurrence coefficients (mirror the xdot_* updates)
-        if opts.method == "bdf2":
+        if method == "bdf2":
             c0 = a0
             xdh = a1 * x + a2 * x1
-        elif opts.method == "be":
+        elif method == "be":
             c0 = one
             xdh = -x
         else:  # trap with BE starts
@@ -393,7 +407,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # ratios < 1+sqrt(2), and its r-dependent error constant makes even
         # ratio-2 growth limit-cycle on oscillatory problems (measured: 70
         # rejects/accept at grow=2, 0.05 at grow=1.5) — clamp well below
-        grow = min(opts.grow, 1.5) if opts.method == "bdf2" else opts.grow
+        grow = min(opts.grow, 1.5) if method == "bdf2" else opts.grow
         fac = jnp.where(have_lte,
                         jnp.clip(0.9 * err ** (-1.0 / 3.0),
                                  opts.shrink, grow),
@@ -412,9 +426,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
         xdot_be = (xn - x) / h_real
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
-        if opts.method == "bdf2":
+        if method == "bdf2":
             xdot_n = (a0 * xn + a1 * x + a2 * x1) / h_real
-        elif opts.method == "be":
+        elif method == "be":
             xdot_n = xdot_be
         else:
             xdot_n = jnp.where(use_be, xdot_be, xdot_tr)
