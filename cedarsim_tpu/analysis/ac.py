@@ -28,6 +28,36 @@ from cedarsim_tpu.ops import linalg
 from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
 
 
+def _freq_stamps(compiled):
+    """S-parameter port-admittance stamps from the circuit's touchstone
+    blocks (frontend/touchstone.py): (node indices [p] with −1 for ground,
+    f grid [m], Y [m,p,p])."""
+    out = []
+    for _name, nets, fgrid, Y in compiled.circuit.sparam_blocks:
+        idx = np.asarray([(-1 if n.is_ground else n.index) for n in nets],
+                         np.int32)
+        out.append((idx, jnp.asarray(fgrid, compiled.dtype),
+                    jnp.asarray(Y, config.complex_dtype)))
+    return out
+
+
+def _apply_freq_stamps(A, f_hz, stamps, n):
+    """A + Σ Y_k(f) stamped at the port nodes (ground rows/cols dropped via
+    a pad slot).  Linear interpolation on the touchstone grid, clamped at
+    the ends."""
+    if not stamps:
+        return A
+    Ap = jnp.zeros((n + 1, n + 1), A.dtype).at[:n, :n].set(A)
+    for idx, fg, Yg in stamps:
+        i = jnp.clip(jnp.searchsorted(fg, f_hz), 1, fg.shape[0] - 1)
+        w = jnp.clip((f_hz - fg[i - 1])
+                     / jnp.maximum(fg[i] - fg[i - 1], 1e-300), 0.0, 1.0)
+        Yf = Yg[i - 1] * (1 - w) + Yg[i] * w
+        ii = jnp.asarray(np.where(idx < 0, n, idx))
+        Ap = Ap.at[jnp.ix_(ii, ii)].add(Yf)
+    return Ap[:n, :n]
+
+
 def acdec(n_per_decade, fstart, fstop):
     """Log frequency grid ≡ ``.ac dec`` (/root/reference/src/ac.jl:296-301)."""
     ndec = np.log10(fstop / fstart)
@@ -71,6 +101,8 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
     op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
 
+    stamps = _freq_stamps(compiled)
+
     @jax.jit
     def run(x, params):
         c = ctx.with_mode(Modes.AC)
@@ -79,11 +111,14 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
         Gc = G.astype(config.complex_dtype)
         Cc = C.astype(config.complex_dtype)
         w = 2.0 * np.pi * jnp.asarray(freqs, compiled.dtype)
+        fz = jnp.asarray(freqs, compiled.dtype)
 
-        def solve_one(wi):
-            return linalg.solve(Gc + 1j * wi * Cc, b)
+        def solve_one(wi, fi):
+            A = _apply_freq_stamps(Gc + 1j * wi * Cc, fi, stamps,
+                                   compiled.n_x)
+            return linalg.solve(A, b)
 
-        return jax.vmap(solve_one)(w)
+        return jax.vmap(solve_one)(w, fz)
 
     v = run(op.x, params)
     return ACSolution(freqs=freqs, v=v, op_x=op.x, compiled=compiled,
@@ -117,6 +152,7 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
     op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
     obs = compiled.observe(out)
+    stamps = _freq_stamps(compiled)
 
     @jax.jit
     def run(x, params):
@@ -135,7 +171,8 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
         w = 2.0 * np.pi * jnp.asarray(freqs, compiled.dtype)
 
         def one(wi, f):
-            A = Gc + 1j * wi * Cc
+            A = _apply_freq_stamps(Gc + 1j * wi * Cc, f, stamps,
+                                   compiled.n_x)
             y = linalg.solve(A.conj().T, e_out.astype(config.complex_dtype))
             H = y.conj() @ Jeps.astype(config.complex_dtype)   # [n_eps]
             s = pwr * jnp.power(f, -ex)

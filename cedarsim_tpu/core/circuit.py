@@ -58,6 +58,11 @@ class Circuit:
         #: analysis directives collected by the frontend (.tran/.ac/.dc/.option)
         self.directives: list = []
         self.options: dict = {}
+        #: S-parameter multiport blocks (frontend/touchstone.py): entries of
+        #: (name, [Net per port; port k = (net, ground)], freqs [m] Hz,
+        #:  Y [m, p, p] complex port admittances).  Applied as
+        #: frequency-dependent stamps by the AC/noise analyses; open at DC.
+        self.sparam_blocks: list = []
 
     @property
     def gnd(self) -> Net:

@@ -360,6 +360,9 @@ class Elaborator:
                         if not isinstance(mv, (int, float)) else float(mv))
             self._instantiate_bsource(el, name, nets, env, m, prefix, nodemap)
             return
+        if letter == "sparam":
+            self._instantiate_sparam(el, name, nets, scope)
+            return
         kw = {k: self.vres(v, env, el.loc) for k, v in el.params.items()}
         m = mfac * kw.pop("m", 1.0)
 
@@ -514,13 +517,49 @@ class Elaborator:
                 "load the model's Verilog-A source instead (`.hdl "
                 "\"model.va\"` / ahdl_include), which compiles through the "
                 "native VA→JAX pipeline", el.loc)
-        if el.letter == "sparam":
-            raise ElabError(
-                f"{el.name}: S-parameter elements (touchstone frequency "
-                "data) are not implemented yet", el.loc)
         raise ElabError(
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)
+
+    def _instantiate_sparam(self, el, name, nets, scope):
+        """hspice S-element (reference SParameterElement, SPICE/parse/
+        forms.jl:411-418): port k is (nets[k], ground); the port S-matrix
+        comes from a touchstone file named by the model card's
+        file=/tstonefile= parameter.  Converted once to port admittances
+        Y(f); applied as frequency-dependent stamps by AC/noise analyses.
+        Open at DC/transient (documented; gmin keeps the matrix regular)."""
+        from cedarsim_tpu.frontend.touchstone import (
+            parse_touchstone, s_to_y, nports_from_name, TouchstoneError)
+        if el.model is None:
+            raise ElabError(f"{el.name}: S-element requires a model card "
+                            "naming the touchstone file", el.loc)
+        mdl = self._model(el.model, scope, el.loc)
+        raw = None
+        for src in (mdl.params, el.params):
+            for k in ("file", "tstonefile", "sfile"):
+                if k in src and raw is None:
+                    raw = src[k]
+        if raw is None:
+            raise ElabError(f"{el.name}: model {el.model!r} has no "
+                            "file=/tstonefile= parameter", el.loc)
+        path = raw[1] if isinstance(raw, tuple) and len(raw) > 1 else raw
+        path = str(path).strip("\"'")
+        path = self._resolve_file(path, el.loc)
+        with open(path) as f:
+            text = f.read()
+        try:
+            freqs, S, z0 = parse_touchstone(text, nports_from_name(path))
+        except TouchstoneError as e:
+            raise ElabError(f"{el.name}: bad touchstone file {path!r}: {e}",
+                            el.loc)
+        import numpy as _np
+        if S.shape[-1] != len(nets):
+            raise ElabError(
+                f"{el.name}: {S.shape[-1]}-port data but {len(nets)} "
+                "element nodes", el.loc)
+        Y = s_to_y(S, z0)
+        self.ckt.sparam_blocks.append((name, list(nets), _np.asarray(freqs),
+                                       Y))
 
     #: Spectre MOS master name -> equivalent SPICE level (reference
     #: spice_select_device inverse, spectre.jl:589-630)

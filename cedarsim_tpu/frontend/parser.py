@@ -337,9 +337,10 @@ class SpiceParser:
             # BJT: 3 or 4 nodes — 4th positional is substrate if followed by
             # a model token
             n_nodes = 4 if len(nodes_vals) >= 5 else 3
-        if letter in ("x", "osdi"):
+        if letter in ("x", "osdi", "sparam"):
             # variable node count with trailing model name (the reference
-            # parses OSDI "kinda a subckt call", parse.jl:867)
+            # parses OSDI "kinda a subckt call", parse.jl:867; the
+            # S-element's port count comes from its touchstone data)
             if not nodes_vals:
                 raise SpiceParseError("subckt call without name", loc.file,
                                       loc.line, line)
@@ -566,7 +567,6 @@ _ELEMENT_SHAPE = {
     "b": (2, False),
     "s": (4, True), "w": (2, True),
     "k": (0, False),
-    "sparam": (2, True),     # hspice S-parameter element: S n1 n2 mname ...
 }
 
 

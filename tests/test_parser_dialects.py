@@ -45,7 +45,7 @@ def test_osdi_elaboration_redirects_to_va():
         elaborate(nl)
 
 
-def test_sparam_elaboration_message():
+def test_sparam_needs_model_card():
     nl = parse_spice("t\nS1 in out smod\n.end\n", spice_dialect="hspice")
-    with pytest.raises(ElabError, match="S-parameter"):
-        elaborate(nl)
+    with pytest.raises(ElabError):
+        elaborate(nl)   # smod model card missing
