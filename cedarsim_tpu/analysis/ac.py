@@ -136,6 +136,23 @@ class NoiseSolution:
     def __getitem__(self, _name="out"):
         return self.psd
 
+    def source(self, name):
+        """PSD contribution [nf] of one noise source — by its full eps name
+        (``"x1.m1#n0"``) or by instance name (summing its sources); the
+        reference's ``noiseparams`` per-contributor breakdown role."""
+        if name in self.eps_names:
+            return self.per_source[:, self.eps_names.index(name)]
+        cols = [k for k, n in enumerate(self.eps_names)
+                if n.rsplit("#", 1)[0] == name]
+        if not cols:
+            raise KeyError(f"no noise source {name!r}; have {self.eps_names}")
+        return self.per_source[:, cols].sum(axis=1)
+
+    def by_source(self):
+        """{eps name: PSD [nf]} for every contributor."""
+        return {n: self.per_source[:, k]
+                for k, n in enumerate(self.eps_names)}
+
 
 def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
           ctx: SimSpec = None, dc_opts: NewtonOptions = None) -> NoiseSolution:
