@@ -556,7 +556,17 @@ class CompiledCircuit:
             for inst in g.instances:
                 pts.append(np.asarray(bp(inst.params, tstop), np.float64))
         out = np.unique(np.concatenate(pts))
-        return out[(out > 0) & (out < tstop)]
+        out = out[(out > 0) & (out < tstop)]
+        # merge near-duplicates: the same edge time computed through
+        # different float paths (45n+50n vs 20n+25n+50n) lands 1 ULP apart,
+        # and the step controller then attempts the 1e-23 s step between
+        # them — h collapses and the run aborts.  Distinct real breakpoints
+        # are never sub-femtosecond apart.
+        if len(out) > 1:
+            tol = max(tstop * 1e-9, 1e-18)
+            keep = np.concatenate([[True], np.diff(out) > tol])
+            out = out[keep]
+        return out
 
 
 def compile_circuit(circuit: Circuit, dtype=None, dynamic_params=(),

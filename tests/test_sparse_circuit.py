@@ -39,3 +39,29 @@ def test_large_chain_sparse_dc():
     for k in range(1, 91):
         v = x[c.node_names.index(f"d{k}")]
         assert min(abs(v), abs(v - 5.0)) < 0.05, (k, v)
+
+
+def test_breakpoint_near_duplicates_merge():
+    """The same edge time computed through different float paths (45n+50n
+    vs 20n+25n+50n) lands 1 ULP apart; the step controller then attempts
+    the 1e-23 s step between them and h collapses.  breakpoints() must
+    merge sub-femtosecond neighbors."""
+    from chain import build
+    import numpy as np
+    c = build(2)
+    bps = c.breakpoints(2e-7)
+    assert len(bps) > 5
+    assert np.diff(bps).min() > 1e-16, np.diff(bps).min()
+
+
+def test_chain_transient_through_coincident_edges():
+    """End-to-end: the 2-cell chain transient crosses the 96 ns corner
+    where CLKN and D edges coincide (the h-collapse regression)."""
+    from chain import build
+    from cedarsim_tpu import tran, TranOptions, SimSpec
+    c = build(2)
+    sol = tran(c, (0.0, 2e-7), ctx=SimSpec.make(gmin=1e-15),
+               opts=TranOptions(max_steps=16384))
+    assert sol.converged
+    v1 = float(sol.interp("d1", 1.99e-7))
+    assert min(abs(v1), abs(v1 - 5.0)) < 0.1, v1
