@@ -91,6 +91,14 @@ class TranOptions:
     shrink: float = 0.2
     bp_restart: float = 0.1        # h multiplier after a breakpoint
     uic: bool = False              # skip operating point, use ICs directly
+    #: transient noise: seed for per-step white-noise injection through the
+    #: device noise sources (ε channels) — ngspice TRNOISE role, a
+    #: capability the reference lacks.  ε_k ~ N(0, pwr/(2h)) per source at
+    #: each step (band-limited white at the step Nyquist); 1/f sources are
+    #: excluded.  Use with near-fixed stepping (loose rtol/atol + hmax_frac
+    #: sized to the bandwidth of interest): the LTE controller otherwise
+    #: fights the non-smooth sample path.  None = noiseless (default).
+    noise_seed: int = None
     #: corrector formulation: "charge" discretizes dQ/dt as charge
     #: differences (Q(x)-Qn)/h — exactly charge-conserving, the f64 default;
     #: "cap" uses the companion-model capacitance form S(x) + C(x)·ẋ(x)
@@ -230,18 +238,37 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             return sops.add_diag(J, opts.jac_shunt)
         return J + jnp.diag(_jsh_vec)
 
-    def parts(x, t):
-        return compiled.residuals(x, ctx_t.at_time(t), params)
+    noisy = opts.noise_seed is not None and compiled.n_eps > 0
+    noise_key = (jax.random.PRNGKey(opts.noise_seed) if noisy else None)
 
-    def rj(x, t):
+    def parts(x, t, eps=None):
+        return compiled.residuals(x, ctx_t.at_time(t), params, eps=eps)
+
+    def rj(x, t, eps=None):
         """(S, Q, G, C) — G/C dense or sparse value vectors; J assembly
         (C/h + beta*G) and the rest of the Newton loop are representation-
         agnostic."""
         if use_sparse:
-            return sops.res_jacs_sparse(x, ctx_t.at_time(t), params)
-        return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params)
+            return sops.res_jacs_sparse(x, ctx_t.at_time(t), params,
+                                        eps=eps)
+        return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params, eps=eps)
 
-    def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh):
+    def draw_eps(x, t, h_real, k):
+        """Discrete white-noise sample for the step ending the interval of
+        length h: ε ~ N(0, pwr/(2h)) per source (ngspice TRNOISE
+        discretization: band-limited white noise at the step Nyquist).
+        Deterministic in the accepted-step index k, so a rejected retry at
+        smaller h re-uses the same unit draw rescaled — one sample path per
+        seed.  1/f sources (exp>0) are excluded (white only)."""
+        pwr, ex = compiled.noise_sources(x, ctx_t.at_time(t), params)
+        xi = jax.random.normal(jax.random.fold_in(noise_key, k),
+                               (compiled.n_eps,), dtype)
+        sigma = jnp.sqrt(jnp.maximum(pwr, 0.0)
+                         / (2.0 * jnp.maximum(h_real, 1e-300)))
+        return xi * sigma * (ex == 0.0)
+
+    def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
+                    eps=None):
         """Implicit-step Newton.  Charge form solves the generalized
         multistep corrector
 
@@ -260,7 +287,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         (S, Q, G, C) from ONE fused model walk per iteration ride in the
         carry (compile-time discipline — see dc.py docstring); the final
         (S, Q) at the accepted point come out for free."""
-        S0_, Q0_, G0_, C0_ = rj(x_init, t_new)
+        S0_, Q0_, G0_, C0_ = rj(x_init, t_new, eps)
 
         def fres(x, S, Q, C):
             if cap_form:
@@ -282,7 +309,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             mx = jnp.max(jnp.abs(dx))
             dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
             xn = x + dx
-            Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new)
+            Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new, eps)
             # residual check as well as dx — a dx-only test false-converges
             # at piecewise-model kinks where Newton stalls with f ≠ 0
             f_new, scale = fres(xn, Sn1, Qn1, Cn1)
@@ -388,8 +415,10 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         else:  # trap with BE starts
             c0 = jnp.where(use_be, 1.0, 2.0).astype(dtype)
             xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
+        eps_k = (draw_eps(x, t, h_real, c["k"]) if noisy else None)
         xn, Sn_new, Qn_new, nok, nnwt = newton_step(
-            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh)
+            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
+            eps=eps_k)
 
         # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
