@@ -161,9 +161,14 @@ def _run_circuit(circuit, temp=None, tran_opts=None):
             opts = tran_opts
             if opts is None:
                 okw = {}
+                span = max(d["tstop"] - (d["tstart"] or 0.0), 1e-30)
                 if d["hmax"]:
-                    okw["hmax_frac"] = d["hmax"] / max(
-                        d["tstop"] - (d["tstart"] or 0.0), 1e-30)
+                    okw["hmax_frac"] = d["hmax"] / span
+                elif d.get("tstep"):
+                    # ngspice caps the internal step near tstep; without a
+                    # bound, circuits driven only by smooth (breakpoint-
+                    # free) sources can leap whole cycles
+                    okw["hmax_frac"] = min(0.04, 5.0 * d["tstep"] / span)
                 if d["uic"]:
                     okw["uic"] = True
                 opts = TranOptions(**okw)
