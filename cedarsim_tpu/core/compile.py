@@ -202,8 +202,12 @@ class CompiledCircuit:
             for pn in pnames:
                 vals = np.stack(
                     [np.asarray(i.params[pn], np.float64) for i in insts])
-                dyn = (pn.lower() in self.dynamic_params or any(
-                    f"{i.name}.{pn}".lower() in self.dynamic_params
+                # a $given mask rides with its parameter: if "dc" is
+                # dynamic, "dc$given" must be data too, or set_param's
+                # given-flip can't reach devices that switch on it
+                base = pn[:-6] if pn.endswith("$given") else pn
+                dyn = (base.lower() in self.dynamic_params or any(
+                    f"{i.name}.{base}".lower() in self.dynamic_params
                     for i in insts))
                 uniform = bool(np.all(vals == vals[0]))
                 if uniform and not dyn:
@@ -510,6 +514,12 @@ class CompiledCircuit:
                 if pname in new[key]:
                     grp = dict(new[key])
                     grp[pname] = jnp.full_like(grp[pname], value)
+                    # an explicit override IS "given" — devices that switch
+                    # behavior on $param_given (e.g. a PULSE source's dc in
+                    # DC mode) must see the new value
+                    if f"{pname}$given" in grp:
+                        grp[f"{pname}$given"] = jnp.ones_like(
+                            grp[f"{pname}$given"])
                     new[key] = grp
                     hit = True
                 elif pname in self.groups[key].static_params:
@@ -523,6 +533,8 @@ class CompiledCircuit:
         new = dict(params)
         grp = dict(new[key])
         grp[pname] = grp[pname].at[j].set(value)
+        if f"{pname}$given" in grp:
+            grp[f"{pname}$given"] = grp[f"{pname}$given"].at[j].set(1.0)
         new[key] = grp
         return new
 

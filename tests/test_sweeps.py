@@ -107,3 +107,28 @@ R2 vmid 0 1k
     r1 = 1e3 * (1 + 0.002 * (np.asarray(temps) - 27.0))
     ref = 1e3 / (r1 + 1e3)
     assert np.allclose(v, ref, rtol=1e-8)
+
+
+def test_sweep_dc_on_wave_source_flips_given():
+    """Explicitly setting/sweeping a waveform source's dc must mark it
+    $given — devices switch on the mask (a PULSE source in DC mode uses
+    the wave value at t=0 unless dc is given), so a swept dc was silently
+    ignored before the mask co-dynamicization."""
+    import numpy as np
+    from cedarsim_tpu import (Circuit, Resistor, VSourcePULSE,
+                              compile_circuit, SimSpec)
+    from cedarsim_tpu.analysis.sweeps import Sweep, dc_sweep
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    ckt = Circuit()
+    vin, mid = ckt.net("vin"), ckt.net("mid")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=5.0, td=1e-9, tr=1e-9, tf=1e-9, pw=1e-6,
+                 per=2e-6))
+    ckt.add(Resistor, "R1", (vin, mid), dict(r=1e3))
+    ckt.add(Resistor, "R2", (mid, ckt.gnd), dict(r=1e3))
+    comp = ensure_dynamic(compile_circuit(ckt), ["V1.dc"])
+    vals = np.array([0.0, 1.0, 2.0])
+    res = dc_sweep(comp, Sweep("V1.dc", vals),
+                   ctx=SimSpec.make(gmin=1e-12))
+    mid_v = np.asarray(res.x)[:, ckt._nets["mid"].index]
+    assert np.allclose(mid_v, vals / 2, atol=1e-9), mid_v
