@@ -244,3 +244,27 @@ def data_sweep(circuit, name=None):
             return TandemSweep(*[
                 Sweep(c, [r[i] for r in rows]) for i, c in enumerate(cols)])
     raise KeyError(f".data block {name!r} not found")
+
+
+def find_param_ranges(sweep):
+    """{parameter name: (min, max, count)} over every leaf Sweep — the
+    reference's sweep summary (/root/reference/src/sweeps.jl:507-546)."""
+    sweep = sweepify(sweep)
+    out = {}
+
+    def walk(s):
+        if isinstance(s, Sweep):
+            vals = list(s.values)
+            key = s.name
+            if key in out:
+                lo, hi, n = out[key]
+                out[key] = (min(lo, min(vals)), max(hi, max(vals)),
+                            n + len(vals))
+            else:
+                out[key] = (min(vals), max(vals), len(vals))
+            return
+        for sub in s.sweeps:
+            walk(sub)
+
+    walk(sweep)
+    return out

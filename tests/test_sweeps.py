@@ -132,3 +132,13 @@ def test_sweep_dc_on_wave_source_flips_given():
                    ctx=SimSpec.make(gmin=1e-12))
     mid_v = np.asarray(res.x)[:, ckt._nets["mid"].index]
     assert np.allclose(mid_v, vals / 2, atol=1e-9), mid_v
+
+
+def test_find_param_ranges():
+    from cedarsim_tpu.analysis.sweeps import (Sweep, ProductSweep,
+                                              SerialSweep, find_param_ranges)
+    s = ProductSweep(Sweep("r", [1.0, 2.0, 3.0]),
+                     SerialSweep(Sweep("c", [5.0]), Sweep("c", [9.0])))
+    r = find_param_ranges(s)
+    assert r["r"] == (1.0, 3.0, 3)
+    assert r["c"] == (5.0, 9.0, 2)
