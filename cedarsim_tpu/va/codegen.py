@@ -434,7 +434,9 @@ def make_device(module: Module, strict_ranges=False):
                         "laplace_np", "zi_nd", "transition", "slew"):
                 raise VACodegenError(
                     f"module {module.name}: analog operator {e[1]}() not "
-                    "supported")
+                    "supported (event/convolution operators; the reference "
+                    "simulator also has no runtime support for these — "
+                    "VerilogAParser tokenizes them only)")
 
     # --- parameters
     given_queries = set()
