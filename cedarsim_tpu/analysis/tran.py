@@ -76,6 +76,10 @@ class TranOptions:
     #: magnitudes of the residual's constituent terms); the f64 default is
     #: 1e-7, f32 evals need ~3e-5
     res_rel: float = 1e-7
+    #: step-size controller: "pi" (default — digital PI, previous-error
+    #: damped, Hairer-Wanner PI.4.2) or "i" (classic integral-only
+    #: err^(-1/3) control)
+    controller: str = "pi"
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
@@ -182,7 +186,8 @@ def _differential_mask(compiled, x, ctx, params):
 
 #: integrator-state fields that make a transient resumable: the current
 #: point, step size, and the two-point history behind the predictor/BDF2
-CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "t1", "t2", "nhist")
+CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "t1", "t2", "nhist",
+                     "errp")
 
 
 def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
@@ -347,7 +352,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         nhist=jnp.asarray(0, jnp.int32), bpi=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
-        rrun=jnp.asarray(0, jnp.int32),
+        rrun=jnp.asarray(0, jnp.int32), errp=jnp.asarray(1.0, dtype),
     )
     if init_state is not None:
         # Qn/Sn are recomputed at the checkpoint point (S0/Q0 above, since
@@ -437,10 +442,22 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # ratio-2 growth limit-cycle on oscillatory problems (measured: 70
         # rejects/accept at grow=2, 0.05 at grow=1.5) — clamp well below
         grow = min(opts.grow, 1.5) if method == "bdf2" else opts.grow
-        fac = jnp.where(have_lte,
-                        jnp.clip(0.9 * err ** (-1.0 / 3.0),
-                                 opts.shrink, grow),
-                        2.0)
+        # the controller is detached from AD: sensitivities differentiate
+        # the realized discretization, not the adaptivity (a tangent flowing
+        # through h via err(x) adds spurious step-sequence derivatives —
+        # measurable drift in jvp-through-integrator sensitivities)
+        err_ctl = jax.lax.stop_gradient(err)
+        if opts.controller == "pi":
+            # digital PI control (Gustafsson / Hairer-Wanner PI.4.2):
+            # damping by the previous step's error cuts the overshoot-
+            # reject-shrink limit cycles an I-only controller falls into
+            p1 = 3.0   # order+1 of the error estimate
+            errp = jnp.maximum(c["errp"], 1e-10)
+            err_s = jnp.maximum(err_ctl, 1e-10)
+            fac_raw = 0.9 * err_s ** (-0.7 / p1) * errp ** (0.4 / p1)
+        else:
+            fac_raw = 0.9 * err_ctl ** (-1.0 / 3.0)
+        fac = jnp.where(have_lte, jnp.clip(fac_raw, opts.shrink, grow), 2.0)
         h_acc = jnp.clip(h_real * fac, hmin, hmax)
         # after a breakpoint: restart small relative to the NEXT waveform
         # interval (an unchecked large first step can leap an entire ramp)
@@ -450,7 +467,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                         0.05 * jnp.maximum(next_int, hmin)), hmin)
         h_acc = jnp.where(hit_bp, h_bp, h_acc)
         h_rej = jnp.maximum(h_real * jnp.where(nok, jnp.maximum(
-            0.9 * jnp.maximum(err, 1.0) ** (-1.0 / 3.0), opts.shrink),
+            0.9 * jnp.maximum(err_ctl, 1.0) ** (-1.0 / 3.0), opts.shrink),
             0.25), hmin)
 
         xdot_be = (xn - x) / h_real
@@ -489,6 +506,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 nh).astype(jnp.int32),
             rrun=jnp.where(acc, jnp.asarray(0, jnp.int32),
                            c["rrun"] + 1).astype(jnp.int32),
+            errp=jnp.where(
+                jnp.logical_and(acc, jnp.logical_and(
+                    have_lte, jnp.logical_not(jnp.logical_or(hit_bp,
+                                                             forced)))),
+                jnp.maximum(err_ctl, 1e-10),
+                jnp.where(acc, 1.0, c["errp"])
+            ).astype(dtype),
             bpi=(c["bpi"] + jnp.where(acc, hit_bp.astype(jnp.int32),
                                       jnp.asarray(0, jnp.int32))
                  ).astype(jnp.int32),
