@@ -162,7 +162,13 @@ class TranSolution:
 def _consistent_xdot(compiled, x, ctx, params):
     """Minimum-norm solution of C·ẋ = −S for the initial derivative (C is
     structurally singular on algebraic rows; ridge-regularized normal
-    equations give the min-norm consistent ẋ)."""
+    equations give the min-norm consistent ẋ).
+
+    Evaluated in TRAN mode regardless of the caller's ctx: operating-point
+    modes replace integrator-state rows (idt/idtmod pins) with algebraic IC
+    constraints that have no dynamic part, which would zero those states'
+    ẋ (and, below, drop them from the differential mask)."""
+    ctx = ctx.with_mode(Modes.TRAN)
     cache = compiled.__dict__.setdefault("_xdot_jit_cache", {})
     if "fn" not in cache:
         def impl(x, ctx, params):
@@ -176,7 +182,12 @@ def _consistent_xdot(compiled, x, ctx, params):
 
 def _differential_mask(compiled, x, ctx, params):
     """1.0 for unknowns with charge/flux dynamics (nonzero column in C at the
-    operating point), 0.0 for algebraic unknowns."""
+    operating point), 0.0 for algebraic unknowns.  TRAN-mode C (see
+    _consistent_xdot): an idtmod-only circuit evaluated in TRANOP would see
+    C ≡ 0 and fall back to LTE-controlling every unknown — including
+    discontinuous algebraic outputs like a wrapped VCO phase, locking the
+    step controller at the wrap."""
+    ctx = ctx.with_mode(Modes.TRAN)
     cache = compiled.__dict__.setdefault("_diffmask_jit_cache", {})
     if "fn" not in cache:
         def impl(x, ctx, params):

@@ -343,6 +343,9 @@ def _walk_exprs(e, out):
     elif k == "call":
         for a in e[2]:
             _walk_exprs(a, out)
+    elif k == "array":
+        for a in e[1]:
+            _walk_exprs(a, out)
 
 
 def _all_exprs(module):
@@ -378,6 +381,131 @@ def _all_exprs(module):
 
 
 # ------------------------------------------------------------------ the device
+
+#: analog filter / event operators lowered to extra device state rows
+#: (LRM 4.5.13 laplace_*, 4.5.14 absdelay, 4.5.16 transition, 4.5.17 slew,
+#: 4.5.10 idtmod).  Each site owns a block of state unknowns appended after
+#: the idt rows; the call site computes every row's (static, dynamic) pair
+#: and the output expression, so DC/AC/noise/transient all ride through the
+#: ordinary MNA machinery with no operator-specific solver support.
+_LF_OPS = frozenset(("laplace_nd", "laplace_np", "laplace_zd", "laplace_zp",
+                     "absdelay", "transition", "slew", "idtmod"))
+
+#: absdelay / delayed transition: order of the Padé(N,N) all-pass
+#: approximation of e^{-s·td} (exact DC gain; group delay accurate to
+#: ~|ω·td| ≲ 2N rad — the classic fallback of continuous-time solvers
+#: without history interpolation)
+_PADE_ORDER = 3
+
+
+def _arr_elems(module, e, what):
+    if not (isinstance(e, tuple) and e[0] == "array"):
+        raise VACodegenError(
+            f"module {module.name}: {what} must be an array literal "
+            "{c0, c1, ...}")
+    return e[1]
+
+
+def _try_const(e, module):
+    """Host-foldable constant value of an expression, else None."""
+    try:
+        return _const_expr(e, module)
+    except Exception:
+        return None
+
+
+def _lf_n_states(module, e):
+    """Static state count for a filter/event operator site (the DAE row
+    block size — must be known before tracing)."""
+    name, args = e[1], e[2]
+    if name in ("laplace_nd", "laplace_np", "laplace_zd", "laplace_zp"):
+        if len(args) != 3:
+            raise VACodegenError(
+                f"module {module.name}: {name}() takes (expr, num, den)")
+        if name in ("laplace_nd", "laplace_zd"):
+            nd = len(_arr_elems(module, args[2],
+                                f"{name}() denominator")) - 1
+        else:
+            pl = len(_arr_elems(module, args[2], f"{name}() poles"))
+            if pl % 2:
+                raise VACodegenError(
+                    f"module {module.name}: {name}() poles must be "
+                    "(re, im) pairs (conjugates listed explicitly, LRM)")
+            nd = pl // 2
+        if name in ("laplace_nd", "laplace_np"):
+            dn = len(_arr_elems(module, args[1],
+                                f"{name}() numerator")) - 1
+        else:
+            zl = len(_arr_elems(module, args[1], f"{name}() zeros"))
+            if zl % 2:
+                raise VACodegenError(
+                    f"module {module.name}: {name}() zeros must be "
+                    "(re, im) pairs")
+            dn = zl // 2
+        if nd < 1:
+            raise VACodegenError(
+                f"module {module.name}: {name}() needs at least one pole")
+        if dn > nd:
+            raise VACodegenError(
+                f"module {module.name}: {name}() transfer function is "
+                f"improper (numerator degree {dn} > denominator {nd})")
+        return nd
+    if name == "absdelay":
+        if not 2 <= len(args) <= 3:
+            raise VACodegenError(
+                f"module {module.name}: absdelay(expr, td[, maxdelay])")
+        return 0 if _try_const(args[1], module) == 0.0 else _PADE_ORDER
+    if name == "transition":
+        extra = 0
+        if len(args) >= 2 and _try_const(args[1], module) != 0.0:
+            extra = _PADE_ORDER
+        return 1 + extra
+    if name == "slew":
+        # no rate bounds → identity, no state
+        return 1 if len(args) >= 2 else 0
+    if name == "idtmod":
+        return 1
+    raise VACodegenError(f"unknown filter operator {name}")
+
+
+def _poly_from_pairs(roots):
+    """Real polynomial coefficients (ascending powers of s) from a flat
+    (re, im, re, im, ...) root list — conjugates listed explicitly per the
+    LRM, so the product is real; the imaginary residue is dropped.  Values
+    may be traced scalars (parameter-dependent poles are fine — only the
+    COUNT is static)."""
+    cr, ci = [1.0], [0.0]
+    for j in range(0, len(roots), 2):
+        a, b = roots[j], roots[j + 1]          # root = a + i·b
+        nr = [0.0] * (len(cr) + 1)
+        ni = [0.0] * (len(cr) + 1)
+        for t in range(len(cr)):
+            nr[t + 1] = nr[t + 1] + cr[t]      # s · c_t
+            ni[t + 1] = ni[t + 1] + ci[t]
+            nr[t] = nr[t] - (a * cr[t] - b * ci[t])   # −root · c_t
+            ni[t] = ni[t] - (a * ci[t] + b * cr[t])
+        cr, ci = nr, ni
+    return cr
+
+
+def _degen_td(td):
+    """Runtime td == 0 flag for a Padé delay block (None when statically
+    nonzero, so the common case pays no masking)."""
+    if isinstance(td, float):
+        return True if td == 0.0 else None
+    return td == 0
+
+
+def _pade_coeffs(td):
+    """Padé(3,3) rational approximation of e^{−s·td}:
+    H(s) = P(−s·td)/P(s·td) with P(u) = 1 + u/2 + u²/10 + u³/120.
+    All-pass (|H| = 1), exact DC gain, group delay within 1% out to
+    ω·td ≈ 4 rad.  td may be a traced scalar."""
+    c = (1.0, 0.5, 0.1, 1.0 / 120.0)
+    den = [c[i] * td ** i if i else 1.0 for i in range(4)]
+    num = [den[0], -den[1], den[2], -den[3]]
+    return num, den
+
 
 def make_device(module: Module, strict_ranges=False):
     """Compile a parsed VA Module into a DeviceModel subclass."""
@@ -422,6 +550,8 @@ def make_device(module: Module, strict_ranges=False):
             # selects the active constraint
             switch_branches.add(key)
     idt_sites = []
+    lf_sites = []       # [(expr, kind, n_states)] lexical order — linear
+    #                     filter / event operators carrying extra states
     for e in _all_exprs(module):
         if e[0] == "call":
             if e[1] in ("white_noise", "flicker_noise", "noise_table"):
@@ -430,12 +560,15 @@ def make_device(module: Module, strict_ranges=False):
             if e[1] == "idt" and not any(x is e for x in idt_sites):
                 idt_sites.append(e)
 
-            if e[1] in ("idtmod", "absdelay", "laplace_nd",
-                        "laplace_np", "zi_nd", "transition", "slew"):
+            if e[1] in _LF_OPS:
+                if not any(x is e for x, _, _ in lf_sites):
+                    lf_sites.append((e, e[1], _lf_n_states(module, e)))
+
+            if e[1] in ("zi_nd", "zi_np", "zi_zd", "zi_zp"):
                 raise VACodegenError(
-                    f"module {module.name}: analog operator {e[1]}() not "
-                    "supported (event/convolution operators; the reference "
-                    "simulator also has no runtime support for these — "
+                    f"module {module.name}: z-domain filter {e[1]}() not "
+                    "supported (needs a discrete sample clock; the "
+                    "reference simulator also has no runtime support — "
                     "VerilogAParser tokenizes them only)")
 
     # --- parameters
@@ -468,12 +601,13 @@ def make_device(module: Module, strict_ranges=False):
 
     interp = _Interp(module, node_index, branch_index, named_branch,
                      n_nodes_local, len(v_branches), noise_sites,
-                     ddx_probes, idt_sites, switch_branches)
+                     ddx_probes, idt_sites, switch_branches, lf_sites)
 
     class VADevice(DeviceModel):
         terminals = tuple(ports)
         n_internal = len(internal)
-        n_branch = len(v_branches) + len(idt_sites)
+        n_branch = (len(v_branches) + len(idt_sites)
+                    + sum(n for _, _, n in lf_sites))
         n_noise = len(noise_sites)
         params = {}            # filled below (nominal defaults)
         given_params = ()
@@ -653,13 +787,23 @@ def _host_binop(op, a, b):
 class _Interp:
     def __init__(self, module, node_index, branch_index, named_branch,
                  n_nodes_local, n_vbranch, noise_sites, ddx_probes=(),
-                 idt_sites=(), switch_branches=()):
+                 idt_sites=(), switch_branches=(), lf_sites=()):
         self.switch_branches = frozenset(switch_branches)
         self.module = module
         self.ddx_probes = tuple(ddx_probes)
         self.noise_site_ids = {id(e): k for k, e in enumerate(noise_sites)}
         self.idt_site_ids = {id(e): k for k, e in enumerate(idt_sites)}
         self.n_idt = len(idt_sites)
+        # filter/event operator sites: id(expr) → (index, kind, offset,
+        # n_states); offsets pack the state blocks after the idt rows
+        self.lf_site_ids = {}
+        self.lf_sites = []
+        off = 0
+        for k, (e, kind, n_st) in enumerate(lf_sites):
+            self.lf_site_ids[id(e)] = k
+            self.lf_sites.append((kind, off, n_st))
+            off += n_st
+        self.n_lf = off
         self.node_index = node_index
         self.branch_index = branch_index
         self.named_branch = named_branch
@@ -684,7 +828,7 @@ class _Interp:
             v = env.get(capture_var, 0.0)
             return _pair(v)[0] + jnp.zeros((), lv.dtype)
         zero = jnp.zeros((), lv.dtype)
-        n_rows = self.n_nodes + self.n_vbranch + self.n_idt
+        n_rows = self.n_nodes + self.n_vbranch + self.n_idt + self.n_lf
         static = [zero] * n_rows
         dynamic = [zero] * n_rows
 
@@ -695,8 +839,27 @@ class _Interp:
             if q is not None:
                 dynamic[idx] = dynamic[idx] + q
 
+        # filter/event operator state rows: the call site stores each row's
+        # (static, dynamic) pair under ("LFROW", site, i); a site whose
+        # statement never executed this trace (statically-dead branch)
+        # pins its states to zero so the block row stays nonsingular
+        lf_base = self.n_nodes + self.n_vbranch + self.n_idt
+        for k, (kind, off, n_st) in enumerate(self.lf_sites):
+            for i in range(n_st):
+                row = lf_base + off + i
+                v = env.get(("LFROW", k, i))
+                if v is None:
+                    static[row] = static[row] + lv[row]
+                else:
+                    s, q = _pair(v)[:2]
+                    static[row] = static[row] + s
+                    if q is not None:
+                        dynamic[row] = dynamic[row] + q
+
         for key, val in env.items():
             if not isinstance(key, tuple):
+                continue
+            if key[0] == "LFROW":
                 continue
             if key[0] == "IDT":
                 # idt state y_k: row = −arg + d/dt(y) = 0 (tran); in the
@@ -1122,6 +1285,142 @@ class _State:
                 f"{self.it.module.name}: unknown node {name!r}")
         return self.lv[idx] if idx >= 0 else self.zero
 
+    def _lf_laplace(self, k, base, n_st, x, num, den, env, degen=None):
+        """Phase-variable companion for y = N(s)/D(s) · x: states
+        z_i = w^{(i)} with D(s)·w = x, y = N(s)·w.  Rows (appended at
+        ``base``): ż_i − z_{i+1} = 0 for i < n−1, and
+        d_n·ż_{n−1} + Σ d_i z_i − x = 0.  At DC (dynamic parts dropped)
+        this collapses to z_{i>0} = 0, d_0 z_0 = x — the exact DC gain —
+        so no operating-point special case is needed.
+
+        ``degen`` (bool or traced): the Padé-delay caller's runtime
+        td == 0 flag.  A degenerate block would otherwise turn the chain
+        rows into derivative trackers (z_1 = ẋ — LTE death on step
+        inputs); instead pin the higher states and let the last row make
+        z_0 = x algebraically."""
+        z = [self.lv[base + i] for i in range(n_st)]
+        for i in range(n_st - 1):
+            if degen is None:
+                env[("LFROW", k, i)] = (-z[i + 1], z[i])
+            else:
+                env[("LFROW", k, i)] = (
+                    jnp.where(degen, z[i + 1], -z[i + 1]),
+                    jnp.where(degen, 0.0, z[i]))
+        acc = self.zero
+        for i in range(n_st):
+            acc = acc + den[i] * z[i]
+        env[("LFROW", k, n_st - 1)] = (acc - x, den[n_st] * z[n_st - 1])
+        w = list(z)
+        if len(num) - 1 == n_st:
+            # w^{(n)} = ż_{n−1} = (x − Σ d_i z_i)/d_n.  d_n may be a traced
+            # zero (absdelay with runtime td = 0 degenerates to d = [1]):
+            # then the matching numerator coefficient is zero too, so the
+            # term contributes nothing — mask the division instead of
+            # letting 0/0 poison the output.
+            dn = den[n_st]
+            if isinstance(dn, float):
+                if dn != 0.0:
+                    w.append((x - acc) / dn)
+                else:
+                    w.append(self.zero)
+            else:
+                nz = dn != 0
+                w.append(jnp.where(nz, (x - acc)
+                                   / jnp.where(nz, dn, 1.0), 0.0))
+        y = self.zero
+        for i, c in enumerate(num):
+            y = y + c * w[i]
+        return y
+
+    def _lf_call(self, name, args, env, node):
+        """Analog filter / event operators (LRM 4.5.10-17) lowered to the
+        site's extra state rows.  The reference simulator has no runtime
+        support for any of these (VerilogAParser tokenizes them only) —
+        this is a capability beyond parity."""
+        it = self.it
+        k = it.lf_site_ids.get(id(node))
+        if k is None:
+            raise VACodegenError(f"{name}() site not registered")
+        kind, off, n_st = it.lf_sites[k]
+        base = it.n_nodes + it.n_vbranch + it.n_idt + off
+        x = _scalar(self.expr(args[0], env), name)
+        dc = self.ctx.mode in (Modes.DCOP, Modes.TRANOP)
+
+        def ev(e_, what):
+            return _scalar(self.expr(e_, env), what)
+
+        if name in ("laplace_nd", "laplace_np", "laplace_zd", "laplace_zp"):
+            if name in ("laplace_nd", "laplace_np"):
+                num = [ev(c, name) for c in args[1][1]]
+            else:
+                num = _poly_from_pairs([ev(c, name) for c in args[1][1]])
+            if name in ("laplace_nd", "laplace_zd"):
+                den = [ev(c, name) for c in args[2][1]]
+            else:
+                den = _poly_from_pairs([ev(c, name) for c in args[2][1]])
+            return self._lf_laplace(k, base, n_st, x, num, den, env)
+        if name == "absdelay":
+            if n_st == 0:            # statically-zero delay: identity
+                return x
+            td = ev(args[1], "absdelay delay")
+            num, den = _pade_coeffs(td)
+            return self._lf_laplace(k, base, n_st, x, num, den, env,
+                                    degen=_degen_td(td))
+        if name == "transition":
+            i0, xd = 0, x
+            if n_st > 1:             # Padé-delayed input block first
+                td = ev(args[1], "transition delay")
+                num, den = _pade_coeffs(td)
+                xd = self._lf_laplace(k, base, _PADE_ORDER, x, num, den,
+                                      env, degen=_degen_td(td))
+                i0 = _PADE_ORDER
+            rise = (ev(args[2], "transition rise") if len(args) > 2
+                    else 1e-9)
+            fall = (ev(args[3], "transition fall") if len(args) > 3
+                    else rise)
+            y = self.lv[base + i0]
+            if dc:
+                env[("LFROW", k, i0)] = (y - xd, None)
+            else:
+                # exponential edge shaping: τ = t_edge/ln(100) puts the
+                # output within 1% of the target after rise/fall seconds
+                # (a smooth stand-in for the LRM's linear ramp — there is
+                # no event queue to latch ramp endpoints from)
+                tau = jnp.where(xd > y, jnp.maximum(rise, 1e-15),
+                                jnp.maximum(fall, 1e-15)) / 4.6051702
+                env[("LFROW", k, i0)] = (-(xd - y) / tau, y)
+            return y
+        if name == "slew":
+            if n_st == 0:            # no rate bounds: identity
+                return x
+            rp = ev(args[1], "slew rate")
+            rn = ev(args[2], "slew rate") if len(args) > 2 else -rp
+            y = self.lv[base]
+            if dc:
+                env[("LFROW", k, 0)] = (y - x, None)
+            else:
+                # bounded follower: tracks x within ~1 µV when unclamped,
+                # slews at the rate bound otherwise (implicit methods eat
+                # the stiffness; Newton sees a smooth clip)
+                kgain = jnp.maximum(rp, -rn) * 1e6
+                rate = jnp.clip(kgain * (x - y), rn, rp)
+                env[("LFROW", k, 0)] = (-rate, y)
+            return y
+        if name == "idtmod":
+            icval = ev(args[1], "idtmod ic") if len(args) > 1 else self.zero
+            y = self.lv[base]
+            if dc:
+                env[("LFROW", k, 0)] = (y - icval, None)
+            else:
+                env[("LFROW", k, 0)] = (-x, y)
+            if len(args) > 2:
+                modulus = ev(args[2], "idtmod modulus")
+                offset = (ev(args[3], "idtmod offset") if len(args) > 3
+                          else self.zero)
+                return y - modulus * jnp.floor((y - offset) / modulus)
+            return y
+        raise VACodegenError(f"unhandled filter operator {name}")
+
     def _callexpr(self, name, args, env, node=None):
         it = self.it
         if name == "V":
@@ -1174,6 +1473,8 @@ class _State:
             env[("IDT", k)] = (arg, icval)
             row = it.n_nodes + it.n_vbranch + k
             return self.lv[row]
+        if name in _LF_OPS:
+            return self._lf_call(name, args, env, node)
         if name == "noise_table":
             return self.zero
         if name == "analysis":

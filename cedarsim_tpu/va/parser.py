@@ -499,6 +499,16 @@ class VAParser:
                 return ("un", "!", self.parse_expr(25))
             if t.text == "~":
                 return ("un", "~", self.parse_expr(25))
+            if t.text == "{":
+                # array literal / concatenation: coefficient vectors of the
+                # laplace_*/zi_* analog filter operators (LRM 4.5.13)
+                elems = []
+                if not self.at("}"):
+                    elems.append(self.parse_expr(0))
+                    while self.accept(","):
+                        elems.append(self.parse_expr(0))
+                self.expect("}")
+                return ("array", elems)
         if t.kind == "id":
             name = t.text
             if self.at("("):
