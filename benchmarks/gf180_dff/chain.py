@@ -9,13 +9,16 @@ import os
 D = os.path.dirname(os.path.abspath(__file__))
 
 
-def chain_netlist(n_cells: int, tstop=2e-7) -> str:
+def chain_netlist(n_cells: int, tstop=2e-7, models="lv1") -> str:
+    """``models``: "lv1" (level-1 substitutes) or "bsim4" (the in-tree
+    BSIM4-class VA compact model) — same cell topology, model cards swap
+    by include."""
     with open(os.path.join(D, "dffnq_cell.spice")) as f:
         body = f.read()
     lines = [
-        f"* {n_cells}-cell DFF shift register (level-1 models)",
+        f"* {n_cells}-cell DFF shift register ({models} models)",
         ".option gmin=1e-15",
-        '.include "models_lv1.spice"',
+        f'.include "models_{models}.spice"',
         ".subckt dffnq D CLKN Q VDD VNW VPW VSS",
         body,
         ".ends",
@@ -35,8 +38,9 @@ def chain_netlist(n_cells: int, tstop=2e-7) -> str:
     return "\n".join(lines)
 
 
-def build(n_cells: int, sparse="auto", **kw):
+def build(n_cells: int, sparse="auto", models="lv1", **kw):
     from cedarsim_tpu import parse_spice, elaborate, compile_circuit
-    nl = parse_spice(chain_netlist(n_cells), file=f"chain{n_cells}.cir")
+    nl = parse_spice(chain_netlist(n_cells, models=models),
+                     file=f"chain{n_cells}_{models}.cir")
     ckt = elaborate(nl, include_paths=[D])
     return compile_circuit(ckt, sparse=sparse, **kw)

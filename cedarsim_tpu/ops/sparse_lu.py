@@ -79,7 +79,32 @@ def _structural_matching(n, rows, cols, weights=None):
     BTF+numeric pivoting, MNA + a weight-guided matching makes static
     pivoting sufficient).  ``weights``: representative |A| entries — rows
     greedily take their largest entry first, and entries below 1e-12 of
-    their row max are used only as a last resort."""
+    their row max are used only as a last resort.
+
+    With weights, an MC64-style max-product assignment (maximize
+    Σ log|a_{i,σ(i)}| — the HSL MC64 objective Duff & Koster 2001, via
+    scipy's sparse Jonker-Volgenant) replaces the greedy matching: static
+    pivoting's element growth is governed by how large the matched
+    diagonal is, and greedy-by-row leaves late rows stuck with tiny
+    pivots (observed: BSIM4 DFF-chain Jacobians factor to NaN/1e16
+    residuals under greedy, converge under max-product)."""
+    if weights is not None:
+        try:
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import (
+                min_weight_full_bipartite_matching)
+            w = np.maximum(np.asarray(weights, np.float64), 1e-300)
+            rowmax = np.zeros(n)
+            np.maximum.at(rowmax, np.asarray(rows, np.int64), w)
+            cost = 1.0 + np.log(np.maximum(rowmax[rows], 1e-300) / w)
+            A = csr_matrix((cost, (rows, cols)), shape=(n, n))
+            rr, cc = min_weight_full_bipartite_matching(A)
+            match_row = np.full(n, -1, np.int64)
+            match_row[rr] = cc
+            if (match_row >= 0).all():
+                return match_row
+        except Exception:
+            pass     # structurally-deficient or scipy absent → greedy path
     adj = [[] for _ in range(n)]
     went = [[] for _ in range(n)]
     for t, (r, c) in enumerate(zip(rows, cols)):
@@ -355,15 +380,41 @@ def matvec(plan: SparsePlan, vals, x):
                                num_segments=plan.n)
 
 
-def factor(plan: SparsePlan, vals):
-    """Numeric LU over the filled value vector (leveled static schedule)."""
+def _boosted(p, tau):
+    return jnp.where(jnp.abs(p) < tau,
+                     jnp.where(p < 0, -tau, tau), p)
+
+
+def factor(plan: SparsePlan, vals, boost: float | jax.Array = 0.0):
+    """Numeric LU over the filled value vector (leveled static schedule).
+
+    ``boost``: GESP-style small-pivot boosting threshold (SuperLU-DIST's
+    static-pivoting recipe: τ = √ε·‖A‖).  The static matching can land on
+    a position that is structurally fine but numerically ~0 at the current
+    iterate (compact-model off-state conductances); without numerical
+    pivoting a zero pivot turns the whole factorization to NaN.  Pivots
+    with |p| < τ are replaced by sign(p)·τ — the boosted value is written
+    back so factor and solve stay consistent — and iterative refinement
+    (``solve(refine=)``) recovers the perturbed digits."""
+    do_boost = not (isinstance(boost, float) and boost == 0.0)
     for lv in range(plan.n_levels):
         dd, dp = plan.div_dst[lv], plan.div_piv[lv]
         if len(dd):
-            vals = vals.at[dd].set(vals[dd] / vals[dp])
+            if do_boost:
+                pb = _boosted(vals[dp], boost)
+                vals = vals.at[dp].set(pb)
+                vals = vals.at[dd].set(vals[dd] / pb)
+            else:
+                vals = vals.at[dd].set(vals[dd] / vals[dp])
         ud, ul, uu = plan.upd_dst[lv], plan.upd_l[lv], plan.upd_u[lv]
         if len(ud):
             vals = vals.at[ud].add(-vals[ul] * vals[uu])
+    if do_boost:
+        # pivots never used by a division level (trailing columns) are
+        # still divisors in back-substitution — boost them too (idempotent
+        # for already-boosted values)
+        d = vals[plan.diag_pos]
+        vals = vals.at[plan.diag_pos].set(_boosted(d, boost))
     return vals
 
 
@@ -386,10 +437,12 @@ def solve_factored(plan: SparsePlan, f, b):
     return out
 
 
-def solve(plan: SparsePlan, vals, b, refine: int = 0, matvec=None):
+def solve(plan: SparsePlan, vals, b, refine: int = 0, matvec=None,
+          boost: float | jax.Array = 0.0):
     """Factor + solve.  ``refine`` extra iterative-refinement passes need a
-    ``matvec(x)`` computing A@x (e.g. from the unfactored vals)."""
-    f = factor(plan, vals)
+    ``matvec(x)`` computing A@x (e.g. from the unfactored vals).
+    ``boost``: GESP small-pivot threshold (see ``factor``)."""
+    f = factor(plan, vals, boost=boost)
     x = solve_factored(plan, f, b)
     for _ in range(refine):
         r = b - matvec(x)

@@ -41,6 +41,51 @@ def test_large_chain_sparse_dc():
         assert min(abs(v), abs(v - 5.0)) < 0.05, (k, v)
 
 
+@pytest.mark.skipif(not os.environ.get("CEDARSIM_RUN_SLOW"),
+                    reason="slow: set CEDARSIM_RUN_SLOW=1")
+def test_bsim4_chain_sparse_matches_dense_dc():
+    """Compact-model Jacobians (20 decades of entry magnitude, off-state
+    zeros on structurally-present positions) are what broke the greedy
+    static pivoting; the MC64 max-product matching + GESP boosting +
+    equilibrated refinement must reproduce the dense answer."""
+    from chain import build
+    from cedarsim_tpu import solve_dc, SimSpec
+    from cedarsim_tpu.analysis.dc import NewtonOptions
+    ctx = SimSpec.make(gmin=1e-15)
+    o = NewtonOptions(max_step=1.0, gmin_steps=14)
+    xs = {}
+    for sp in (False, True):
+        c = build(20, models="bsim4", sparse=sp)
+        r = solve_dc(c, ctx=ctx, mode="tranop", opts=o)
+        assert bool(r.converged), f"sparse={sp}"
+        xs[sp] = np.asarray(r.x)
+    assert np.abs(xs[True] - xs[False]).max() < 1e-9
+
+
+@pytest.mark.skipif(not os.environ.get("CEDARSIM_RUN_SLOW"),
+                    reason="slow: set CEDARSIM_RUN_SLOW=1")
+def test_bsim4_chain_40cell_sparse_transient():
+    """End-to-end 40-cell (452-unknown) BSIM4 shift register through the
+    sparse Newton path: the pulse on d0 must march down the chain one
+    clock period per stage (ROADMAP round-3 #2 workload)."""
+    from chain import build
+    from cedarsim_tpu import solve_dc, tran, TranOptions, SimSpec
+    from cedarsim_tpu.analysis.dc import NewtonOptions
+    ctx = SimSpec.make(gmin=1e-15)
+    o = NewtonOptions(max_step=1.0, gmin_steps=14)
+    c = build(40, models="bsim4")
+    from cedarsim_tpu.core.compile import use_sparse_solver
+    assert use_sparse_solver(c) and c.n_x >= 400
+    sol = tran(c, (0.0, 2e-7), ctx=ctx,
+               opts=TranOptions(max_steps=16384), dc_opts=o)
+    assert sol.converged
+    # shift register: d1 high at 100 ns, d2 high one period later, d3 next
+    assert abs(float(sol.interp("d1", 1.0e-7)) - 5.0) < 0.1
+    assert abs(float(sol.interp("d2", 1.5e-7)) - 5.0) < 0.1
+    assert abs(float(sol.interp("d3", 1.99e-7)) - 5.0) < 0.1
+    assert abs(float(sol.interp("d2", 1.99e-7))) < 0.1
+
+
 def test_breakpoint_near_duplicates_merge():
     """The same edge time computed through different float paths (45n+50n
     vs 20n+25n+50n) lands 1 ULP apart; the step controller then attempts

@@ -97,6 +97,57 @@ def test_sparse_lu_refinement():
     assert np.allclose(np.asarray(x), ref, rtol=1e-8, atol=1e-12)
 
 
+def test_gesp_zero_pivot_boost():
+    """A pivot the static matching chose can be numerically zero at the
+    current Newton iterate (compact-model off-state conductances).  Without
+    boosting, factor() returns NaN; with GESP boosting (+refinement) the
+    solve stays finite and accurate.  (The BSIM4 DFF-chain divergence root
+    cause, fixed alongside MC64 max-product matching.)"""
+    n = 12
+    rng = np.random.default_rng(7)
+    A, rows, cols = _random_circuit_like(n, rng, with_branches=False)
+    # weights say the diagonal is healthy → matching sits on it
+    plan = sparse_lu.build_plan(n, rows, cols,
+                                weights=np.abs(A[rows, cols]))
+    # ...but at this iterate one matched pivot evaluates to exactly 0
+    A2 = A.copy()
+    A2[5, 5] = 0.0
+    vals = sparse_lu.vals_from_dense(plan, jnp.asarray(A2))
+    b = rng.standard_normal(n)
+    x_boost = sparse_lu.solve(
+        plan, vals, jnp.asarray(b),
+        refine=3, matvec=lambda x: jnp.asarray(A2) @ x,
+        boost=np.sqrt(np.finfo(np.float64).eps) * np.abs(A2).max())
+    assert np.isfinite(np.asarray(x_boost)).all()
+    ref = np.linalg.solve(A2, b)
+    assert np.allclose(np.asarray(x_boost), ref, rtol=1e-7, atol=1e-10)
+    # boosting a healthy matrix must not perturb its solution either
+    vals_h = sparse_lu.vals_from_dense(plan, jnp.asarray(A))
+    x_h = sparse_lu.solve(
+        plan, vals_h, jnp.asarray(b), refine=1,
+        matvec=lambda x: jnp.asarray(A) @ x,
+        boost=np.sqrt(np.finfo(np.float64).eps) * np.abs(A).max())
+    assert np.allclose(np.asarray(x_h), np.linalg.solve(A, b), rtol=1e-9)
+
+
+def test_mc64_matching_prefers_large_product():
+    """Max-product assignment (MC64 objective): with weights present the
+    matched diagonal's |a| product must be at least the greedy matching's.
+    On a ring matrix whose diagonal is tiny but structurally present, the
+    matching must abandon the diagonal."""
+    n = 6
+    A = np.full((n, n), 0.0)
+    for i in range(n):
+        A[i, i] = 1e-14                 # structurally present, tiny
+        A[i, (i + 1) % n] = 1.0         # healthy ring
+    rr, cc = np.nonzero(A)
+    plan = sparse_lu.build_plan(n, rr, cc, weights=np.abs(A[rr, cc]))
+    vals = sparse_lu.vals_from_dense(plan, jnp.asarray(A))
+    b = np.arange(1.0, n + 1.0)
+    x = sparse_lu.solve(plan, vals, jnp.asarray(b))
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), rtol=1e-10)
+
+
 def test_plan_reports_levels():
     n = 100
     rng = np.random.default_rng(11)
