@@ -84,6 +84,11 @@ class TranOptions:
     #: headline 1.68 → 1.23 tr/s), a net win for rejection-dominated or
     #: oscillatory single runs.  Either way the controller is AD-detached.
     controller: str = "i"
+    #: LTE acceptance deadband: accept steps with err ≤ accept_slack (err is
+    #: already trtol-scaled); 1.0 = strict classic rule.  Marginal accepts
+    #: still shrink h next step.  Useful under batched lockstep where any
+    #: lane's rejection re-runs every lane.
+    accept_slack: float = 1.0
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
@@ -448,7 +453,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         err = jnp.max(lerr) / opts.trtol
         have_lte = nh >= 2
         stalled = c["rrun"] >= opts.stall_accept
-        lte_ok = jnp.logical_or(jnp.logical_not(have_lte), err <= 1.0)
+        # acceptance deadband: marginal overshoots (1 < err ≤ slack) are
+        # accepted — the controller still shrinks h for the next step
+        # (fac = 0.9·err^(-1/3) < 0.9 there), so the deadband trades a
+        # bounded sliver of local error for the full cost of a rejected
+        # step.  slack=1 restores the strict classic rule.
+        lte_ok = jnp.logical_or(jnp.logical_not(have_lte),
+                                err <= opts.accept_slack)
         accept = jnp.logical_and(nok, jnp.logical_or(lte_ok, stalled))
         forced = jnp.logical_and(accept, jnp.logical_not(lte_ok))
 

@@ -4,4 +4,6 @@ from cedarsim_tpu.devices.simple import (
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
     VCVS, VCCS, CCVS, CCCS, CoupledInductors, VSwitch, ISwitch,
+    OpenCircuit, ShortCircuit, nonlinear_resistor,
+    nonlinear_capacitor,
 )

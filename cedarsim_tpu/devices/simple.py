@@ -530,3 +530,69 @@ class Diode(DeviceModel):
         i = cls.isat_t(p, ctx) * (_limexp(v / vte) - 1.0)
         pwr = 2.0 * config.Q_CHARGE * jnp.abs(i)
         return jnp.stack([pwr]), jnp.zeros((1,))
+
+
+# ------------------------------------------------------- functional devices
+
+class OpenCircuit(DeviceModel):
+    """Two terminals, no contribution (reference OpenCircuit,
+    /root/reference/src/simpledevices.jl:92-97 role) — placeholder for
+    stubbed-out elements without touching the netlist topology."""
+    terminals = ("p", "n")
+    params = {}
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        zero = jnp.zeros((2,), lv.dtype)
+        return zero, zero
+
+
+class ShortCircuit(DeviceModel):
+    """Ideal short: V(p) − V(n) = 0 enforced through a branch-current
+    unknown (reference ShortCircuit role) — merges two nets without
+    editing connectivity."""
+    terminals = ("p", "n")
+    n_branch = 1
+    params = {}
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp, vn, i = lv[0], lv[1], lv[2]
+        static = jnp.stack([i, -i, vp - vn])
+        return static, jnp.zeros_like(static)
+
+
+def nonlinear_resistor(f, name="NonlinearResistor"):
+    """Device-class factory: two-terminal element with I = f(V(p,n))
+    (reference NonlinearResistor, /root/reference/src/simpledevices.jl:79-86
+    — there a closure over `branch!`; here a pure traceable function whose
+    Jacobian comes from the same per-class jacfwd as every device)."""
+    class _NLR(DeviceModel):
+        terminals = ("p", "n")
+        params = {}
+
+        @staticmethod
+        def eval(lv, p, ctx, eps):
+            i = f(lv[0] - lv[1])
+            static = jnp.stack([i, -i])
+            return static, jnp.zeros_like(static)
+
+    _NLR.__name__ = _NLR.__qualname__ = name
+    return _NLR
+
+
+def nonlinear_capacitor(f, name="NonlinearCapacitor"):
+    """Device-class factory: two-terminal element with charge Q = f(V(p,n))
+    (reference NonlinearCapacitor, simpledevices.jl:88-90)."""
+    class _NLC(DeviceModel):
+        terminals = ("p", "n")
+        params = {}
+
+        @staticmethod
+        def eval(lv, p, ctx, eps):
+            q = f(lv[0] - lv[1])
+            zero = jnp.zeros_like(q)
+            return jnp.stack([zero, zero]), jnp.stack([q, -q])
+
+    _NLC.__name__ = _NLC.__qualname__ = name
+    return _NLC

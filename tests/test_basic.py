@@ -100,3 +100,48 @@ def test_voltage_divider_dc():
     assert bool(res.converged)
     assert np.isclose(np.asarray(res.x)[c.node_names.index("mid")], 0.75,
                       **DEFTOL)
+
+
+def test_functional_devices():
+    """OpenCircuit / ShortCircuit / nonlinear_resistor / nonlinear_capacitor
+    (reference simpledevices.jl:79-97): short merges nets, open contributes
+    nothing, NL resistor solves i = k·v² against a closed form."""
+    import jax.numpy as jnp
+    from cedarsim_tpu.devices import (OpenCircuit, ShortCircuit,
+                                      nonlinear_resistor,
+                                      nonlinear_capacitor)
+    # 2 V source -- 1 kΩ -- [short] -- NLR with i = 1e-3·v²  (plus an open
+    # hanging off the middle node).  KCL: (2−v)/1000 = 1e-3·v² → v = 1.
+    NLR = nonlinear_resistor(lambda v: 1e-3 * v * v)
+    ckt = Circuit()
+    a, b, c_ = ckt.net("a"), ckt.net("b"), ckt.net("c")
+    ckt.add(VSource, "V1", (a, ckt.gnd), dict(dc=2.0))
+    ckt.add(Resistor, "R1", (a, b), dict(r=1000.0))
+    ckt.add(ShortCircuit, "S1", (b, c_), {})
+    ckt.add(OpenCircuit, "O1", (b, ckt.gnd), {})
+    ckt.add(NLR, "N1", (c_, ckt.gnd), {})
+    comp = compile_circuit(ckt)
+    res = solve_dc(comp)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    assert abs(x[comp.node_names.index("b")] - 1.0) < 1e-6
+    assert abs(x[comp.node_names.index("c")] - 1.0) < 1e-6
+
+    # NL capacitor Q = 1e-9·v³ on an RC: C_eff(v) = 3e-9·v², check the
+    # transient against a tiny-step reference of dv/dt = (vin−v)/(R·C(v))
+    NLC = nonlinear_capacitor(lambda v: 1e-9 * v ** 3)
+    ck2 = Circuit()
+    vin, vo = ck2.net("vin"), ck2.net("vo")
+    ck2.add(VSource, "V1", (vin, ck2.gnd), dict(dc=2.0))
+    ck2.add(Resistor, "R1", (vin, vo), dict(r=1e3))
+    ck2.add(NLC, "C1", (vo, ck2.gnd), {})
+    ck2.ic("vo", 0.5)
+    c2 = compile_circuit(ck2)
+    sol = tran(c2, (0.0, 1e-5), opts=TranOptions(uic=True))
+    assert sol.converged
+    # dense-step odeint reference
+    v, dt = 0.5, 1e-9
+    for _ in range(int(3e-6 / dt)):
+        v += dt * (2.0 - v) / (1e3 * 3e-9 * v * v)
+    got = float(sol.interp("vo", 3e-6))
+    assert abs(got - v) < 5e-3 * max(1.0, abs(v)), (got, v)

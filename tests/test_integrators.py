@@ -69,6 +69,37 @@ def test_rlc_ringing_amplitude(method):
         assert abs(got - want) < 0.02, (method, t, got, want)
 
 
+def test_accept_slack_cuts_rejections_keeps_accuracy():
+    """LTE acceptance deadband (TranOptions.accept_slack): marginal
+    overshoots accepted → fewer rejected steps, closed-form accuracy
+    preserved (the lockstep-batch throughput lever — one lane's rejection
+    re-runs every lane)."""
+    ckt = Circuit()
+    vin, mid, vout = ckt.net("vin"), ckt.net("mid"), ckt.net("vout")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=1.0, td=0.0, tr=1e-9, tf=1e-9, pw=1.0, per=2.0))
+    R, L, C = 5.0, 1e-6, 1e-9
+    ckt.add(Resistor, "R1", (vin, mid), dict(r=R))
+    ckt.add(Inductor, "L1", (mid, vout), dict(l=L))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=C))
+    comp = compile_circuit(ckt)
+    w0 = 1.0 / math.sqrt(L * C)
+    alpha = R / (2 * L)
+    wd = math.sqrt(w0 * w0 - alpha * alpha)
+    rej = {}
+    for slack in (1.0, 1.6):
+        sol = tran(comp, (0.0, 2e-6),
+                   opts=TranOptions(rtol=1e-4, atol=1e-7,
+                                    max_steps=16384, accept_slack=slack))
+        assert sol.converged
+        rej[slack] = sol.n_rejected
+        for t in np.linspace(2e-7, 1.4e-6, 7):
+            want = 1.0 - math.exp(-alpha * t) * (
+                math.cos(wd * t) + alpha / wd * math.sin(wd * t))
+            assert abs(float(sol.interp("vout", t)) - want) < 0.02, (slack, t)
+    assert rej[1.6] < rej[1.0], rej
+
+
 @pytest.mark.parametrize("method", ["be", "bdf2"])
 def test_stiff_two_time_constants(method):
     """tau_fast = 1 us, tau_slow = 10 ms over a 30 ms window: stiff-stable
