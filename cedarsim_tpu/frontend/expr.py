@@ -25,7 +25,7 @@ _TOK = re.compile(r"""
     \s*(?:
       (?P<num>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[a-zA-Z%_]*)
     | (?P<name>[a-zA-Z_$][\w$.!]*)
-    | (?P<op>\*\*|&&|\|\||==|!=|<=|>=|<|>|[-+*/%^(),?:!])
+    | (?P<op>\*\*|&&|\|\||~\^|\^~|<<|>>|==|!=|<=|>=|<|>|[-+*/%^(),?:!~&|])
     )""", re.VERBOSE)
 
 
@@ -55,10 +55,14 @@ def tokenize_expr(s: str, dialect="spice"):
     return toks
 
 
-# binding powers
+# binding powers, C-like order for the bitwise tier (Spectre follows C:
+# `a & b == c` is `a & (b == c)`; the reference evaluates `1&2~^3` as
+# ~((1&2) xor 3), /root/reference/test/spectre_expr.jl:13,33)
 _BINOPS = {
     "||": 2, "&&": 3,
-    "==": 5, "!=": 5, "<": 6, "<=": 6, ">": 6, ">=": 6,
+    "|": 4, "xor": 5, "xnor": 5, "&": 6,
+    "==": 7, "!=": 7, "<": 8, "<=": 8, ">": 8, ">=": 8,
+    "<<": 9, ">>": 9,
     "+": 10, "-": 10, "*": 20, "/": 20, "%": 20,
     "**": 30, "^": 30,
 }
@@ -66,9 +70,10 @@ _RIGHT = {"**", "^"}
 
 
 class _Parser:
-    def __init__(self, toks):
+    def __init__(self, toks, dialect="spice"):
         self.toks = toks
         self.i = 0
+        self.dialect = dialect
 
     def peek(self):
         return self.toks[self.i]
@@ -94,6 +99,12 @@ class _Parser:
                 b = self.parse(1)
                 left = ("cond", left, a, b)
                 continue
+            # dialect split: `^` is XOR in Spectre, power in SPICE/hspice;
+            # `~^`/`^~` is XNOR in both
+            if val == "^" and self.dialect == "spectre":
+                val = "xor"
+            elif val in ("~^", "^~"):
+                val = "xnor"
             if kind != "op" or val not in _BINOPS:
                 break
             bp = _BINOPS[val]
@@ -131,11 +142,13 @@ class _Parser:
                 return self.parse(25)
             if val == "!":
                 return ("not", self.parse(25))
+            if val == "~":
+                return ("inv", self.parse(25))
         raise ExprError(f"unexpected token {val!r}")
 
 
 def parse_expr(s: str, dialect="spice"):
-    p = _Parser(tokenize_expr(s, dialect))
+    p = _Parser(tokenize_expr(s, dialect), dialect)
     ast = p.parse(0)
     if p.peek()[0] != "end":
         raise ExprError(f"trailing tokens in expression {s!r}")
@@ -144,6 +157,30 @@ def parse_expr(s: str, dialect="spice"):
 
 def _sgn(x):
     return (x > 0) - (x < 0)
+
+
+def _int(x):
+    """Bitwise-operand conversion: round-to-nearest like VA's vaconvert
+    (ties away from zero)."""
+    return int(math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5))
+
+
+#: predefined constants (Spectre UG set; the reference exports M_1_PI from
+#: its SpectreEnvironment, /root/reference/src/spectre_env.jl:142,204)
+_CONSTS = {
+    "pi": math.pi, "m_pi": math.pi, "m_pi_2": math.pi / 2,
+    "m_pi_4": math.pi / 4, "m_1_pi": 1.0 / math.pi,
+    "m_2_pi": 2.0 / math.pi, "m_two_pi": 2.0 * math.pi,
+    "m_e": math.e, "m_log2e": 1.0 / math.log(2.0),
+    "m_log10e": 1.0 / math.log(10.0), "m_ln2": math.log(2.0),
+    "m_ln10": math.log(10.0), "m_sqrt2": math.sqrt(2.0),
+    "m_sqrt1_2": math.sqrt(0.5), "m_degperrad": 180.0 / math.pi,
+    "e": math.e,
+    "p_q": 1.602176634e-19, "p_k": 1.380649e-23, "p_c": 2.99792458e8,
+    "p_h": 6.62607015e-34, "p_eps0": 8.8541878128e-12,
+    "p_u0": 4e-7 * math.pi, "p_celsius0": 273.15,
+    "true": 1.0, "false": 0.0,
+}
 
 
 _FUNCS = {
@@ -196,10 +233,8 @@ def eval_expr(ast, env, rng=None):
         if name in env:
             v = env[name]
             return v() if callable(v) else v
-        if name in ("pi", "m_pi"):
-            return math.pi
-        if name == "e":
-            return math.e
+        if name in _CONSTS:
+            return _CONSTS[name]
         if name in ("temper", "temp"):
             return env.get("$temp", 27.0)
         if name == "time":
@@ -209,6 +244,8 @@ def eval_expr(ast, env, rng=None):
         return -eval_expr(ast[1], env, rng)
     if kind == "not":
         return float(not eval_expr(ast[1], env, rng))
+    if kind == "inv":
+        return float(~_int(eval_expr(ast[1], env, rng)))
     if kind == "bin":
         op = ast[1]
         a = eval_expr(ast[2], env, rng)
@@ -223,6 +260,12 @@ def eval_expr(ast, env, rng=None):
         if op == "/": return a / b
         if op == "%": return math.fmod(a, b)
         if op in ("**", "^"): return a ** b
+        if op == "&": return float(_int(a) & _int(b))
+        if op == "|": return float(_int(a) | _int(b))
+        if op == "xor": return float(_int(a) ^ _int(b))
+        if op == "xnor": return float(~(_int(a) ^ _int(b)))
+        if op == "<<": return float(_int(a) << _int(b))
+        if op == ">>": return float(_int(a) >> _int(b))
         if op == "==": return float(a == b)
         if op == "!=": return float(a != b)
         if op == "<": return float(a < b)
@@ -273,7 +316,7 @@ def expr_refs(ast, out=None):
         out.add(ast[1].lower())
     elif kind == "num":
         pass
-    elif kind in ("neg", "not"):
+    elif kind in ("neg", "not", "inv"):
         expr_refs(ast[1], out)
     elif kind == "bin":
         expr_refs(ast[2], out); expr_refs(ast[3], out)

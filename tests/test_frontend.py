@@ -462,3 +462,49 @@ C1 (n 0) capacitor c=1p
     nl2 = parse_spectre(ssrc, errors="collect")
     errs2 = ve(nl2)
     assert len(errs2) == 1 and errs2[0].loc.line == 4
+
+
+def test_bitwise_and_constants():
+    """Bitwise tier + predefined constants (reference
+    test/spectre_expr.jl:13,30-42: `1&2~^3` == ~((1&2) xor 3) == -4,
+    `true && false || true`, M_1_PI; Spectre `^`=XOR vs SPICE `^`=power)."""
+    import math
+
+    def sp(s, d="spectre"):
+        return eval_expr(parse_expr(s, d), {})
+
+    assert sp("1&2~^3") == -4.0
+    assert sp("true && false || true") == 1.0
+    assert sp("M_1_PI * 3.0") == 3.0 / math.pi
+    assert sp("2^5") == 7.0              # Spectre: XOR
+    assert sp("2^5", "spice") == 32.0    # SPICE: power
+    assert sp("2**5") == 32.0
+    assert sp("~0") == -1.0
+    assert sp("5 | 2") == 7.0
+    assert sp("6 & 3") == 2.0
+    assert sp("1 << 4") == 16.0
+    assert sp("256 >> 3") == 32.0
+    assert sp("1 & 2 == 2") == 1.0       # C precedence: & below ==
+    assert sp("M_SQRT2**2") - 2.0 < 1e-12
+    assert sp("P_CELSIUS0") == 273.15
+
+
+def test_bitwise_in_spectre_netlist():
+    """`parameters pX=<bitwise expr>` drives a device value end-to-end
+    (reference test/spectre_expr.jl:11-18 netlist shape)."""
+    from cedarsim_tpu import simulate
+    code = """// bitwise params
+simulator lang=spectre
+parameters p3=1&2~^3 p4=true && false || true
+v1 (vin 0) vsource dc=2
+r1 (vin 0) resistor r=-p3*250*p4   // -(-4)*250*1 = 1000
+op1 dc
+"""
+    res = simulate(code, dialect="spectre")
+    assert bool(res["op"].converged)
+    # the folded resistance shows up as the source branch current:
+    # I = -V/R = -2/1000 (static params const-fold out of params0)
+    import numpy as np
+    x = np.asarray(res["op"].x)
+    assert np.isclose(x[0], 2.0, rtol=1e-9)
+    assert np.isclose(x[1], -0.002, rtol=1e-6)
