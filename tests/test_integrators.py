@@ -150,3 +150,29 @@ def test_solver_bench_table_dff():
         rows[method] = (sol.n_accepted, sol.n_rejected, sol.n_newton)
     # bdf2 must not need dramatically more steps than trap
     assert rows["bdf2"][0] < 4 * rows["trap"][0], rows
+
+
+@pytest.mark.parametrize("method", ["trap", "bdf2"])
+def test_butterworth_transient_vs_inverse_laplace(method):
+    """3rd-order Butterworth ladder step response vs the exact inverse
+    Laplace (reference test/transients.jl:96-180): H(s)=1/(s^3+2s^2+2s+1),
+    step response 1 - e^-t - (2/sqrt(3)) e^(-t/2) sin(sqrt(3) t/2)."""
+    ckt = Circuit()
+    vin, n1, vout = ckt.net("vin"), ckt.net("n1"), ckt.net("vout")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=1.0, td=0.0, tr=1e-6, tf=1e-6, pw=1e3, per=2e3))
+    ckt.add(Inductor, "L1", (vin, n1), dict(l=1.5))
+    ckt.add(Capacitor, "C2", (n1, ckt.gnd), dict(c=4.0 / 3.0))
+    ckt.add(Inductor, "L3", (n1, vout), dict(l=0.5))
+    ckt.add(Resistor, "R4", (vout, ckt.gnd), dict(r=1.0))
+    comp = compile_circuit(ckt)
+    sol = tran(comp, (0.0, 12.0),
+               opts=TranOptions(method=method, rtol=1e-5, atol=1e-8,
+                                max_steps=32768))
+    assert sol.converged
+    s3 = math.sqrt(3.0)
+    for t in np.linspace(0.5, 11.5, 12):
+        want = 1.0 - math.exp(-t) - (2.0 / s3) * math.exp(-t / 2.0) \
+            * math.sin(s3 * t / 2.0)
+        got = float(sol.interp("vout", t))
+        assert abs(got - want) < 2e-3, (method, t, got, want)
