@@ -89,6 +89,20 @@ class TranOptions:
     #: still shrink h next step.  Useful under batched lockstep where any
     #: lane's rejection re-runs every lane.
     accept_slack: float = 1.0
+    #: modified (chord) Newton with cross-step Jacobian reuse, IDA's
+    #: strategy (the reference's default integrator, Sundials IDA,
+    #: re-evaluates J only when convergence degrades).  0 = off (classic
+    #: full Newton, the batched-lockstep default: under vmap a per-lane
+    #: refresh decision lowers to select and pays both branches, so reuse
+    #: buys nothing there).  N > 0 = refresh the model linearization (G, C)
+    #: at most every N step attempts, or immediately after a stale-J Newton
+    #: failure (retried at the same h) or a breakpoint crossing.  J is
+    #: re-assembled and re-factored from the cached (G, C) every attempt —
+    #: the n³ factor is cheap at dense sizes; the expensive part being
+    #: skipped is the model jacfwd walk.  The residual stays exact, so a
+    #: converged step satisfies the same corrector equation as full
+    #: Newton.  Dense path only (sparse falls back to full Newton).
+    jac_reuse: int = 0
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
@@ -251,6 +265,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     method = opts.method
     if method == "auto":
         method = "bdf2" if cap_form else "trap"
+    # modified Newton with cross-step (G, C) reuse — dense path only
+    mn = opts.jac_reuse > 0 and not use_sparse
     nv = compiled.n_nodes + compiled.n_internal
     _jsh_vec = (opts.jac_shunt
                 * (jnp.arange(n) < nv).astype(dtype)) if opts.jac_shunt \
@@ -359,6 +375,77 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))
         return xn, Sf, Qf, ok, nnwt
 
+    def _factor(J):
+        """Row-equilibrated LU (mirrors linalg.solve's scaling); returns
+        (LU, perm, rowscale)."""
+        r = jnp.max(jnp.abs(J), axis=-1)
+        r = jnp.where(r == 0, jnp.ones_like(r), r)
+        LU, perm = linalg.lu_factor(J / r[:, None])
+        return LU, perm, r
+
+    def newton_mod(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
+                   LUf, perm, rsc, eps=None):
+        """Modified (chord) Newton: iterate with a FROZEN factored Jacobian,
+        evaluating only the residual each iteration.  The residual is exact,
+        so a converged point satisfies the same corrector equation as full
+        Newton — only the iteration path differs.  Charge form needs just
+        (S, Q); cap form gets the displacement current C(x)·v through a jvp
+        of the charge vector (no Jacobian assembly)."""
+
+        def fparts(x):
+            if cap_form:
+                v = (c0 * x + xdh) / h
+                # jvp of Q at x in direction v is exactly C(x)·v — the
+                # cap-form displacement current at the current iterate
+                (S, Q), (_, ic) = jax.jvp(
+                    lambda xx: parts(xx, t_new, eps), (x,), (v,))
+                return S, Q, ic
+            S, Q = parts(x, t_new, eps)
+            return S, Q, jnp.zeros_like(S)
+
+        def fres2(S, Q, ic):
+            if cap_form:
+                return ic + S, jnp.abs(ic) + jnp.abs(S)
+            f = (a0 * Q + Qhist) / h + beta * S + (1.0 - beta) * Sn
+            scale = (jnp.abs(a0 * Q + Qhist) / h + jnp.abs(beta * S)
+                     + jnp.abs((1.0 - beta) * Sn))
+            return f, scale
+
+        S0_, Q0_, ic0_ = fparts(x_init)
+
+        def body(carry):
+            x, S, Q, ic, _, it, nnwt = carry
+            f, _ = fres2(S, Q, ic)
+            dx = linalg.lu_solve(LUf, perm, -f / rsc)
+            bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
+            dx = jnp.where(bad, jnp.zeros_like(dx), dx)
+            mx = jnp.max(jnp.abs(dx))
+            dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
+            xn = x + dx
+            Sn1, Qn1, icn1 = fparts(xn)
+            f_new, scale = fres2(Sn1, Qn1, icn1)
+            res_ok = jnp.all(jnp.abs(f_new)
+                             <= opts.res_rel * scale + opts.res_tol)
+            done = jnp.logical_and(
+                jnp.logical_and(
+                    jnp.all(jnp.abs(dx) <= opts.newton_reltol * jnp.abs(xn)
+                            + opts.newton_abstol),
+                    res_ok),
+                jnp.logical_not(bad))
+            return xn, Sn1, Qn1, icn1, done, it + 1, nnwt + 1
+
+        def cond(carry):
+            done, it = carry[4], carry[5]
+            return jnp.logical_and(jnp.logical_not(done),
+                                   it < opts.max_newton)
+
+        xn, Sf, Qf, _, done, _, nnwt = jax.lax.while_loop(
+            cond, body, (x_init, S0_, Q0_, ic0_, jnp.asarray(False),
+                         jnp.asarray(0, jnp.int32),
+                         jnp.asarray(0, jnp.int32)))
+        ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))
+        return xn, Sf, Qf, ok, nnwt
+
     CH = opts.chunk_size
     n_chunks = -(-opts.max_steps // CH)
     max_tries = 3 * opts.max_steps
@@ -374,6 +461,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
         rrun=jnp.asarray(0, jnp.int32), errp=jnp.asarray(1.0, dtype),
     )
+    if mn:
+        # cached model linearization; jage starts huge so the first attempt
+        # refreshes, jfail forces a same-h refresh retry after a stale-J
+        # Newton failure
+        state0.update(Gc=jnp.zeros((n, n), dtype),
+                      Cc=jnp.zeros((n, n), dtype),
+                      jage=jnp.asarray(1 << 30, jnp.int32),
+                      jfail=jnp.asarray(False))
     if init_state is not None:
         # Qn/Sn are recomputed at the checkpoint point (S0/Q0 above, since
         # x0/t0 equal the checkpoint's); history restores the predictor
@@ -441,9 +536,33 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             c0 = jnp.where(use_be, 1.0, 2.0).astype(dtype)
             xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
         eps_k = (draw_eps(x, t, h_real, c["k"]) if noisy else None)
-        xn, Sn_new, Qn_new, nok, nnwt = newton_step(
-            x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-            eps=eps_k)
+        if mn:
+            refresh = jnp.logical_or(c["jfail"],
+                                     c["jage"] >= opts.jac_reuse)
+
+            def fresh_gc(_):
+                _, _, G_, C_ = rj(x_pred, t_new, eps_k)
+                return G_, C_
+
+            # in un-vmapped jit, cond executes one branch at runtime — the
+            # whole point of the reuse (under vmap it lowers to select and
+            # both sides run; keep jac_reuse=0 for batched lockstep)
+            G, C = jax.lax.cond(refresh, fresh_gc,
+                                lambda _: (c["Gc"], c["Cc"]), None)
+            J = damp_J(c0 * C / h_real + G) if cap_form \
+                else damp_J(a0 * C / h_real + beta * G)
+            LUf, perm, rsc = _factor(J)
+            xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
+                x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
+                LUf, perm, rsc, eps=eps_k)
+            # Newton failure with a STALE linearization is retried at the
+            # same h with a fresh one before any step-size action
+            stale_fail = jnp.logical_and(jnp.logical_not(nok),
+                                         jnp.logical_not(refresh))
+        else:
+            xn, Sn_new, Qn_new, nok, nnwt = newton_step(
+                x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
+                eps=eps_k)
 
         # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
@@ -495,6 +614,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         h_rej = jnp.maximum(h_real * jnp.where(nok, jnp.maximum(
             0.9 * jnp.maximum(err_ctl, 1.0) ** (-1.0 / 3.0), opts.shrink),
             0.25), hmin)
+        if mn:
+            # stale-J failure: keep h, the retry refreshes the Jacobian
+            h_rej = jnp.where(stale_fail, h_real, h_rej)
 
         xdot_be = (xn - x) / h_real
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
@@ -547,6 +669,15 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             nnwt=(c["nnwt"] + nnwt).astype(jnp.int32),
             ok=jnp.logical_and(c["ok"], ok_cont),
         )
+        if mn:
+            c.update(
+                Gc=G, Cc=C,
+                jage=jnp.where(refresh, 1, c["jage"] + 1).astype(jnp.int32),
+                # force a refresh after a stale failure or a breakpoint
+                # crossing (the model jumps to a new operating region)
+                jfail=jnp.logical_or(stale_fail,
+                                     jnp.logical_and(acc, hit_bp)),
+            )
         kc = kc + acc.astype(jnp.int32)
         return c, (ts_b, xs_b, xd_b, kc)
 

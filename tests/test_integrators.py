@@ -176,3 +176,36 @@ def test_butterworth_transient_vs_inverse_laplace(method):
             * math.sin(s3 * t / 2.0)
         got = float(sol.interp("vout", t))
         assert abs(got - want) < 2e-3, (method, t, got, want)
+
+
+def test_jac_reuse_modified_newton_nonlinear():
+    """Modified Newton with cross-step Jacobian reuse (jac_reuse, IDA's
+    strategy): the residual stays exact, so converged physics matches full
+    Newton on a nonlinear circuit (diode half-wave rectifier into RC)."""
+    from cedarsim_tpu import Diode, VSourceSIN
+
+    def build():
+        ckt = Circuit()
+        vin, vout = ckt.net("vin"), ckt.net("vout")
+        ckt.add(VSourceSIN, "V1", (vin, ckt.gnd),
+                dict(vo=0.0, va=3.0, freq=1e5))
+        ckt.add(Diode, "D1", (vin, vout), dict())
+        ckt.add(Resistor, "R1", (vout, ckt.gnd), dict(r=1e4))
+        ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=1e-8))
+        return compile_circuit(ckt)
+
+    comp = build()
+    sols = {}
+    for jr in (0, 8):
+        sols[jr] = tran(comp, (0.0, 3e-5),
+                        opts=TranOptions(rtol=1e-4, atol=1e-7,
+                                         max_steps=16384, jac_reuse=jr))
+        assert sols[jr].converged
+    # rectified peak ~ va - vd; trajectories agree pointwise
+    for t in np.linspace(1e-6, 2.9e-5, 15):
+        a = float(sols[0].interp("vout", t))
+        b = float(sols[8].interp("vout", t))
+        assert abs(a - b) < 2e-3, (t, a, b)
+    peak = max(float(sols[8].interp("vout", t))
+               for t in np.linspace(2e-6, 4e-6, 21))
+    assert 2.0 < peak < 2.9, peak
