@@ -89,19 +89,23 @@ class TranOptions:
     #: still shrink h next step.  Useful under batched lockstep where any
     #: lane's rejection re-runs every lane.
     accept_slack: float = 1.0
-    #: modified (chord) Newton with cross-step Jacobian reuse, IDA's
-    #: strategy (the reference's default integrator, Sundials IDA,
-    #: re-evaluates J only when convergence degrades).  0 = off (classic
-    #: full Newton, the batched-lockstep default: under vmap a per-lane
-    #: refresh decision lowers to select and pays both branches, so reuse
-    #: buys nothing there).  N > 0 = refresh the model linearization (G, C)
-    #: at most every N step attempts, or immediately after a stale-J Newton
-    #: failure (retried at the same h) or a breakpoint crossing.  J is
-    #: re-assembled and re-factored from the cached (G, C) every attempt —
-    #: the n³ factor is cheap at dense sizes; the expensive part being
-    #: skipped is the model jacfwd walk.  The residual stays exact, so a
-    #: converged step satisfies the same corrector equation as full
-    #: Newton.  Dense path only (sparse falls back to full Newton).
+    #: modified (chord) Newton, IDA's strategy (the reference's default
+    #: integrator, Sundials IDA, re-evaluates J only when convergence
+    #: degrades).  0 = off: classic full Newton re-assembles the model
+    #: Jacobian (the expensive jacfwd walk) EVERY iteration.
+    #: 1 = per-step chord: assemble (G, C) at the predictor once per step
+    #: attempt, factor once, iterate with exact residuals only.  This mode
+    #: has NO data-dependent refresh decision, so it vmaps cleanly — the
+    #: batched-lockstep win (a Newton step typically runs 2-4 iterations;
+    #: all but the first skip the jacfwd walk and the factorization).
+    #: N ≥ 2 = cross-step reuse: additionally keep the cached (G, C) across
+    #: up to N step attempts, refreshing on age, a stale-J Newton failure
+    #: (retried at the same h), or a breakpoint crossing.  The refresh is a
+    #: lax.cond — profitable only un-vmapped (single-stream), where cond
+    #: executes one branch; under vmap it lowers to select and pays both.
+    #: Either way the residual stays exact, so a converged step satisfies
+    #: the same corrector equation as full Newton.  Dense path only
+    #: (sparse falls back to full Newton).
     jac_reuse: int = 0
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
@@ -265,8 +269,10 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     method = opts.method
     if method == "auto":
         method = "bdf2" if cap_form else "trap"
-    # modified Newton with cross-step (G, C) reuse — dense path only
+    # modified Newton — dense path only.  jac_reuse=1 is the static
+    # per-step chord (vmappable); >=2 adds the cond-gated cross-step cache
     mn = opts.jac_reuse > 0 and not use_sparse
+    mn_cross = opts.jac_reuse > 1 and not use_sparse
     nv = compiled.n_nodes + compiled.n_internal
     _jsh_vec = (opts.jac_shunt
                 * (jnp.arange(n) < nv).astype(dtype)) if opts.jac_shunt \
@@ -461,7 +467,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
         rrun=jnp.asarray(0, jnp.int32), errp=jnp.asarray(1.0, dtype),
     )
-    if mn:
+    if mn_cross:
         # cached model linearization; jage starts huge so the first attempt
         # refreshes, jfail forces a same-h refresh retry after a stale-J
         # Newton failure
@@ -537,18 +543,23 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
         eps_k = (draw_eps(x, t, h_real, c["k"]) if noisy else None)
         if mn:
-            refresh = jnp.logical_or(c["jfail"],
-                                     c["jage"] >= opts.jac_reuse)
-
             def fresh_gc(_):
                 _, _, G_, C_ = rj(x_pred, t_new, eps_k)
                 return G_, C_
 
-            # in un-vmapped jit, cond executes one branch at runtime — the
-            # whole point of the reuse (under vmap it lowers to select and
-            # both sides run; keep jac_reuse=0 for batched lockstep)
-            G, C = jax.lax.cond(refresh, fresh_gc,
-                                lambda _: (c["Gc"], c["Cc"]), None)
+            if mn_cross:
+                refresh = jnp.logical_or(c["jfail"],
+                                         c["jage"] >= opts.jac_reuse)
+                # in un-vmapped jit, cond executes one branch at runtime —
+                # the whole point of the reuse (under vmap it lowers to
+                # select and both sides run; use jac_reuse=1 for batches)
+                G, C = jax.lax.cond(refresh, fresh_gc,
+                                    lambda _: (c["Gc"], c["Cc"]), None)
+            else:
+                # per-step chord: unconditional assembly at the predictor —
+                # static control flow, so vmapped lanes genuinely skip the
+                # per-iteration jacfwd walk
+                G, C = fresh_gc(None)
             J = damp_J(c0 * C / h_real + G) if cap_form \
                 else damp_J(a0 * C / h_real + beta * G)
             LUf, perm, rsc = _factor(J)
@@ -557,8 +568,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 LUf, perm, rsc, eps=eps_k)
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action
-            stale_fail = jnp.logical_and(jnp.logical_not(nok),
-                                         jnp.logical_not(refresh))
+            stale_fail = (jnp.logical_and(jnp.logical_not(nok),
+                                          jnp.logical_not(refresh))
+                          if mn_cross else jnp.asarray(False))
         else:
             xn, Sn_new, Qn_new, nok, nnwt = newton_step(
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
@@ -614,7 +626,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         h_rej = jnp.maximum(h_real * jnp.where(nok, jnp.maximum(
             0.9 * jnp.maximum(err_ctl, 1.0) ** (-1.0 / 3.0), opts.shrink),
             0.25), hmin)
-        if mn:
+        if mn_cross:
             # stale-J failure: keep h, the retry refreshes the Jacobian
             h_rej = jnp.where(stale_fail, h_real, h_rej)
 
@@ -669,7 +681,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             nnwt=(c["nnwt"] + nnwt).astype(jnp.int32),
             ok=jnp.logical_and(c["ok"], ok_cont),
         )
-        if mn:
+        if mn_cross:
             c.update(
                 Gc=G, Cc=C,
                 jage=jnp.where(refresh, 1, c["jage"] + 1).astype(jnp.int32),

@@ -196,7 +196,9 @@ def test_jac_reuse_modified_newton_nonlinear():
 
     comp = build()
     sols = {}
-    for jr in (0, 8):
+    # jr=1 is the static per-step chord (no refresh cond — vmappable);
+    # jr=8 adds the cond-gated cross-step cache
+    for jr in (0, 1, 8):
         sols[jr] = tran(comp, (0.0, 3e-5),
                         opts=TranOptions(rtol=1e-4, atol=1e-7,
                                          max_steps=16384, jac_reuse=jr))
@@ -204,8 +206,9 @@ def test_jac_reuse_modified_newton_nonlinear():
     # rectified peak ~ va - vd; trajectories agree pointwise
     for t in np.linspace(1e-6, 2.9e-5, 15):
         a = float(sols[0].interp("vout", t))
-        b = float(sols[8].interp("vout", t))
-        assert abs(a - b) < 2e-3, (t, a, b)
+        for jr in (1, 8):
+            b = float(sols[jr].interp("vout", t))
+            assert abs(a - b) < 2e-3, (jr, t, a, b)
     peak = max(float(sols[8].interp("vout", t))
                for t in np.linspace(2e-6, 4e-6, 21))
     assert 2.0 < peak < 2.9, peak
