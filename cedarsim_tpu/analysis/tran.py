@@ -390,13 +390,19 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return LU, perm, r
 
     def newton_mod(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
-                   LUf, perm, rsc, eps=None):
+                   LUf, perm, rsc, eps=None, init_parts=None):
         """Modified (chord) Newton: iterate with a FROZEN factored Jacobian,
         evaluating only the residual each iteration.  The residual is exact,
         so a converged point satisfies the same corrector equation as full
         Newton — only the iteration path differs.  Charge form needs just
         (S, Q); cap form gets the displacement current C(x)·v through a jvp
-        of the charge vector (no Jacobian assembly)."""
+        of the charge vector (no Jacobian assembly).
+
+        ``init_parts``: optional (S, Q, ic) already evaluated at ``x_init``
+        — the per-step chord path assembles (S, Q, G, C) at the predictor
+        anyway, and ic = C(x_init)·v there, so re-evaluating the model for
+        the init residual would duplicate the whole model subgraph in the
+        compiled program (and one jvp eval per step attempt at runtime)."""
 
         def fparts(x):
             if cap_form:
@@ -417,7 +423,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                      + jnp.abs((1.0 - beta) * Sn))
             return f, scale
 
-        S0_, Q0_, ic0_ = fparts(x_init)
+        S0_, Q0_, ic0_ = fparts(x_init) if init_parts is None else init_parts
 
         def body(carry):
             x, S, Q, ic, _, it, nnwt = carry
@@ -558,14 +564,22 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             else:
                 # per-step chord: unconditional assembly at the predictor —
                 # static control flow, so vmapped lanes genuinely skip the
-                # per-iteration jacfwd walk
-                G, C = fresh_gc(None)
+                # per-iteration jacfwd walk.  The fused walk's (S, Q) at the
+                # predictor seed the chord init residual (ic = C·v exactly,
+                # since C here IS ∂Q/∂x at x_pred) — one fewer model
+                # instantiation in the program and one fewer jvp eval per
+                # step attempt
+                S0p, Q0p, G, C = rj(x_pred, t_new, eps_k)
+                init_parts = (S0p, Q0p,
+                              c_apply(C, (c0 * x_pred + xdh) / h_real)
+                              if cap_form else jnp.zeros_like(S0p))
             J = damp_J(c0 * C / h_real + G) if cap_form \
                 else damp_J(a0 * C / h_real + beta * G)
             LUf, perm, rsc = _factor(J)
             xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-                LUf, perm, rsc, eps=eps_k)
+                LUf, perm, rsc, eps=eps_k,
+                init_parts=None if mn_cross else init_parts)
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action
             stale_fail = (jnp.logical_and(jnp.logical_not(nok),
