@@ -104,8 +104,10 @@ class TranOptions:
     #: lax.cond — profitable only un-vmapped (single-stream), where cond
     #: executes one branch; under vmap it lowers to select and pays both.
     #: Either way the residual stays exact, so a converged step satisfies
-    #: the same corrector equation as full Newton.  Dense path only
-    #: (sparse falls back to full Newton).
+    #: the same corrector equation as full Newton.  Per-step chord works on
+    #: both the dense and sparse linear-algebra paths (the sparse
+    #: factor/solve split mirrors KLU's klu_factor/klu_solve); cross-step
+    #: reuse is dense-only (the cache carries dense (G, C)).
     jac_reuse: int = 0
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
@@ -269,9 +271,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     method = opts.method
     if method == "auto":
         method = "bdf2" if cap_form else "trap"
-    # modified Newton — dense path only.  jac_reuse=1 is the static
-    # per-step chord (vmappable); >=2 adds the cond-gated cross-step cache
-    mn = opts.jac_reuse > 0 and not use_sparse
+    # modified Newton.  jac_reuse=1 is the static per-step chord
+    # (vmappable, both dense and sparse — the sparse factor/solve split is
+    # SparseOps.factorize/solve_factorized, KLU's klu_factor/klu_solve
+    # role); >=2 adds the cond-gated cross-step cache (dense only: the
+    # cache carries dense (G, C) arrays)
+    mn = opts.jac_reuse > 0
     mn_cross = opts.jac_reuse > 1 and not use_sparse
     nv = compiled.n_nodes + compiled.n_internal
     _jsh_vec = (opts.jac_shunt
@@ -390,7 +395,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return LU, perm, r
 
     def newton_mod(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
-                   LUf, perm, rsc, eps=None, init_parts=None):
+                   solve_fn, eps=None, init_parts=None):
         """Modified (chord) Newton: iterate with a FROZEN factored Jacobian,
         evaluating only the residual each iteration.  The residual is exact,
         so a converged point satisfies the same corrector equation as full
@@ -428,7 +433,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         def body(carry):
             x, S, Q, ic, _, it, nnwt = carry
             f, _ = fres2(S, Q, ic)
-            dx = linalg.lu_solve(LUf, perm, -f / rsc)
+            dx = solve_fn(-f)
             bad = jnp.logical_not(jnp.all(jnp.isfinite(dx)))
             dx = jnp.where(bad, jnp.zeros_like(dx), dx)
             mx = jnp.max(jnp.abs(dx))
@@ -575,10 +580,19 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                               if cap_form else jnp.zeros_like(S0p))
             J = damp_J(c0 * C / h_real + G) if cap_form \
                 else damp_J(a0 * C / h_real + beta * G)
-            LUf, perm, rsc = _factor(J)
+            if use_sparse:
+                fct = sops.factorize(J)
+
+                def chord_solve(b, _fct=fct, _J=J):
+                    return sops.solve_factorized(_fct, _J, b)
+            else:
+                LUf, perm, rsc = _factor(J)
+
+                def chord_solve(b, _lu=LUf, _p=perm, _r=rsc):
+                    return linalg.lu_solve(_lu, _p, b / _r)
             xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-                LUf, perm, rsc, eps=eps_k,
+                chord_solve, eps=eps_k,
                 init_parts=None if mn_cross else init_parts)
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action

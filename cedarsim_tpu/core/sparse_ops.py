@@ -150,15 +150,18 @@ class SparseOps:
         """vals + diag(d) on voltage rows (gmin shunts, d: [nv] or scalar)."""
         return vals.at[self.vdiag_pos].add(d)
 
-    def solve(self, vals, rhs, refine: int = 1):
-        """GESP static-pivoted solve (SuperLU-DIST recipe, TPU-static):
+    def factorize(self, vals):
+        """Equilibrate + factor once; returns an opaque factorization for
+        ``solve_factorized`` — the factor/solve split that lets a chord
+        (modified) Newton freeze one factorization across iterations, the
+        role KLU's klu_factor/klu_solve split plays in the reference stack.
+
+        GESP static-pivoted recipe (SuperLU-DIST, TPU-static):
 
         1. row+column equilibration A′ = D_r·A·D_c (MNA entries span ~20
            decades for compact models; scaling tames the element growth a
            no-numerical-pivoting factorization would otherwise suffer),
-        2. factor with small pivots boosted to √ε (ops/sparse_lu.py),
-        3. ``refine`` iterative-refinement passes against the unfactored
-           values to recover the perturbed digits."""
+        2. factor with small pivots boosted to √ε (ops/sparse_lu.py)."""
         from cedarsim_tpu.ops import sparse_lu
         n = self.compiled.n_x
         arow = jnp.asarray(self.plan.pos_arow)
@@ -172,6 +175,14 @@ class SparseOps:
         vs = vs * dc[acol]
         tau = jnp.sqrt(jnp.finfo(vals.dtype).eps)   # ‖A′‖∞ = 1 by scaling
         f = sparse_lu.factor(self.plan, vs, boost=tau)
+        return (f, dr, dc)
+
+    def solve_factorized(self, fct, vals, rhs, refine: int = 1):
+        """Solve A x = rhs with a factorization from ``factorize(vals)``;
+        ``refine`` iterative-refinement passes against the unfactored values
+        recover the digits the boosted static pivots perturbed."""
+        from cedarsim_tpu.ops import sparse_lu
+        f, dr, dc = fct
 
         def solve_scaled(b):
             # A x = b  ⇔  A′·(D_c⁻¹ x) = D_r b
@@ -182,6 +193,11 @@ class SparseOps:
             r = rhs - self.matvec(vals, x)
             x = x + solve_scaled(r)
         return x
+
+    def solve(self, vals, rhs, refine: int = 1):
+        """One-shot factor + solve (see factorize/solve_factorized)."""
+        return self.solve_factorized(self.factorize(vals), vals, rhs,
+                                     refine=refine)
 
     def matvec(self, vals, v):
         """y = A·v for a value vector in the filled pattern (A-space

@@ -23,6 +23,30 @@ def test_dff_chain_sparse_matches_dense():
     assert np.abs(xs[True] - xs[False]).max() < 1e-10
 
 
+def test_sparse_chord_newton_transient_matches_full():
+    """Per-step chord Newton (jac_reuse=1) on the SPARSE path: frozen
+    factorization (SparseOps.factorize/solve_factorized — KLU's
+    klu_factor/klu_solve split), exact residuals, so the converged corrector
+    solutions match full Newton's; only the iteration path differs."""
+    from chain import build
+    from cedarsim_tpu import tran, TranOptions, SimSpec
+    from cedarsim_tpu.core.compile import use_sparse_solver
+    c = build(2, sparse=True)
+    assert use_sparse_solver(c)
+    ctx = SimSpec.make(gmin=1e-15)
+    sols = {}
+    for jr in (0, 1):
+        sol = tran(c, (0.0, 1e-7), ctx=ctx,
+                   opts=TranOptions(max_steps=16384, jac_reuse=jr))
+        assert sol.converged, f"jac_reuse={jr}"
+        sols[jr] = sol
+    # identical physics at flat-region probes (step sequences may differ)
+    for t_probe in (4.5e-8, 6.8e-8, 9.9e-8):
+        v0 = float(sols[0].interp("d1", t_probe))
+        v1 = float(sols[1].interp("d1", t_probe))
+        assert abs(v0 - v1) < 1e-2, (t_probe, v0, v1)
+
+
 @pytest.mark.skipif(not os.environ.get("CEDARSIM_RUN_SLOW"),
                     reason="slow: set CEDARSIM_RUN_SLOW=1")
 def test_large_chain_sparse_dc():
