@@ -184,10 +184,19 @@ class TranSolution:
         return np.interp(t_eval, self.ts, vals)
 
 
+def consistent_xdot_impl(compiled, x, ctx, params):
+    """Traceable minimum-norm solution of C·ẋ = −S for the initial
+    derivative (C is structurally singular on algebraic rows;
+    ridge-regularized normal equations give the min-norm consistent ẋ).
+    vmap-safe over (x, params)."""
+    S, _, _, C = compiled.res_jacs_fwd(x, ctx, params)
+    lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
+    A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=compiled.dtype)
+    return linalg.solve(A, -(C.T @ S))
+
+
 def _consistent_xdot(compiled, x, ctx, params):
-    """Minimum-norm solution of C·ẋ = −S for the initial derivative (C is
-    structurally singular on algebraic rows; ridge-regularized normal
-    equations give the min-norm consistent ẋ).
+    """Jit-cached ``consistent_xdot_impl``.
 
     Evaluated in TRAN mode regardless of the caller's ctx: operating-point
     modes replace integrator-state rows (idt/idtmod pins) with algebraic IC
@@ -196,12 +205,9 @@ def _consistent_xdot(compiled, x, ctx, params):
     ctx = ctx.with_mode(Modes.TRAN)
     cache = compiled.__dict__.setdefault("_xdot_jit_cache", {})
     if "fn" not in cache:
-        def impl(x, ctx, params):
-            S, _, _, C = compiled.res_jacs_fwd(x, ctx, params)
-            lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
-            A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=compiled.dtype)
-            return linalg.solve(A, -(C.T @ S))
-        cache["fn"] = jax.jit(impl)
+        cache["fn"] = jax.jit(
+            lambda x, ctx, params: consistent_xdot_impl(
+                compiled, x, ctx, params))
     return cache["fn"](x, ctx, params)
 
 

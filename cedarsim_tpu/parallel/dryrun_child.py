@@ -57,8 +57,22 @@ def main(n_devices: int) -> None:
     ok = np.asarray(res.converged)
     assert ok.shape == (len(vtos),), ok.shape
     assert ok.all(), f"sharded sweep failed to converge: {ok}"
+
+    # the FULL step: per-lane operating point + adaptive implicit time loop
+    # (Newton + LU + LTE control in lax.while_loop), vmapped over the sweep
+    # and sharded over the mesh — one short window on tiny shapes
+    from cedarsim_tpu.parallel.mesh import tran_sweep_sharded
+    from cedarsim_tpu.analysis.tran import TranOptions
+    tres = tran_sweep_sharded(
+        compiled, Sweep("vto", vtos[:n_devices]), (0.0, 2e-9), mesh,
+        opts=TranOptions(max_steps=256, chunk_size=32),
+        dc_opts=NewtonOptions(gmin_steps=3, src_steps=2, restarts=1))
+    tok = np.asarray(tres.finished)
+    assert tok.all(), f"sharded transient sweep failed: {tok}"
     print(f"dryrun_multichip({n_devices}): {len(vtos)} DFF operating points "
-          f"converged on mesh {dict(mesh.shape)}")
+          f"converged and {len(tok)} sharded transients finished "
+          f"({int(np.asarray(tres.n_accepted).sum())} steps) on mesh "
+          f"{dict(mesh.shape)}")
 
 
 if __name__ == "__main__":

@@ -10,6 +10,9 @@ collective is the result gather (SURVEY.md §2.11).
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -75,3 +78,95 @@ def _get_sharded_jit(compiled, opts, mesh):
                      in_axes=(0, None, 0))
         cache[key] = jax.jit(f)
     return cache[key]
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["ts", "xs", "xdots", "finished", "n_accepted",
+                      "n_rejected", "n_newton"], meta_fields=[])
+@dataclasses.dataclass
+class TranSweepResult:
+    """Batched transient sweep output: leading axis = sweep point.
+
+    ``ts``/``xs``/``xdots`` are the raw fixed-size chunk buffers from
+    ``tran_core`` (padded rows repeat the final state, so ``np.interp``
+    against ``ts[lane]`` stays monotone); per-lane valid step counts are
+    ``n_accepted``."""
+    ts: jax.Array          # [n, steps+1]
+    xs: jax.Array          # [n, steps+1, n_x]
+    xdots: jax.Array       # [n, steps+1, n_x]
+    finished: jax.Array    # [n] bool
+    n_accepted: jax.Array  # [n]
+    n_rejected: jax.Array  # [n]
+    n_newton: jax.Array    # [n]
+
+
+def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
+                       mesh: Mesh = None, params=None, ctx: SimSpec = None,
+                       opts=None, dc_opts: NewtonOptions = None
+                       ) -> TranSweepResult:
+    """Batched transient sweep sharded across the mesh's batch axis: the
+    per-lane DC operating points and the full adaptive time loops run as ONE
+    sharded XLA program each — the multi-chip version of the reference's
+    serial ``tran!.(CircuitSweep(...))`` broadcast
+    (/root/reference/src/sweeps.jl:471-502).
+
+    Swept parameters must not move source breakpoint times (the breakpoint
+    schedule is static, computed from the elaborated nominal values)."""
+    from cedarsim_tpu.analysis.tran import TranOptions, tran_core
+    from cedarsim_tpu.analysis.dc import default_newton_options
+    from cedarsim_tpu.core.context import Modes as M
+
+    opts = opts or TranOptions()
+    dc_opts = dc_opts or default_newton_options(compiled)
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    if ctx is None:
+        ctx = SimSpec.make(dtype=compiled.dtype)
+    t0, tstop = float(tspan[0]), float(tspan[1])
+    span = tstop - t0
+
+    compiled, bp, _ = batch_params(compiled, sweep, params)
+    bp, n = pad_batch(bp, mesh.size)
+    npad = jax.tree.leaves(bp)[0].shape[0]
+
+    bps = compiled.breakpoints(tstop)
+    bps = np.concatenate([bps[bps > t0], [tstop], [np.inf]])
+    h0 = opts.h0 if opts.h0 is not None else span * 1e-6
+    if len(bps) > 2:
+        h0 = min(h0, max(float(bps[0] - t0) * 0.1, span * 1e-9))
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    bp = jax.tree.map(lambda a: jax.device_put(a, shard), bp)
+    ctx_r = jax.tree.map(lambda a: jax.device_put(a, repl), ctx)
+    x0 = jax.device_put(jnp.zeros((npad, compiled.n_x), compiled.dtype),
+                        shard)
+
+    d = compiled.dtype
+    cache = compiled.__dict__.setdefault("_transweep_shard_cache", {})
+    key = (opts, dc_opts, len(bps), id(mesh))
+    if key not in cache:
+        def lane(p, c, x0_l, bps_l):
+            op = dc_core(compiled, p, c.with_mode(M.TRANOP), x0_l, dc_opts)
+            ctx_t = c.with_mode(M.TRAN)
+            # consistent ẋ0 AND the differential-variable LTE mask from ONE
+            # model walk at the operating point (see tran._consistent_xdot /
+            # _differential_mask for the semantics)
+            S, _, _, C = compiled.res_jacs_fwd(op.x, ctx_t, p)
+            lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
+            A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=d)
+            from cedarsim_tpu.ops import linalg
+            xd0 = linalg.solve(A, -(C.T @ S))
+            m = (jnp.max(jnp.abs(C), axis=0) > 0).astype(d)
+            mask = jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
+            out = tran_core(compiled, p, c, op.x, xd0,
+                            jnp.asarray(t0, d), jnp.asarray(tstop, d),
+                            bps_l, jnp.asarray(h0, d), opts, mask)
+            ts, xs, xd, k, fin, nrej, nnwt, _ = out
+            return (ts, xs, xd, k,
+                    jnp.logical_and(fin, op.converged), nrej, nnwt)
+        cache[key] = jax.jit(jax.vmap(lane, in_axes=(0, None, 0, None)))
+    ts, xs, xd, k, fin, nrej, nnwt = cache[key](
+        bp, ctx_r, x0, jnp.asarray(bps, d))
+    return TranSweepResult(ts[:n], xs[:n], xd[:n], fin[:n], k[:n],
+                           nrej[:n], nnwt[:n])
