@@ -53,7 +53,9 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
     from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
     from cedarsim_tpu.analysis.tran import (TranOptions, tran_core,
                                             _consistent_xdot,
-                                            _differential_mask)
+                                            _differential_mask,
+                                            blank_checkpoint,
+                                            window_schedules)
     from cedarsim_tpu.core.compile import use_sparse_solver
 
     on_tpu = jax.default_backend() == "tpu"
@@ -84,26 +86,14 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
     # per-window breakpoint schedules padded to one shared length
     bps_all = comp.breakpoints(tstop)
     edges = np.linspace(0.0, tstop, segments + 1)
-    win_bps = []
-    for a, b in zip(edges[:-1], edges[1:]):
-        wb = bps_all[(bps_all > a) & (bps_all < b)]
-        win_bps.append(np.concatenate([wb, [b], [np.inf]]))
-    L = max(len(w) for w in win_bps)
-    win_bps = np.stack([np.concatenate([w, np.full(L - len(w), np.inf)])
-                        for w in win_bps])
+    win_bps = window_schedules(bps_all, edges)
 
     fn = jax.jit(lambda x, xd, ist, a, b, bps: tran_core(
         comp, comp.params0, ctx, x, xd, a, b, bps,
         jnp.asarray(2e-13, d), opts, mask, init_state=ist))
 
-    def state0(x, xd):
-        z = jnp.zeros((), d)
-        return dict(t=z, h=jnp.full((), 2e-13, d), x=x, xdot=xd,
-                    x1=x, x2=x, t1=z, t2=z,
-                    nhist=jnp.zeros((), jnp.int32), errp=jnp.ones((), d))
-
     def run_all():
-        st = state0(op.x, xd0)
+        st = blank_checkpoint(op.x, xd0, 2e-13)
         rbs = []
         for k in range(segments):
             rb = fn(st["x"], st["xdot"], st, jnp.asarray(edges[k], d),
@@ -124,7 +114,8 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
     xs = np.concatenate([np.asarray(rb[1]) for rb in rbs])
     fin = all(bool(np.asarray(rb[4])) for rb in rbs)
     nnwt = sum(int(np.asarray(rb[6])) for rb in rbs)
-    nacc = sum(int(np.asarray(rb[3])) for rb in rbs)
+    # element 3 counts accepted steps + the prepended initial point
+    nacc = sum(int(np.asarray(rb[3])) - 1 for rb in rbs)
     nrej = sum(int(np.asarray(rb[5])) for rb in rbs)
 
     ok = fin

@@ -184,15 +184,29 @@ class TranSolution:
         return np.interp(t_eval, self.ts, vals)
 
 
-def consistent_xdot_impl(compiled, x, ctx, params):
-    """Traceable minimum-norm solution of C·ẋ = −S for the initial
-    derivative (C is structurally singular on algebraic rows;
-    ridge-regularized normal equations give the min-norm consistent ẋ).
-    vmap-safe over (x, params)."""
+def xdot0_and_mask_impl(compiled, x, ctx, params):
+    """Traceable (ẋ0, lte_mask) from ONE model walk at the operating point:
+
+    * ẋ0 — minimum-norm solution of C·ẋ = −S (C is structurally singular on
+      algebraic rows; ridge-regularized normal equations give the min-norm
+      consistent derivative),
+    * lte_mask — 1.0 for unknowns with charge/flux dynamics (nonzero column
+      in C), 0.0 for algebraic ones, falling back to all-ones for an
+      all-algebraic circuit.
+
+    vmap-safe over (x, params) — the sharded sweep path maps it per lane."""
     S, _, _, C = compiled.res_jacs_fwd(x, ctx, params)
     lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
     A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=compiled.dtype)
-    return linalg.solve(A, -(C.T @ S))
+    xd0 = linalg.solve(A, -(C.T @ S))
+    m = (jnp.max(jnp.abs(C), axis=0) > 0).astype(compiled.dtype)
+    mask = jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
+    return xd0, mask
+
+
+def consistent_xdot_impl(compiled, x, ctx, params):
+    """ẋ0 only (see xdot0_and_mask_impl; the unused mask DCEs under jit)."""
+    return xdot0_and_mask_impl(compiled, x, ctx, params)[0]
 
 
 def _consistent_xdot(compiled, x, ctx, params):
@@ -221,19 +235,49 @@ def _differential_mask(compiled, x, ctx, params):
     ctx = ctx.with_mode(Modes.TRAN)
     cache = compiled.__dict__.setdefault("_diffmask_jit_cache", {})
     if "fn" not in cache:
-        def impl(x, ctx, params):
-            _, C = compiled.jacobians(x, ctx, params)
-            return (jnp.max(jnp.abs(C), axis=0) > 0).astype(compiled.dtype)
-        cache["fn"] = jax.jit(impl)
-    m = cache["fn"](x, ctx, params)
-    # all-algebraic circuit: fall back to controlling everything
-    return jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
+        cache["fn"] = jax.jit(
+            lambda x, ctx, params: xdot0_and_mask_impl(
+                compiled, x, ctx, params)[1])
+    return cache["fn"](x, ctx, params)
 
 
 #: integrator-state fields that make a transient resumable: the current
 #: point, step size, and the two-point history behind the predictor/BDF2
 CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "t1", "t2", "nhist",
                      "errp")
+
+
+def blank_checkpoint(x, xdot, h0):
+    """Fresh CHECKPOINT_FIELDS dict for starting a (possibly windowed)
+    ``tran_core`` chain at an operating point: no predictor history, step
+    size ``h0``.  ``x``/``xdot`` may carry a leading batch axis (vmapped
+    lanes) — the scalar fields broadcast to it.  Segment drivers
+    (bench.py, benchmarks/chain_transient.py) must build the init state
+    through this ONE helper so a new checkpoint field can't silently
+    desynchronize them from ``tran_core``'s ``init_state`` contract."""
+    bshape = x.shape[:-1]
+    d = x.dtype
+    z = jnp.zeros(bshape, d)
+    return dict(t=z, h=jnp.full(bshape, h0, d), x=x, xdot=xdot,
+                x1=x, x2=x, t1=z, t2=z,
+                nhist=jnp.zeros(bshape, jnp.int32),
+                errp=jnp.ones(bshape, d))
+
+
+def window_schedules(bps_all, edges):
+    """Per-window breakpoint schedules padded to one shared length so a
+    single compiled ``tran_core`` program serves every window: window k
+    covers (edges[k], edges[k+1]], its schedule is the interior breakpoints
+    + the window end + inf padding — the checkpoint-chained segmentation
+    used to respect per-execution deadlines (see bench.py)."""
+    bps_all = np.asarray(bps_all, np.float64)
+    win = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        wb = bps_all[(bps_all > a) & (bps_all < b)]
+        win.append(np.concatenate([wb, [b], [np.inf]]))
+    L = max(len(w) for w in win)
+    return np.stack([np.concatenate([w, np.full(L - len(w), np.inf)])
+                     for w in win])
 
 
 def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,

@@ -144,29 +144,28 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
 
     d = compiled.dtype
     cache = compiled.__dict__.setdefault("_transweep_shard_cache", {})
-    key = (opts, dc_opts, len(bps), id(mesh))
+    # t0/tstop/h0 are traced arguments (same discipline as tran's
+    # _get_tran_jit), so a cache hit can never replay a program compiled
+    # for a different span; the program doesn't depend on the mesh (jax.jit
+    # re-lowers per input sharding), so the mesh stays out of the key
+    key = (opts, dc_opts, len(bps))
     if key not in cache:
-        def lane(p, c, x0_l, bps_l):
+        def lane(p, c, x0_l, bps_l, t0_, tstop_, h0_):
             op = dc_core(compiled, p, c.with_mode(M.TRANOP), x0_l, dc_opts)
             ctx_t = c.with_mode(M.TRAN)
             # consistent ẋ0 AND the differential-variable LTE mask from ONE
-            # model walk at the operating point (see tran._consistent_xdot /
-            # _differential_mask for the semantics)
-            S, _, _, C = compiled.res_jacs_fwd(op.x, ctx_t, p)
-            lam = 1e-12 * (jnp.max(jnp.abs(C)) ** 2 + 1e-30)
-            A = C.T @ C + lam * jnp.eye(compiled.n_x, dtype=d)
-            from cedarsim_tpu.ops import linalg
-            xd0 = linalg.solve(A, -(C.T @ S))
-            m = (jnp.max(jnp.abs(C), axis=0) > 0).astype(d)
-            mask = jnp.where(jnp.max(m) > 0, m, jnp.ones_like(m))
-            out = tran_core(compiled, p, c, op.x, xd0,
-                            jnp.asarray(t0, d), jnp.asarray(tstop, d),
-                            bps_l, jnp.asarray(h0, d), opts, mask)
+            # model walk at the operating point
+            from cedarsim_tpu.analysis.tran import xdot0_and_mask_impl
+            xd0, mask = xdot0_and_mask_impl(compiled, op.x, ctx_t, p)
+            out = tran_core(compiled, p, c, op.x, xd0, t0_, tstop_,
+                            bps_l, h0_, opts, mask)
             ts, xs, xd, k, fin, nrej, nnwt, _ = out
             return (ts, xs, xd, k,
                     jnp.logical_and(fin, op.converged), nrej, nnwt)
-        cache[key] = jax.jit(jax.vmap(lane, in_axes=(0, None, 0, None)))
+        cache[key] = jax.jit(jax.vmap(
+            lane, in_axes=(0, None, 0, None, None, None, None)))
     ts, xs, xd, k, fin, nrej, nnwt = cache[key](
-        bp, ctx_r, x0, jnp.asarray(bps, d))
+        bp, ctx_r, x0, jnp.asarray(bps, d), jnp.asarray(t0, d),
+        jnp.asarray(tstop, d), jnp.asarray(h0, d))
     return TranSweepResult(ts[:n], xs[:n], xd[:n], fin[:n], k[:n],
                            nrej[:n], nnwt[:n])

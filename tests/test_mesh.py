@@ -59,6 +59,26 @@ def test_tran_sweep_sharded_rc_physics():
         want = 2.0 * (1 - np.exp(-(t_probe - 1e-6 - 0.5e-9) / (r * 1e-9)))
         assert abs(got - want) < 5e-3, (lane, r, got, want)
     # lanes genuinely differ (distinct taus -> distinct trajectories)
-    assert np.std(vs[:, -1]) >= 0 and np.abs(
-        np.interp(t_probe, ts[0], vs[0])
-        - np.interp(t_probe, ts[-1], vs[-1])) > 0.05
+    assert np.abs(np.interp(t_probe, ts[0], vs[0])
+                  - np.interp(t_probe, ts[-1], vs[-1])) > 0.05
+
+
+def test_tran_sweep_sharded_respects_new_tspan():
+    """Regression: tspan/h0 must be runtime data to the cached sharded
+    program.  A DC-only circuit has the same breakpoint-schedule length
+    ([tstop, inf]) for every span, so a cache key missing tstop would
+    silently replay the first call's program for the second span."""
+    ckt = Circuit()
+    vin, vout = ckt.net("vin"), ckt.net("vout")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=1.0))
+    ckt.add(Resistor, "R1", (vin, vout), dict(r=1000.0))
+    ckt.add(Capacitor, "C1", (vout, ckt.gnd), dict(c=1e-9))
+    comp = compile_circuit(ckt, dynamic_params=["r"])
+    mesh = make_mesh()
+    rs = np.linspace(800.0, 1200.0, 8)
+    r1 = tran_sweep_sharded(comp, Sweep("R1.r", rs), (0.0, 1e-6), mesh)
+    r2 = tran_sweep_sharded(comp, Sweep("R1.r", rs), (0.0, 5e-6), mesh)
+    assert np.asarray(r1.finished).all() and np.asarray(r2.finished).all()
+    # the padded time buffers end at each call's own tstop
+    assert abs(np.asarray(r1.ts).max() - 1e-6) < 1e-12
+    assert abs(np.asarray(r2.ts).max() - 5e-6) < 1e-12
