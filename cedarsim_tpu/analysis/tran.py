@@ -144,6 +144,12 @@ class TranOptions:
     #: f32-evaluated quantity by h (the x-difference in ẋ is exact f64), so
     #: eval noise stays relative.
     formulation: str = "auto"
+    #: history-ring length for exact-delay (VA absdelay, delay_mode=
+    #: "history") lookups: the last delay_history accepted points' delayed-
+    #: expression samples are retained; queries older than the ring hold
+    #: its oldest sample.  Size it so td spans at most ~delay_history
+    #: accepted steps.
+    delay_history: int = 512
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -342,18 +348,26 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
     noisy = opts.noise_seed is not None and compiled.n_eps > 0
     noise_key = (jax.random.PRNGKey(opts.noise_seed) if noisy else None)
+    #: exact-history absdelay sites (VA delay_mode="history"): the carry
+    #: holds a shifting (t, u) sample ring; each step attempt reads
+    #: u(t_new − td) by linear interpolation and the residual sees it as a
+    #: held aux input (explicit-in-delay treatment — standard when td ≳ h)
+    n_dly = getattr(compiled, "n_dly", 0)
+    KD = opts.delay_history
 
-    def parts(x, t, eps=None):
-        return compiled.residuals(x, ctx_t.at_time(t), params, eps=eps)
+    def parts(x, t, eps=None, dly=None):
+        return compiled.residuals(x, ctx_t.at_time(t), params, eps=eps,
+                                  dly=dly)
 
-    def rj(x, t, eps=None):
+    def rj(x, t, eps=None, dly=None):
         """(S, Q, G, C) — G/C dense or sparse value vectors; J assembly
         (C/h + beta*G) and the rest of the Newton loop are representation-
         agnostic."""
         if use_sparse:
             return sops.res_jacs_sparse(x, ctx_t.at_time(t), params,
-                                        eps=eps)
-        return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params, eps=eps)
+                                        eps=eps, dly=dly)
+        return compiled.res_jacs_fwd(x, ctx_t.at_time(t), params, eps=eps,
+                                     dly=dly)
 
     def draw_eps(x, t, h_real, k):
         """Discrete white-noise sample for the step ending the interval of
@@ -370,7 +384,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return xi * sigma * (ex == 0.0)
 
     def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
-                    eps=None):
+                    eps=None, dly=None):
         """Implicit-step Newton.  Charge form solves the generalized
         multistep corrector
 
@@ -389,7 +403,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         (S, Q, G, C) from ONE fused model walk per iteration ride in the
         carry (compile-time discipline — see dc.py docstring); the final
         (S, Q) at the accepted point come out for free."""
-        S0_, Q0_, G0_, C0_ = rj(x_init, t_new, eps)
+        S0_, Q0_, G0_, C0_ = rj(x_init, t_new, eps, dly)
 
         def fres(x, S, Q, C):
             if cap_form:
@@ -411,7 +425,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             mx = jnp.max(jnp.abs(dx))
             dx = dx * jnp.where(mx > 5.0, 5.0 / mx, 1.0)
             xn = x + dx
-            Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new, eps)
+            Sn1, Qn1, Gn1, Cn1 = rj(xn, t_new, eps, dly)
             # residual check as well as dx — a dx-only test false-converges
             # at piecewise-model kinks where Newton stalls with f ≠ 0
             f_new, scale = fres(xn, Sn1, Qn1, Cn1)
@@ -445,7 +459,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return LU, perm, r
 
     def newton_mod(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
-                   solve_fn, eps=None, init_parts=None):
+                   solve_fn, eps=None, dly=None, init_parts=None):
         """Modified (chord) Newton: iterate with a FROZEN factored Jacobian,
         evaluating only the residual each iteration.  The residual is exact,
         so a converged point satisfies the same corrector equation as full
@@ -465,9 +479,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 # jvp of Q at x in direction v is exactly C(x)·v — the
                 # cap-form displacement current at the current iterate
                 (S, Q), (_, ic) = jax.jvp(
-                    lambda xx: parts(xx, t_new, eps), (x,), (v,))
+                    lambda xx: parts(xx, t_new, eps, dly), (x,), (v,))
                 return S, Q, ic
-            S, Q = parts(x, t_new, eps)
+            S, Q = parts(x, t_new, eps, dly)
             return S, Q, jnp.zeros_like(S)
 
         def fres2(S, Q, ic):
@@ -517,7 +531,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     n_chunks = -(-opts.max_steps // CH)
     max_tries = 3 * opts.max_steps
 
-    S0, Q0 = parts(x0, t0)
+    if n_dly:
+        # seed the history ring at the operating point: every pre-t0 query
+        # holds u0 (jnp.interp clamps to the ends)
+        u0_d, _ = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
+        S0, Q0 = parts(x0, t0, dly=u0_d)
+    else:
+        S0, Q0 = parts(x0, t0)
 
     state0 = dict(
         t=jnp.asarray(t0, dtype), h=jnp.asarray(h0, dtype),
@@ -536,11 +556,19 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                       Cc=jnp.zeros((n, n), dtype),
                       jage=jnp.asarray(1 << 30, jnp.int32),
                       jfail=jnp.asarray(False))
+    ckpt_fields = CHECKPOINT_FIELDS
+    if n_dly:
+        _, td0_d = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
+        state0.update(
+            t_ring=jnp.full((KD,), t0, dtype),
+            u_ring=jnp.tile(u0_d.astype(dtype)[None, :], (KD, 1)),
+            dly_td=td0_d.astype(dtype))
+        ckpt_fields = CHECKPOINT_FIELDS + ("t_ring", "u_ring", "dly_td")
     if init_state is not None:
         # Qn/Sn are recomputed at the checkpoint point (S0/Q0 above, since
         # x0/t0 equal the checkpoint's); history restores the predictor
-        for f in CHECKPOINT_FIELDS:
-            if f in ("t", "x", "xdot"):
+        for f in ckpt_fields:
+            if f in ("t", "x", "xdot") or f not in init_state:
                 continue  # already seeded via t0/x0/xdot0
             v = jnp.asarray(init_state[f])
             state0[f] = v.astype(jnp.int32 if f == "nhist" else dtype)
@@ -603,9 +631,17 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             c0 = jnp.where(use_be, 1.0, 2.0).astype(dtype)
             xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
         eps_k = (draw_eps(x, t, h_real, c["k"]) if noisy else None)
+        if n_dly:
+            # delayed-value inputs for this step: u(t_new − td) from the
+            # history ring, held fixed through the Newton solve
+            dly_k = jax.vmap(
+                lambda q, col: jnp.interp(q, c["t_ring"], col))(
+                    t_new - c["dly_td"], c["u_ring"].T)
+        else:
+            dly_k = None
         if mn:
             def fresh_gc(_):
-                _, _, G_, C_ = rj(x_pred, t_new, eps_k)
+                _, _, G_, C_ = rj(x_pred, t_new, eps_k, dly_k)
                 return G_, C_
 
             if mn_cross:
@@ -624,7 +660,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 # since C here IS ∂Q/∂x at x_pred) — one fewer model
                 # instantiation in the program and one fewer jvp eval per
                 # step attempt
-                S0p, Q0p, G, C = rj(x_pred, t_new, eps_k)
+                S0p, Q0p, G, C = rj(x_pred, t_new, eps_k, dly_k)
                 init_parts = (S0p, Q0p,
                               c_apply(C, (c0 * x_pred + xdh) / h_real)
                               if cap_form else jnp.zeros_like(S0p))
@@ -642,7 +678,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                     return linalg.lu_solve(_lu, _p, b / _r)
             xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-                chord_solve, eps=eps_k,
+                chord_solve, eps=eps_k, dly=dly_k,
                 init_parts=None if mn_cross else init_parts)
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action
@@ -652,7 +688,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         else:
             xn, Sn_new, Qn_new, nok, nnwt = newton_step(
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-                eps=eps_k)
+                eps=eps_k, dly=dly_k)
 
         # LTE error (predictor-corrector difference), differential vars only
         wt = opts.atol + opts.rtol * jnp.maximum(jnp.abs(xn), jnp.abs(x))
@@ -768,6 +804,20 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 jfail=jnp.logical_or(stale_fail,
                                      jnp.logical_and(acc, hit_bp)),
             )
+        if n_dly:
+            # push the accepted point's delayed-expression samples into the
+            # shift ring (ascending times by construction — jnp.interp needs
+            # sorted xs); td refreshes for the next step's lookups
+            u_now, td_new = compiled.delay_sources(
+                xn, ctx_t.at_time(t_new), params)
+            c.update(
+                t_ring=jnp.where(acc, jnp.concatenate(
+                    [c["t_ring"][1:], t_new[None]]), c["t_ring"]),
+                u_ring=jnp.where(acc, jnp.concatenate(
+                    [c["u_ring"][1:], u_now.astype(dtype)[None, :]], axis=0),
+                    c["u_ring"]),
+                dly_td=jnp.where(acc, td_new.astype(dtype), c["dly_td"]),
+            )
         kc = kc + acc.astype(jnp.int32)
         return c, (ts_b, xs_b, xd_b, kc)
 
@@ -805,7 +855,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     xs_all = jnp.concatenate([x0[None], xs_all])
     xd_all = jnp.concatenate([xdot0[None], xd_all])
     finished = jnp.logical_and(state["ok"], state["t"] >= t_end)
-    final = {f: state[f] for f in CHECKPOINT_FIELDS}
+    final = {f: state[f] for f in ckpt_fields}
     return (ts_all, xs_all, xd_all, state["k"] + 1, finished,
             state["nrej"], state["nnwt"], final)
 

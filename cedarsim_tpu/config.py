@@ -54,6 +54,12 @@ if _cache_dir and _cache_dir != "0":
 #: Default real dtype for simulator state.
 real_dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 
+#: how Verilog-A ``absdelay`` lowers by default: "pade" (Padé(3,3) all-pass
+#: companion states, every analysis) or "history" (exact history
+#: interpolation through the integrator's ring buffer; transient + DC only).
+#: Per-model override: ``va.codegen.make_device(module, delay_mode=...)``.
+va_delay_mode = "pade"
+
 #: Default complex dtype (AC / noise analyses).
 complex_dtype = jnp.complex128 if jax.config.read("jax_enable_x64") else jnp.complex64
 

@@ -48,6 +48,8 @@ class Group:
     row_idx: np.ndarray      # [n_inst, n_lrow] int32, n_x = trash row
     kcl_mask: np.ndarray     # [n_lrow] bool: True for KCL rows (scaled by m)
     eps_idx: np.ndarray      # [n_inst, n_noise] int32 into global eps vector
+    dly_idx: np.ndarray = None  # [n_inst, n_delay] int32 into global delay
+    #                             vector (exact-history absdelay inputs)
     #: params uniform across the group and not requested dynamic: kept as
     #: concrete Python/numpy constants so model conditionals fold at trace
     #: time — the reference's const-prop of non-ParamSim parameters
@@ -152,14 +154,17 @@ class CompiledCircuit:
         self._inst_loc: dict[str, tuple[str, int]] = {}
         params0 = {}
         eps_off = 0
+        dly_off = 0
         for key in order:
             insts = buckets[key]
             model = insts[0].model
             nt, ni, nb, nc = (model.n_terms(), model.n_internal,
                               model.n_branch, model.n_control)
+            n_delay = getattr(model, "n_delay", 0)
             var_idx = np.full((len(insts), model.n_lvar()), pad, np.int32)
             row_idx = np.full((len(insts), model.n_lrow()), pad, np.int32)
             eps_idx = np.zeros((len(insts), model.n_noise), np.int32)
+            dly_idx = np.zeros((len(insts), n_delay), np.int32)
             for j, inst in enumerate(insts):
                 self._inst_loc[inst.name] = (key, j)
                 for k, net in enumerate(inst.nets):
@@ -191,10 +196,13 @@ class CompiledCircuit:
                 if model.n_noise:
                     eps_idx[j] = eps_off + np.arange(model.n_noise)
                     eps_off += model.n_noise
+                if n_delay:
+                    dly_idx[j] = dly_off + np.arange(n_delay)
+                    dly_off += n_delay
             kcl_mask = np.zeros(model.n_lrow(), bool)
             kcl_mask[: nt + ni] = True
             grp = Group(key, model, insts, var_idx, row_idx,
-                        kcl_mask, eps_idx)
+                        kcl_mask, eps_idx, dly_idx)
             self.groups[key] = grp
             # stack params; uniform non-dynamic ones become constants
             gp = {}
@@ -219,6 +227,7 @@ class CompiledCircuit:
             gp["$mult"] = jnp.asarray([i.mult for i in insts], self.dtype)
             params0[key] = gp
         self.n_eps = eps_off
+        self.n_dly = dly_off
         self.params0 = params0
         self.group_order = order
 
@@ -227,12 +236,25 @@ class CompiledCircuit:
     def _zeros_pad(self):
         return jnp.zeros(self.n_x + 1, self.dtype)
 
-    def residuals(self, x, ctx: SimSpec, params=None, eps=None):
+    def _aux(self, g: Group, eps, dly):
+        """Per-instance aux-input rows: [n_noise noise draws, n_delay
+        exact-history delayed values] (the eval contract's eps argument)."""
+        le = eps[g.eps_idx]
+        if g.dly_idx is not None and g.dly_idx.shape[1]:
+            le = jnp.concatenate([le, dly[g.dly_idx]], axis=1)
+        return self._cast_eval(le)
+
+    def _dly0(self, x):
+        return jnp.zeros(max(self.n_dly, 1), x.dtype)
+
+    def residuals(self, x, ctx: SimSpec, params=None, eps=None, dly=None):
         """Returns (S, Q): static residual and charge vector, each length n_x."""
         params = self.params0 if params is None else params
         x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
         if eps is None:
             eps = jnp.zeros(max(self.n_eps, 1), x.dtype)
+        if dly is None:
+            dly = self._dly0(x)
         S = self._zeros_pad()
         Q = self._zeros_pad()
         ctx_e = self._ctx_eval(ctx)
@@ -240,7 +262,7 @@ class CompiledCircuit:
             g = self.groups[key]
             gp = params[key]
             lv = self._cast_eval(x_pad[g.var_idx])       # [n_inst, n_lvar]
-            le = self._cast_eval(eps[g.eps_idx])         # [n_inst, n_noise]
+            le = self._aux(g, eps, dly)                  # [n_inst, n_aux]
             pv = {k: self._cast_eval(v) for k, v in gp.items()
                   if k != "$mult"}
             sp = g.static_params
@@ -271,7 +293,7 @@ class CompiledCircuit:
             pv = {k: self._cast_eval(v) for k, v in gp.items()
                   if k != "$mult"}
             sp = g.static_params
-            ne = max(g.model.n_noise, 0)
+            ne = g.model.n_noise + getattr(g.model, "n_delay", 0)
             e0 = jnp.zeros(ne, self.eval_dtype)
 
             def local_jac(l, p):
@@ -312,6 +334,9 @@ class CompiledCircuit:
             gp = params[key]
             lv = x_pad[g.var_idx]
             le = eps[g.eps_idx]
+            if g.dly_idx is not None and g.dly_idx.shape[1]:
+                le = jnp.concatenate(
+                    [le, self._dly0(x)[g.dly_idx]], axis=1)
             pv = {k: v for k, v in gp.items() if k != "$mult"}
             sp = g.static_params
             n_lvar = g.model.n_lvar()
@@ -334,7 +359,7 @@ class CompiledCircuit:
             C = C.at[rows, cols].add(Jq * scale_r[:, :, None])
         return S[:-1], Q[:-1], G[:-1, :-1], C[:-1, :-1]
 
-    def res_jacs_fwd(self, x, ctx: SimSpec, params=None, eps=None):
+    def res_jacs_fwd(self, x, ctx: SimSpec, params=None, eps=None, dly=None):
         """(S, Q, G, C) in one walk per group via ``jacfwd(..., has_aux=True)``
         — the primal evaluation rides along as the aux output, so each Newton
         iteration instantiates the model subgraph ONCE instead of twice
@@ -347,6 +372,8 @@ class CompiledCircuit:
         x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
         if eps is None:
             eps = jnp.zeros(max(self.n_eps, 1), x.dtype)
+        if dly is None:
+            dly = self._dly0(x)
         n1 = self.n_x + 1
         S = self._zeros_pad()
         Q = self._zeros_pad()
@@ -357,7 +384,7 @@ class CompiledCircuit:
             g = self.groups[key]
             gp = params[key]
             lv = self._cast_eval(x_pad[g.var_idx])
-            le = self._cast_eval(eps[g.eps_idx])
+            le = self._aux(g, eps, dly)
             pv = {k: self._cast_eval(v) for k, v in gp.items()
                   if k != "$mult"}
             sp = g.static_params
@@ -423,6 +450,28 @@ class CompiledCircuit:
             ex = ex.at[g.eps_idx].set(e)
         return pwr, ex
 
+    def delay_sources(self, x, ctx: SimSpec, params=None):
+        """(u_now, td) arrays over all n_dly exact-history absdelay sites,
+        evaluated at x — u_now feeds the integrator's history ring, td the
+        t−td lookups (analysis/tran.py).  Nested delayed expressions (an
+        absdelay inside another's argument) read 0 here — not supported."""
+        params = self.params0 if params is None else params
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        u = jnp.zeros(max(self.n_dly, 1), self.dtype)
+        td = jnp.zeros(max(self.n_dly, 1), self.dtype)
+        for key in self.group_order:
+            g = self.groups[key]
+            if getattr(g.model, "n_delay", 0) == 0:
+                continue
+            gp = {k: v for k, v in params[key].items() if k != "$mult"}
+            sp = g.static_params
+            lv = x_pad[g.var_idx]
+            uu, tt = jax.vmap(
+                lambda l, p: g.model.delays(l, {**sp, **p}, ctx))(lv, gp)
+            u = u.at[g.dly_idx].set(uu.astype(self.dtype))
+            td = td.at[g.dly_idx].set(tt.astype(self.dtype))
+        return u, td
+
     # ---------------------------------------------------------- observables
 
     def observe(self, name: str) -> Callable:
@@ -473,7 +522,9 @@ class CompiledCircuit:
                     xdp = jnp.concatenate([xd, jnp.zeros(1, x.dtype)])
                     lv = xp[g.var_idx[j]]
                     lvd = xdp[g.var_idx[j]]
-                    e0 = jnp.zeros(max(g.model.n_noise, 0), x.dtype)
+                    e0 = jnp.zeros(
+                        g.model.n_noise + getattr(g.model, "n_delay", 0),
+                        x.dtype)
                     (s, _), (_, qdot) = jax.jvp(
                         lambda l: g.model.eval(l, gp, ctx, e0), (lv,), (lvd,))
                     return s[0] + qdot[0]

@@ -105,7 +105,7 @@ class SparseOps:
 
     # ------------------------------------------------------------- numerics
 
-    def res_jacs_sparse(self, x, ctx, params=None, eps=None):
+    def res_jacs_sparse(self, x, ctx, params=None, eps=None, dly=None):
         """(S, Q, Gv, Cv): residual vectors plus Jacobian *value vectors* in
         the filled sparse pattern — fused single walk per group."""
         compiled = self.compiled
@@ -113,6 +113,8 @@ class SparseOps:
         x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
         if eps is None:
             eps = jnp.zeros(max(compiled.n_eps, 1), x.dtype)
+        if dly is None:
+            dly = compiled._dly0(x)
         S = compiled._zeros_pad()
         Q = compiled._zeros_pad()
         Gv = jnp.zeros(self.nnz_f + 1, compiled.dtype)
@@ -122,7 +124,7 @@ class SparseOps:
             g = compiled.groups[key]
             gp = params[key]
             lv = compiled._cast_eval(x_pad[g.var_idx])
-            le = compiled._cast_eval(eps[g.eps_idx])
+            le = compiled._aux(g, eps, dly)
             pv = {k: compiled._cast_eval(v) for k, v in gp.items()
                   if k != "$mult"}
             sp = g.static_params

@@ -65,6 +65,9 @@ class DeviceModel:
     n_control: int = 0
     #: number of noise sources
     n_noise: int = 0
+    #: exact-history delayed-value inputs (VA absdelay, delay_mode="history");
+    #: the aux vector passed to ``eval`` is [n_noise noise, n_delay delayed]
+    n_delay: int = 0
     #: parameter defaults: dict name -> float. All params become traced arrays.
     params: dict = {}
     #: params for which a "was it given" mask is needed ($param_given /

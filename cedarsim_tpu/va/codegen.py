@@ -507,8 +507,25 @@ def _pade_coeffs(td):
     return num, den
 
 
-def make_device(module: Module, strict_ranges=False):
-    """Compile a parsed VA Module into a DeviceModel subclass."""
+def make_device(module: Module, strict_ranges=False, delay_mode=None):
+    """Compile a parsed VA Module into a DeviceModel subclass.
+
+    ``delay_mode``: how ``absdelay`` lowers (default from
+    ``config.va_delay_mode``):
+
+    * ``"pade"`` — Padé(3,3) all-pass companion states (exact DC gain,
+      group delay good to ω·td ≈ 4 rad); works in every analysis.
+    * ``"history"`` — exact history interpolation: the integrator carries a
+      ring buffer of the delayed expression's accepted-step samples and the
+      device reads u(t−td) as an injected input (transient + DC only; AC /
+      noise raise — there is no linearized e^{−jωtd} stamp on this path).
+      Wideband-exact where Padé runs out of band.
+    """
+    if delay_mode is None:
+        from cedarsim_tpu import config as _cfg
+        delay_mode = getattr(_cfg, "va_delay_mode", "pade")
+    if delay_mode not in ("pade", "history"):
+        raise VACodegenError(f"unknown delay_mode {delay_mode!r}")
     ports = list(module.ports)
     grounds = set(module.ground_nets)
     internal = [n for n in module.nets if n not in ports and n not in grounds]
@@ -552,6 +569,7 @@ def make_device(module: Module, strict_ranges=False):
     idt_sites = []
     lf_sites = []       # [(expr, kind, n_states)] lexical order — linear
     #                     filter / event operators carrying extra states
+    dly_sites = []      # absdelay sites in history mode (exact-delay inputs)
     for e in _all_exprs(module):
         if e[0] == "call":
             if e[1] in ("white_noise", "flicker_noise", "noise_table"):
@@ -561,7 +579,14 @@ def make_device(module: Module, strict_ranges=False):
                 idt_sites.append(e)
 
             if e[1] in _LF_OPS:
-                if not any(x is e for x, _, _ in lf_sites):
+                if (e[1] == "absdelay" and delay_mode == "history"
+                        and 2 <= len(e[2]) <= 3
+                        and _try_const(e[2][1], module) != 0.0):
+                    # exact-history lowering: no companion states — the
+                    # site becomes an injected delayed-value input
+                    if not any(x is e for x in dly_sites):
+                        dly_sites.append(e)
+                elif not any(x is e for x, _, _ in lf_sites):
                     lf_sites.append((e, e[1], _lf_n_states(module, e)))
 
             if e[1] in ("zi_nd", "zi_np", "zi_zd", "zi_zp"):
@@ -601,7 +626,8 @@ def make_device(module: Module, strict_ranges=False):
 
     interp = _Interp(module, node_index, branch_index, named_branch,
                      n_nodes_local, len(v_branches), noise_sites,
-                     ddx_probes, idt_sites, switch_branches, lf_sites)
+                     ddx_probes, idt_sites, switch_branches, lf_sites,
+                     dly_sites)
 
     class VADevice(DeviceModel):
         terminals = tuple(ports)
@@ -609,6 +635,7 @@ def make_device(module: Module, strict_ranges=False):
         n_branch = (len(v_branches) + len(idt_sites)
                     + sum(n for _, _, n in lf_sites))
         n_noise = len(noise_sites)
+        n_delay = len(dly_sites)
         params = {}            # filled below (nominal defaults)
         given_params = ()
         va_module = module
@@ -638,19 +665,35 @@ def make_device(module: Module, strict_ranges=False):
 
         @staticmethod
         def eval(lv, p, ctx, eps):
+            # eps is the aux-input vector: [n_noise noise draws,
+            # n_delay exact-history delayed values]
             return interp.run(lv, p, ctx, eps, collect_noise=False)
 
         @classmethod
         def noise(cls, lv, p, ctx):
             return interp.run(lv, p, ctx,
-                              jnp.zeros(cls.n_noise), collect_noise=True)
+                              jnp.zeros(cls.n_noise + cls.n_delay),
+                              collect_noise=True)
+
+        @classmethod
+        def delays(cls, lv, p, ctx):
+            """(u_now, td) for every exact-history absdelay site at the
+            given point — u_now feeds the integrator's history ring, td the
+            t−td lookups."""
+            return interp.run(lv, p, ctx,
+                              jnp.zeros(cls.n_noise + cls.n_delay),
+                              collect_noise=False, collect_delay=True)
 
         @classmethod
         def eval_var(cls, lv, p, ctx, name):
             """Value of a module-level variable at the given operating
             point — exposes VA variables (incl. (* desc *)-annotated ones)
-            as observables (reference vasim.jl:742-752,841-843)."""
-            return interp.run(lv, p, ctx, jnp.zeros(cls.n_noise),
+            as observables (reference vasim.jl:742-752,841-843).  NOTE:
+            exact-history delayed inputs read 0 here (the solution arrays
+            don't carry the rings) — delayed-variable observables are only
+            exact through the pade path."""
+            return interp.run(lv, p, ctx,
+                              jnp.zeros(cls.n_noise + cls.n_delay),
                               collect_noise=False, capture_var=name)
 
     # nominal defaults (so DeviceModel machinery sees names)
@@ -787,13 +830,18 @@ def _host_binop(op, a, b):
 class _Interp:
     def __init__(self, module, node_index, branch_index, named_branch,
                  n_nodes_local, n_vbranch, noise_sites, ddx_probes=(),
-                 idt_sites=(), switch_branches=(), lf_sites=()):
+                 idt_sites=(), switch_branches=(), lf_sites=(),
+                 dly_sites=()):
         self.switch_branches = frozenset(switch_branches)
         self.module = module
         self.ddx_probes = tuple(ddx_probes)
         self.noise_site_ids = {id(e): k for k, e in enumerate(noise_sites)}
         self.idt_site_ids = {id(e): k for k, e in enumerate(idt_sites)}
         self.n_idt = len(idt_sites)
+        # exact-history absdelay sites: the call reads its delayed value
+        # from the aux-input slot n_noise + k (delay_mode="history")
+        self.dly_site_ids = {id(e): k for k, e in enumerate(dly_sites)}
+        self.n_dly = len(dly_sites)
         # filter/event operator sites: id(expr) → (index, kind, offset,
         # n_states); offsets pack the state blocks after the idt rows
         self.lf_site_ids = {}
@@ -814,12 +862,22 @@ class _Interp:
     # env keys: str = variable; ("I", a, b) = current contrib accumulator;
     # ("V", a, b) = voltage contrib accumulator
     def run(self, lv, p, ctx, eps, collect_noise, capture_var=None,
-            capture_all=False):
-        st = _State(self, lv, p, ctx, eps, collect_noise)
+            capture_all=False, collect_delay=False):
+        st = _State(self, lv, p, ctx, eps, collect_noise,
+                    collect_delay=collect_delay)
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
+        if collect_delay:
+            zero = jnp.zeros((), lv.dtype)
+            u = [zero] * self.n_dly
+            td = [zero] * self.n_dly
+            for k, (uv, tv) in st.dly_rec.items():
+                u[k] = uv + zero
+                td[k] = tv + zero
+            return jnp.stack(u) if u else jnp.zeros(0, lv.dtype), \
+                jnp.stack(td) if td else jnp.zeros(0, lv.dtype)
         if capture_all:
             # debug/observability: every module-level variable's value
             return {k: _pair(v)[0] + jnp.zeros((), lv.dtype)
@@ -930,13 +988,16 @@ class _Interp:
 
 
 class _State:
-    def __init__(self, interp, lv, p, ctx, eps, collect_noise):
+    def __init__(self, interp, lv, p, ctx, eps, collect_noise,
+                 collect_delay=False):
         self.it = interp
         self.lv = lv
         self.p = p
         self.ctx = ctx
         self.eps = eps
         self.collect = collect_noise
+        self.collect_delay = collect_delay
+        self.dly_rec = {}          # site k -> (u_now, td)
         self.noise_pwr = []
         self.noise_exp = []
         self.zero = 0.0
@@ -1338,6 +1399,27 @@ class _State:
         support for any of these (VerilogAParser tokenizes them only) —
         this is a capability beyond parity."""
         it = self.it
+        kd = it.dly_site_ids.get(id(node))
+        if kd is not None:
+            # exact-history absdelay (delay_mode="history"): the delayed
+            # value u(t−td) arrives as aux input n_noise + kd, filled by the
+            # integrator from its history ring (analysis/tran.py); the
+            # collect_delay run records (u_now, td) for ring pushes/lookups
+            x = _scalar(self.expr(args[0], env), name)
+            td = _scalar(self.expr(args[1], env), "absdelay delay")
+            if self.collect_delay:
+                self.dly_rec[kd] = (x, td)
+                return x
+            mode = self.ctx.mode
+            if mode in (Modes.DCOP, Modes.TRANOP):
+                return x            # steady state: u(t−td) = u
+            if mode != Modes.TRAN:
+                raise VACodegenError(
+                    f"module {it.module.name}: absdelay with "
+                    "delay_mode='history' has no small-signal (AC/noise) "
+                    "semantics — recompile the model with "
+                    "delay_mode='pade'")
+            return self.eps[it.n_noise + kd]
         k = it.lf_site_ids.get(id(node))
         if k is None:
             raise VACodegenError(f"{name}() site not registered")
