@@ -24,7 +24,7 @@ from cedarsim_tpu.devices import (
     Resistor, Capacitor, Inductor, Diode,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN,
-    VCVS, VCCS, CCVS, CCCS,
+    VCVS, VCCS, CCVS, CCCS, TLine,
 )
 from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
 from cedarsim_tpu.analysis.tran import (tran, TranOptions, save_checkpoint,

@@ -29,32 +29,51 @@ from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
 
 
 def _freq_stamps(compiled):
-    """S-parameter port-admittance stamps from the circuit's touchstone
-    blocks (frontend/touchstone.py): (node indices [p] with −1 for ground,
-    f grid [m], Y [m,p,p])."""
-    out = []
+    """Frequency-dependent admittance stamps: (a) S-parameter tables from
+    the circuit's touchstone blocks (frontend/touchstone.py) as (node
+    indices [p] with −1 for ground, f grid [m], Y [m,p,p]); (b) analytic
+    device stamps from model classes exposing ``ac_admittance(params) ->
+    yfun(f) -> Y`` (e.g. the exact lossless-transmission-line two-port) as
+    (node indices, yfun)."""
+    tables = []
     for _name, nets, fgrid, Y in compiled.circuit.sparam_blocks:
         idx = np.asarray([(-1 if n.is_ground else n.index) for n in nets],
                          np.int32)
-        out.append((idx, jnp.asarray(fgrid, compiled.dtype),
-                    jnp.asarray(Y, config.complex_dtype)))
-    return out
+        tables.append((idx, jnp.asarray(fgrid, compiled.dtype),
+                       jnp.asarray(Y, config.complex_dtype)))
+    funs = []
+    for key in compiled.group_order:
+        g = compiled.groups[key]
+        mk = getattr(g.model, "ac_admittance", None)
+        if mk is None:
+            continue
+        nt = g.model.n_terms()
+        for j, inst in enumerate(g.instances):
+            funs.append((g.var_idx[j, :nt].astype(np.int64),
+                         mk(inst.params)))
+    return tables, funs
 
 
 def _apply_freq_stamps(A, f_hz, stamps, n):
     """A + Σ Y_k(f) stamped at the port nodes (ground rows/cols dropped via
-    a pad slot).  Linear interpolation on the touchstone grid, clamped at
-    the ends."""
-    if not stamps:
+    a pad slot).  Tables interpolate linearly on their grid (clamped at the
+    ends); analytic stamps evaluate their yfun at f."""
+    tables, funs = stamps
+    if not tables and not funs:
         return A
     Ap = jnp.zeros((n + 1, n + 1), A.dtype).at[:n, :n].set(A)
-    for idx, fg, Yg in stamps:
+    for idx, fg, Yg in tables:
         i = jnp.clip(jnp.searchsorted(fg, f_hz), 1, fg.shape[0] - 1)
         w = jnp.clip((f_hz - fg[i - 1])
                      / jnp.maximum(fg[i] - fg[i - 1], 1e-300), 0.0, 1.0)
         Yf = Yg[i - 1] * (1 - w) + Yg[i] * w
         ii = jnp.asarray(np.where(idx < 0, n, idx))
         Ap = Ap.at[jnp.ix_(ii, ii)].add(Yf)
+    for idx, yfun in funs:
+        # the device var_idx already maps ground terminals to a pad slot
+        # >= n; clamp onto the stamp pad row
+        ii = jnp.asarray(np.minimum(idx, n))
+        Ap = Ap.at[jnp.ix_(ii, ii)].add(yfun(f_hz).astype(Ap.dtype))
     return Ap[:n, :n]
 
 

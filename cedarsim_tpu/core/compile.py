@@ -620,6 +620,30 @@ class CompiledCircuit:
                 pts.append(np.asarray(bp(inst.params, tstop), np.float64))
         out = np.unique(np.concatenate(pts))
         out = out[(out > 0) & (out < tstop)]
+        # delay elements (transmission lines) echo every waveform corner —
+        # and each echo's reflections — one line delay later; schedule the
+        # closure so the step controller expects the re-emerging edges
+        # (SPICE schedules exactly these T-element breakpoints)
+        tds = []
+        for key in self.group_order:
+            g = self.groups[key]
+            ed = getattr(g.model, "echo_delays", None)
+            if ed is None:
+                continue
+            for inst in g.instances:
+                tds.extend(float(v) for v in ed(inst.params) if v > 0)
+        tds = sorted(set(tds))
+        if tds and len(out):
+            frontier = out
+            acc = [out]
+            for _ in range(min(int(np.ceil(tstop / tds[0])) + 1, 200)):
+                new = np.concatenate([frontier + td for td in tds])
+                new = np.unique(new[new < tstop])
+                if not len(new) or sum(map(len, acc)) > 20000:
+                    break
+                acc.append(new)
+                frontier = new
+            out = np.unique(np.concatenate(acc))
         # merge near-duplicates: the same edge time computed through
         # different float paths (45n+50n vs 20n+25n+50n) lands 1 ULP apart,
         # and the step controller then attempts the 1e-23 s step between

@@ -3,7 +3,7 @@ from cedarsim_tpu.devices.simple import (
     Resistor, Capacitor, Inductor, Diode,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
-    VCVS, VCCS, CCVS, CCCS, CoupledInductors, VSwitch, ISwitch,
+    VCVS, VCCS, CCVS, CCCS, CoupledInductors, VSwitch, ISwitch, TLine,
     OpenCircuit, ShortCircuit, nonlinear_resistor,
     nonlinear_capacitor,
 )

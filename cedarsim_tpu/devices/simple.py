@@ -596,3 +596,89 @@ def nonlinear_capacitor(f, name="NonlinearCapacitor"):
 
     _NLC.__name__ = _NLC.__qualname__ = name
     return _NLC
+
+
+class TLine(DeviceModel):
+    """Lossless transmission line (SPICE T element) by Branin's method of
+    characteristics — each port is a Thevenin Z0 source driven by the far
+    port's incident wave one line delay ago:
+
+        V1 − Z0·I1 = E1,  E1(t) = V2(t−td) + Z0·I2(t−td)
+        V2 − Z0·I2 = E2,  E2(t) = V1(t−td) + Z0·I1(t−td)
+
+    The delayed waves ride the integrator's exact-history delay channel
+    (``n_delay`` aux inputs, analysis/tran.py) — the same machinery as VA
+    ``absdelay(…, delay_mode="history")``, so the transient is exact to the
+    ring's interpolation error rather than a lumped-LC approximation.  In
+    the operating point the line is a DC short (E waves read the live far
+    port).  AC/noise use the exact two-port admittance Y(f) of the lossless
+    line via the frequency-dependent stamp path (analysis/ac.py); the
+    eval-level branch rows pin I=0 there so the physics isn't double
+    stamped.  Neither the reference nor its parsers support T elements —
+    capability beyond parity."""
+    terminals = ("p1", "n1", "p2", "n2")
+    n_branch = 2
+    n_delay = 2
+    params = dict(z0=50.0, td=1e-9)
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        vp1, vn1, vp2, vn2, i1, i2 = (lv[0], lv[1], lv[2], lv[3],
+                                      lv[4], lv[5])
+        z0 = p["z0"]
+        zero = jnp.zeros_like(i1)
+        if ctx.mode == Modes.AC:
+            # small-signal physics comes from the exact Y(f) stamp
+            return jnp.stack([zero, zero, zero, zero, i1, i2]), \
+                jnp.zeros((6,), lv.dtype)
+        if ctx.mode in (Modes.DCOP, Modes.TRANOP):
+            e1 = (vp2 - vn2) + z0 * i2       # steady state: td irrelevant
+            e2 = (vp1 - vn1) + z0 * i1
+        else:
+            e1, e2 = eps[0], eps[1]          # delayed waves from the ring
+        static = jnp.stack([i1, -i1, i2, -i2,
+                            (vp1 - vn1) - z0 * i1 - e1,
+                            (vp2 - vn2) - z0 * i2 - e2])
+        return static, jnp.zeros_like(static)
+
+    @classmethod
+    def delays(cls, lv, p, ctx):
+        """(u_now, td): the waves the far ports will see one delay later."""
+        vp1, vn1, vp2, vn2, i1, i2 = (lv[0], lv[1], lv[2], lv[3],
+                                      lv[4], lv[5])
+        z0 = p["z0"]
+        u = jnp.stack([(vp2 - vn2) + z0 * i2, (vp1 - vn1) + z0 * i1])
+        td = jnp.stack([p["td"] + 0 * u[0], p["td"] + 0 * u[0]])
+        return u, td
+
+    @classmethod
+    def echo_delays(cls, p):
+        """Breakpoint echo periods: a waveform corner re-emerges (and
+        re-reflects) every line delay — the step controller must expect it
+        (SPICE schedules exactly these T-element breakpoints)."""
+        return [float(p["td"])]
+
+    @classmethod
+    def ac_admittance(cls, p):
+        """Exact lossless-line two-port Y(f), expanded to the 4-terminal
+        (p1,n1,p2,n2) stamp:  with θ = ω·td,
+        Y11 = Y22 = −j·cot(θ)/Z0, Y12 = Y21 = j/(Z0·sin(θ))."""
+        z0 = float(p["z0"])
+        td = float(p["td"])
+
+        def yfun(f):
+            th = 2.0 * jnp.pi * f * td
+            s = jnp.sin(th)
+            # keep resonances finite: |sin| floored (equivalent to a tiny
+            # loss); cot from the same floored sin
+            s = jnp.where(jnp.abs(s) < 1e-9, jnp.where(s < 0, -1e-9, 1e-9),
+                          s)
+            y11 = -1j * jnp.cos(th) / (s * z0)
+            y12 = 1j / (s * z0)
+            Y2 = jnp.array([[y11, y12], [y12, y11]])
+            # 2-port (V1, V2) → 4-node (p1, n1, p2, n2) expansion
+            T = jnp.array([[1.0, 0.0], [-1.0, 0.0],
+                           [0.0, 1.0], [0.0, -1.0]])
+            return (T @ Y2 @ T.T).astype(Y2.dtype)
+
+        return yfun

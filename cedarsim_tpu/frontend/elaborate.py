@@ -27,7 +27,7 @@ from cedarsim_tpu.devices import (
     Resistor, Capacitor, Inductor, Diode, CoupledInductors,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
-    VCVS, VCCS, CCVS, CCCS, VSwitch, ISwitch,
+    VCVS, VCCS, CCVS, CCCS, VSwitch, ISwitch, TLine,
 )
 from cedarsim_tpu.devices.mos import Mos1
 from cedarsim_tpu.devices.bjt import Bjt
@@ -479,6 +479,21 @@ class Elaborator:
             return
         if letter == "g":
             self.ckt.add(VCCS, name, nets, dict(gm=kw.get("gm", val(0))), m=m)
+            return
+        if letter == "t":
+            # lossless transmission line: Tname p1 n1 p2 n2 Z0= TD= (or
+            # F= [NL=], td = nl/f; ngspice/hspice card).  Exact Branin
+            # method-of-characteristics device (devices/simple.py::TLine).
+            z0 = kw.get("z0", kw.get("zo", 50.0))
+            td = kw.get("td")
+            if td is None:
+                f = kw.get("f")
+                if f is None:
+                    raise ElabError(
+                        f"{el.name}: transmission line needs TD= or F= "
+                        "(+ optional NL=)", el.loc)
+                td = kw.get("nl", 0.25) / f
+            self.ckt.add(TLine, name, nets, dict(z0=z0, td=td), m=m)
             return
         if letter == "s":
             mdl = self._model(el.model, scope, el.loc)

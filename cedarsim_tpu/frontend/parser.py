@@ -567,6 +567,7 @@ _ELEMENT_SHAPE = {
     "b": (2, False),
     "s": (4, True), "w": (2, True),
     "k": (0, False),
+    "t": (4, False),
 }
 
 

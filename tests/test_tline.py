@@ -1,0 +1,107 @@
+"""Lossless transmission line (SPICE T element): Branin's method of
+characteristics over the integrator's exact-history delay channel for
+DC/transient, exact two-port Y(f) stamps for AC.  Neither the reference
+simulator nor its parsers support T elements — capability beyond parity.
+Every check is closed-form transmission-line physics."""
+
+import numpy as np
+
+from cedarsim_tpu import (Circuit, Resistor, VSource, VSourcePULSE, TLine,
+                          compile_circuit, solve_dc, tran, ac, simulate,
+                          TranOptions)
+
+Z0, TD = 50.0, 25e-9
+
+
+def _link(rl, pulse=True):
+    """Matched-source line: V1 --RS(Z0)-- a ==line== b --RL-- gnd."""
+    ckt = Circuit()
+    vin, a, b = ckt.net("vin"), ckt.net("a"), ckt.net("b")
+    if pulse:
+        ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+                dict(v1=0.0, v2=2.0, td=10e-9, tr=0.2e-9, tf=0.2e-9,
+                     pw=200e-9, per=1e-3))
+    else:
+        ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=2.0, ac=1.0))
+    ckt.add(Resistor, "RS", (vin, a), dict(r=Z0))
+    ckt.add(TLine, "T1", (a, ckt.gnd, b, ckt.gnd), dict(z0=Z0, td=TD))
+    ckt.add(Resistor, "RL", (b, ckt.gnd), dict(r=rl))
+    return compile_circuit(ckt)
+
+
+def test_tline_dc_is_short():
+    comp = _link(Z0, pulse=False)
+    r = solve_dc(comp)
+    assert bool(r.converged)
+    x = np.asarray(r.x)
+    assert abs(x[comp.node_names.index("a")] - 1.0) < 1e-9
+    assert abs(x[comp.node_names.index("b")] - 1.0) < 1e-9
+
+
+def test_tline_matched_pure_delay():
+    """Matched load: the 1 V incident step arrives at b exactly TD after
+    launch, with no reflection back at a."""
+    comp = _link(Z0)
+    sol = tran(comp, (0.0, 120e-9),
+               opts=TranOptions(rtol=1e-4, atol=1e-7, max_steps=16384))
+    assert sol.converged
+    # before arrival / after arrival at the far end (edge at 10n + 25n)
+    assert abs(float(sol.interp("b", 30e-9))) < 0.02
+    assert abs(float(sol.interp("b", 45e-9)) - 1.0) < 0.02
+    assert abs(float(sol.interp("b", 110e-9)) - 1.0) < 0.02
+    # matched: a holds the 1 V incident level past the 2*TD echo time
+    assert abs(float(sol.interp("a", 70e-9)) - 1.0) < 0.02
+
+
+def test_tline_open_end_reflection():
+    """Open far end: v(b) doubles to 2 V on arrival; the reflection returns
+    to a at 2*TD after launch, stepping v(a) from 1 V to 2 V."""
+    comp = _link(1e9)
+    sol = tran(comp, (0.0, 120e-9),
+               opts=TranOptions(rtol=1e-4, atol=1e-7, max_steps=16384))
+    assert sol.converged
+    assert abs(float(sol.interp("b", 45e-9)) - 2.0) < 0.04
+    assert abs(float(sol.interp("a", 50e-9)) - 1.0) < 0.04   # before echo
+    assert abs(float(sol.interp("a", 70e-9)) - 2.0) < 0.04   # after 60 ns
+
+
+def test_tline_ac_quarter_wave_transformer():
+    """Exact Y(f) stamps: at f0 = 1/(4*TD) the line is a quarter-wave
+    transformer, Zin = Z0^2/RL; at 1/(2*TD) a half-wave repeater,
+    Zin = RL.  Closed-form dividers against the matched source."""
+    rl = 25.0
+    comp = _link(rl, pulse=False)
+    f0, f1 = 1.0 / (4 * TD), 1.0 / (2 * TD)
+    sol = ac(comp, np.array([f0, f1]))
+    va = np.asarray(sol["a"])
+    zin_q, zin_h = Z0 ** 2 / rl, rl
+    assert abs(abs(va[0]) - zin_q / (zin_q + Z0)) < 1e-6
+    assert abs(abs(va[1]) - zin_h / (zin_h + Z0)) < 1e-6
+
+
+def test_tline_netlist_card():
+    """T card end-to-end through the SPICE frontend, incl. F=/NL= timing."""
+    out = simulate("""* tline card
+V1 vin 0 PULSE(0 2 10n 0.2n 0.2n 200n 1m)
+RS vin a 50
+T1 a 0 b 0 Z0=50 TD=25n
+RL b 0 50
+.tran 1n 60n
+""")
+    sol = out["tran"]
+    assert abs(float(sol.interp("b", 45e-9)) - 1.0) < 0.02
+    # F=10MEG -> quarter wave default NL=0.25: td = 0.25/10e6 = 25 ns
+    from cedarsim_tpu import parse_spice, elaborate
+    nl = parse_spice("""* tline f card
+V1 vin 0 DC 1
+RS vin a 50
+T1 a 0 b 0 Z0=50 F=10MEG
+RL b 0 50
+.end
+""", file="t2.cir")
+    comp = elaborate(nl)
+    comp = compile_circuit(comp)
+    g = [comp.groups[k] for k in comp.group_order
+         if "tline" in k.lower()][0]
+    assert abs(float(g.static_params.get(
+        "td", g.instances[0].params["td"])) - 25e-9) < 1e-15
