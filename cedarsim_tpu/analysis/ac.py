@@ -49,8 +49,11 @@ def _freq_stamps(compiled):
             continue
         nt = g.model.n_terms()
         for j, inst in enumerate(g.instances):
+            # NOTE: analytic stamps bake the elaboration-time parameter
+            # values — a dynamically swept z0/td reaches DC/transient but
+            # not Y(f); m parallel copies scale the admittance
             funs.append((g.var_idx[j, :nt].astype(np.int64),
-                         mk(inst.params)))
+                         mk(inst.params), float(inst.mult)))
     return tables, funs
 
 
@@ -69,11 +72,11 @@ def _apply_freq_stamps(A, f_hz, stamps, n):
         Yf = Yg[i - 1] * (1 - w) + Yg[i] * w
         ii = jnp.asarray(np.where(idx < 0, n, idx))
         Ap = Ap.at[jnp.ix_(ii, ii)].add(Yf)
-    for idx, yfun in funs:
+    for idx, yfun, mult in funs:
         # the device var_idx already maps ground terminals to a pad slot
         # >= n; clamp onto the stamp pad row
         ii = jnp.asarray(np.minimum(idx, n))
-        Ap = Ap.at[jnp.ix_(ii, ii)].add(yfun(f_hz).astype(Ap.dtype))
+        Ap = Ap.at[jnp.ix_(ii, ii)].add(mult * yfun(f_hz).astype(Ap.dtype))
     return Ap[:n, :n]
 
 
@@ -117,7 +120,11 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
     params = compiled.params0 if params is None else params
     if ctx is None:
         ctx = SimSpec.make(dtype=compiled.dtype)
-    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
+    # the bias point solves in DCOP mode (SPICE: the AC op IS the DC op) —
+    # devices whose AC-mode eval defers to the frequency-dependent stamp
+    # path (TLine pins its small-signal branch rows there) still bias
+    # correctly; the linearization below evaluates in AC mode
+    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.DCOP)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
 
     stamps = _freq_stamps(compiled)
@@ -185,7 +192,8 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
         f = np.atleast_1d(np.asarray(freqs))
         return NoiseSolution(f, np.zeros_like(f), np.zeros((len(f), 0)), [],
                              compiled)
-    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.AC)
+    # DCOP bias (see ac()); AC-mode linearization below
+    op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.DCOP)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))
     obs = compiled.observe(out)
     stamps = _freq_stamps(compiled)

@@ -45,6 +45,14 @@ def pss(compiled: CompiledCircuit, period: float, params=None,
         ctx: SimSpec = None, opts: TranOptions = None, max_iter: int = 10,
         tol: float = 1e-9, damping: float = 1.0) -> PSSResult:
     """Shooting PSS for a circuit driven at a known ``period``."""
+    if getattr(compiled, "n_dly", 0):
+        raise NotImplementedError(
+            "shooting PSS does not support exact-history delay elements "
+            "(TLine / absdelay delay_mode='history'): the shooting state "
+            "x0 does not include the in-flight wave history, so the fixed "
+            "point would correspond to a flat-history integrator rather "
+            "than the true periodic orbit.  Use delay_mode='pade' (state-"
+            "based) for PSS.")
     params = compiled.params0 if params is None else params
     if ctx is None:
         ctx = SimSpec.make(dtype=compiled.dtype)

@@ -533,9 +533,19 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
     if n_dly:
         # seed the history ring at the operating point: every pre-t0 query
-        # holds u0 (jnp.interp clamps to the ends)
-        u0_d, _ = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
-        S0, Q0 = parts(x0, t0, dly=u0_d)
+        # holds u0 (jnp.interp clamps to the ends).  On resume the corrector
+        # history (Sn/Qn) must see u(t0 − td) from the RESTORED ring, not
+        # the live value — the trap corrector otherwise solves its first
+        # post-seam step against a wrong Sn on the delay rows
+        u0_d, td0_d = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
+        if init_state is not None and "t_ring" in init_state:
+            _tr0 = jnp.asarray(init_state["t_ring"]).astype(dtype)
+            _ur0 = jnp.asarray(init_state["u_ring"]).astype(dtype)
+            dly_t0 = jax.vmap(lambda q, col: jnp.interp(q, _tr0, col))(
+                jnp.asarray(t0, dtype) - td0_d, _ur0.T)
+        else:
+            dly_t0 = u0_d
+        S0, Q0 = parts(x0, t0, dly=dly_t0)
     else:
         S0, Q0 = parts(x0, t0)
 
@@ -587,6 +597,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         next_bp = bps[jnp.minimum(c["bpi"], nb - 1)]
         h_use = jnp.minimum(jnp.minimum(h, hmax),
                             jnp.maximum(next_bp - t, hmin))
+        if n_dly:
+            # active delay lines bound the step: h ≤ min(td)/2 keeps at
+            # least two ring samples per delay, so the interpolated waves
+            # can't alias even when LTE is controlled by slower dynamics
+            # (SPICE caps T-element timesteps the same way)
+            h_use = jnp.minimum(h_use, jnp.maximum(
+                0.5 * jnp.min(c["dly_td"]), hmin))
         # if we'd land just short of the breakpoint, stretch onto it
         h_use = jnp.where(next_bp - t - h_use < 0.25 * h_use,
                           next_bp - t, h_use)
@@ -904,6 +921,13 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
         if t0 >= tstop:
             raise ValueError(f"checkpoint time {t0} is already past "
                              f"tstop={tstop}")
+        if "t_ring" in resume and \
+                len(np.asarray(resume["t_ring"])) != opts.delay_history:
+            raise ValueError(
+                f"checkpoint delay-history ring has "
+                f"{len(np.asarray(resume['t_ring']))} slots but "
+                f"TranOptions.delay_history={opts.delay_history} — resume "
+                "with the same delay_history the checkpoint was saved with")
     span = tstop - t0
 
     # breakpoint schedule (static)

@@ -309,7 +309,7 @@ class CompiledCircuit:
             C = C.at[rows, cols].add(Jq.astype(self.dtype) * scale)
         return G[:-1, :-1], C[:-1, :-1]
 
-    def res_jacs(self, x, ctx: SimSpec, params=None, eps=None):
+    def res_jacs(self, x, ctx: SimSpec, params=None, eps=None, dly=None):
         """Fused (S, Q, G, C) in ONE walk per group: ``jax.linearize`` shares
         the primal evaluation with the tangent map, so a Newton iteration
         costs one model evaluation + n_lvar linear-tangent evaluations
@@ -335,8 +335,8 @@ class CompiledCircuit:
             lv = x_pad[g.var_idx]
             le = eps[g.eps_idx]
             if g.dly_idx is not None and g.dly_idx.shape[1]:
-                le = jnp.concatenate(
-                    [le, self._dly0(x)[g.dly_idx]], axis=1)
+                dv = self._dly0(x) if dly is None else dly
+                le = jnp.concatenate([le, dv[g.dly_idx]], axis=1)
             pv = {k: v for k, v in gp.items() if k != "$mult"}
             sp = g.static_params
             n_lvar = g.model.n_lvar()
@@ -514,6 +514,10 @@ class CompiledCircuit:
                     return volt
 
                 def curr(x, xd, ctx, params=None):
+                    # NOTE: exact-history delayed aux inputs read 0 here
+                    # (solution arrays don't carry the rings) — terminal
+                    # currents of delay_mode="history" devices are only
+                    # exact through the pade path (see VADevice.eval_var)
                     params = self.params0 if params is None else params
                     gp = {k: v[j] for k, v in params[key].items()
                           if k != "$mult"}

@@ -492,7 +492,14 @@ class Elaborator:
                     raise ElabError(
                         f"{el.name}: transmission line needs TD= or F= "
                         "(+ optional NL=)", el.loc)
+                if f <= 0:
+                    raise ElabError(f"{el.name}: F={f} must be positive",
+                                    el.loc)
                 td = kw.get("nl", 0.25) / f
+            if td <= 0 or z0 <= 0:
+                raise ElabError(
+                    f"{el.name}: transmission line needs TD > 0 and Z0 > 0 "
+                    f"(got td={td}, z0={z0})", el.loc)
             self.ckt.add(TLine, name, nets, dict(z0=z0, td=td), m=m)
             return
         if letter == "s":

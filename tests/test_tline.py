@@ -79,6 +79,25 @@ def test_tline_ac_quarter_wave_transformer():
     assert abs(abs(va[1]) - zin_h / (zin_h + Z0)) < 1e-6
 
 
+def test_tline_ac_bias_is_dc_short():
+    """Regression: the AC analysis biases in DCOP mode, where the line is a
+    DC short — a capacitive far-end load has no other DC path, so an
+    AC-mode bias (line open there: small-signal physics lives in the Y(f)
+    stamps) would leave node b floating/at 0 instead of at the source."""
+    from cedarsim_tpu import Capacitor
+    ckt = Circuit()
+    vin, a, b = ckt.net("vin"), ckt.net("a"), ckt.net("b")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=2.0, ac=1.0))
+    ckt.add(Resistor, "RS", (vin, a), dict(r=Z0))
+    ckt.add(TLine, "T1", (a, ckt.gnd, b, ckt.gnd), dict(z0=Z0, td=TD))
+    ckt.add(Capacitor, "CL", (b, ckt.gnd), dict(c=1e-12))
+    comp = compile_circuit(ckt)
+    sol = ac(comp, np.array([1e6]))
+    xb = float(np.asarray(sol.op_x)[comp.node_names.index("b")])
+    assert abs(xb - 2.0) < 1e-6, xb           # biased through the line
+    assert np.all(np.isfinite(np.asarray(sol.v)))
+
+
 def test_tline_netlist_card():
     """T card end-to-end through the SPICE frontend, incl. F=/NL= timing."""
     out = simulate("""* tline card
