@@ -158,9 +158,32 @@ class NoiseSolution:
     per_source: np.ndarray     # [nf, n_eps]
     eps_names: list
     compiled: CompiledCircuit
+    #: |H(f)|² of the AC drive (the circuit's ac= sources) to the output —
+    #: the ngspice ``.noise V(out) VSRC`` input-referral gain
+    gain2: np.ndarray = None
 
     def __getitem__(self, _name="out"):
         return self.psd
+
+    def inoise(self):
+        """Input-referred PSD [nf]: output PSD / |H(f)|² of the AC drive
+        (ngspice ``inoise_spectrum`` role)."""
+        if self.gain2 is None:
+            raise ValueError("no AC drive gain available")
+        return self.psd / np.maximum(self.gain2, 1e-300)
+
+    def total(self, f1=None, f2=None, input_referred=False):
+        """RMS integrated noise over [f1, f2] (defaults: the full grid) by
+        trapezoid on the computed grid — ngspice ``onoise_total`` /
+        ``inoise_total``.  Use a dense-enough (log) grid for the bandwidth
+        of interest; the classic check is kT/C for an RC lowpass."""
+        f = self.freqs
+        s = self.inoise() if input_referred else self.psd
+        lo = f[0] if f1 is None else f1
+        hi = f[-1] if f2 is None else f2
+        m = (f >= lo) & (f <= hi)
+        tz = getattr(np, "trapezoid", None) or np.trapz
+        return float(np.sqrt(tz(s[m], f[m])))
 
     def source(self, name):
         """PSD contribution [nf] of one noise source — by its full eps name
@@ -214,6 +237,8 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
         Cc = C.astype(config.complex_dtype)
         w = 2.0 * np.pi * jnp.asarray(freqs, compiled.dtype)
 
+        b_ac = compiled.ac_rhs(params)
+
         def one(wi, f):
             A = _apply_freq_stamps(Gc + 1j * wi * Cc, f, stamps,
                                    compiled.n_x)
@@ -221,12 +246,17 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
             H = y.conj() @ Jeps.astype(config.complex_dtype)   # [n_eps]
             s = pwr * jnp.power(f, -ex)
             per = (jnp.abs(H) ** 2) * s
-            return per
+            # drive→output transfer from the SAME adjoint solve: the
+            # input-referral gain (e_out·A⁻¹·b = (A⁻ᴴe_out)ᴴ·b)
+            g2 = jnp.abs(y.conj() @ b_ac) ** 2
+            return per, g2
 
-        per = jax.vmap(one)(w, jnp.asarray(freqs, compiled.dtype))
-        return per
+        per, g2 = jax.vmap(one)(w, jnp.asarray(freqs, compiled.dtype))
+        return per, g2
 
-    per = np.asarray(run(op.x, params))
+    per, g2 = run(op.x, params)
+    per = np.asarray(per)
+    g2 = np.asarray(g2)
     eps_names = []
     for key in compiled.group_order:
         g = compiled.groups[key]
@@ -234,4 +264,4 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
             for k in range(g.model.n_noise):
                 eps_names.append(f"{inst.name}#n{k}")
     return NoiseSolution(freqs=freqs, psd=per.sum(axis=1), per_source=per,
-                         eps_names=eps_names, compiled=compiled)
+                         eps_names=eps_names, compiled=compiled, gain2=g2)

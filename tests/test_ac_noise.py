@@ -182,3 +182,35 @@ R2 vmid 0 1k
     r = tf(comp, "vmid", "v1")
     assert np.isclose(float(r["gain"]), 0.5, rtol=1e-9)
     assert np.isclose(float(r["rout"]), 500.0, rtol=1e-6)
+
+
+def test_noise_total_ktc_and_input_referred():
+    """Integrated output noise of an RC lowpass equals sqrt(kT/C)
+    (equipartition — the classic closed form), and the input-referred
+    spectrum is the flat 4kTR of the series resistor (ngspice
+    onoise_total / inoise_spectrum roles)."""
+    import numpy as np
+    from cedarsim_tpu import (Circuit, Resistor, Capacitor, VSource,
+                              compile_circuit, noise, acdec)
+    from cedarsim_tpu import config as cfg
+    R, C = 10e3, 1e-9
+    ckt = Circuit()
+    vin, out = ckt.net("vin"), ckt.net("out")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=0.0, ac=1.0))
+    ckt.add(Resistor, "R1", (vin, out), dict(r=R))
+    ckt.add(Capacitor, "C1", (out, ckt.gnd), dict(c=C))
+    comp = compile_circuit(ckt)
+    f = acdec(48, 1.0, 1e9)        # f3dB ~ 15.9 kHz, wide coverage
+    n = noise(comp, "out", f)
+    kT = cfg.K_BOLTZMANN * (27.0 + 273.15)
+    assert abs(n.total() - np.sqrt(kT / C)) / np.sqrt(kT / C) < 2e-3
+    # input-referred: flat 4kTR at every frequency (the R's noise source
+    # sees exactly the drive's transfer function)
+    ino = n.inoise()
+    assert np.allclose(ino, 4 * kT * R, rtol=1e-6)
+    # band-limited integral matches the analytic arctan fraction
+    f1, f2 = 1e3, 1e5
+    f3db = 1.0 / (2 * np.pi * R * C)
+    want = np.sqrt(kT / C * (2 / np.pi)
+                   * (np.arctan(f2 / f3db) - np.arctan(f1 / f3db)))
+    assert abs(n.total(f1, f2) - want) / want < 5e-3
