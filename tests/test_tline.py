@@ -124,3 +124,37 @@ RL b 0 50
          if "tline" in k.lower()][0]
     assert abs(float(g.static_params.get(
         "td", g.instances[0].params["td"])) - 25e-9) < 1e-15
+
+
+def test_tline_multiple_echo_staircase():
+    """Mismatched source (Rs=10, gamma_s=-2/3) + open end (gamma_L=1): the
+    far-end voltage is a ringing staircase with exact closed-form levels
+    v(b) after the k-th arrival = 2*(1 - (-2/3)^k ... ) — computed by the
+    bounce diagram below.  Stresses the breakpoint echo closure and the
+    h <= td/2 cap across many in-flight reflections."""
+    rs = 10.0
+    ckt = Circuit()
+    vin, a, b = ckt.net("vin"), ckt.net("a"), ckt.net("b")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=2.0, td=10e-9, tr=0.2e-9, tf=0.2e-9,
+                 pw=1e-3, per=2e-3))
+    ckt.add(Resistor, "RS", (vin, a), dict(r=rs))
+    ckt.add(TLine, "T1", (a, ckt.gnd, b, ckt.gnd), dict(z0=Z0, td=TD))
+    ckt.add(Resistor, "RL", (b, ckt.gnd), dict(r=1e9))
+    comp = compile_circuit(ckt)
+    sol = tran(comp, (0.0, 150e-9),
+               opts=TranOptions(rtol=1e-4, atol=1e-7, max_steps=32768))
+    assert sol.converged
+    # bounce diagram: launch 2*Z0/(Z0+rs) = 5/3; gamma_s = -2/3, gamma_L = 1
+    gs = (rs - Z0) / (rs + Z0)
+    w = 2.0 * Z0 / (Z0 + rs)         # first forward wave
+    vb = 0.0
+    arrivals = []                     # v(b) level after each odd multiple
+    for _ in range(3):
+        vb += 2.0 * w                 # open end doubles the incident wave
+        arrivals.append(vb)
+        w *= gs                       # reflect off the source
+    # edges at 10n + 25n, +75n, +125n; probe mid-interval
+    for t_probe, want in zip((45e-9, 95e-9, 145e-9), arrivals):
+        got = float(sol.interp("b", t_probe))
+        assert abs(got - want) < 0.05, (t_probe, got, want)
