@@ -119,7 +119,8 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
     """AC analysis over ``freqs`` (Hz)."""
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     # the bias point solves in DCOP mode (SPICE: the AC op IS the DC op) —
     # devices whose AC-mode eval defers to the frequency-dependent stamp
     # path (TLine pins its small-signal branch rows there) still bias
@@ -210,7 +211,8 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
     (/root/reference/src/ac.jl:267-284)."""
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     if compiled.n_eps == 0:
         f = np.atleast_1d(np.asarray(freqs))
         return NoiseSolution(f, np.zeros_like(f), np.zeros((len(f), 0)), [],

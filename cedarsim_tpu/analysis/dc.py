@@ -252,7 +252,8 @@ def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
     opts = opts or default_newton_options(compiled)
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     if use_ics is None:

@@ -114,7 +114,8 @@ def init_fragility(compiled: CompiledCircuit, n: int = 64, sigma: float = 0.5,
     """
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     opts = opts or default_newton_options(compiled)

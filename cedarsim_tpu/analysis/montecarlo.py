@@ -71,7 +71,8 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     from cedarsim_tpu.analysis.dc import default_newton_options
     opts = opts or default_newton_options(compiled)
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     compiled, bp = scatter_params(compiled, n, dist,

@@ -55,7 +55,8 @@ def pss(compiled: CompiledCircuit, period: float, params=None,
             "based) for PSS.")
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     opts = opts or TranOptions()
     d = compiled.dtype
     T = float(period)

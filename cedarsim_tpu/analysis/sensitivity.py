@@ -33,7 +33,8 @@ def dc_sensitivity(compiled: CompiledCircuit, observable: str, wrt: list,
     compiled = ensure_dynamic(compiled, wrt)
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     res = solve_dc(compiled, params, ctx, opts=opts, mode=mode)
@@ -82,7 +83,8 @@ def tran_sensitivity(compiled, observable: str, wrt: str, tspan, t_eval,
     compiled = ensure_dynamic(compiled, [wrt])
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     opts = opts or TranOptions(max_steps=4096)
     t0, tstop = float(tspan[0]), float(tspan[1])
     op = solve_dc(compiled, params, ctx, mode=Modes.TRANOP)

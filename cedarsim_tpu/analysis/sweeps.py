@@ -170,7 +170,8 @@ def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
     from cedarsim_tpu.analysis.dc import default_newton_options
     opts = opts or default_newton_options(compiled)
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     compiled, bp, points = batch_params(compiled, sweep, params)

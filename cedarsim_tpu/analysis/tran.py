@@ -914,7 +914,8 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
             opts = TranOptions()
     params = compiled.params0 if params is None else params
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     t0, tstop = float(tspan[0]), float(tspan[1])
     if resume is not None:
         t0 = float(np.asarray(resume["t"]))

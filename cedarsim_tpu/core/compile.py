@@ -660,6 +660,17 @@ class CompiledCircuit:
         return out
 
 
+def default_ctx(compiled: CompiledCircuit) -> SimSpec:
+    """SimSpec honoring the netlist's ``.option``/``.temp`` (gmin, temp) —
+    what ``simulate()`` builds; analysis entry points use this when no ctx
+    is given, so ``.option gmin=`` reaches direct API callers too (the
+    reference merges option_* params into SimSpec the same way,
+    /root/reference/src/spectre.jl:1529-1544)."""
+    o = getattr(compiled.circuit, "options", {}) or {}
+    return SimSpec.make(temp_c=o.get("temp", 27.0),
+                        gmin=o.get("gmin", 1e-12), dtype=compiled.dtype)
+
+
 def compile_circuit(circuit: Circuit, dtype=None, dynamic_params=(),
                     eval_dtype=None, sparse="auto") -> CompiledCircuit:
     """``sparse``: "auto" (sparse Newton linear algebra for circuits with

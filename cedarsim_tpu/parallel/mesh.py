@@ -51,7 +51,8 @@ def dc_sweep_sharded(compiled: CompiledCircuit, sweep, mesh: Mesh = None,
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     if ctx is None:
-        ctx = SimSpec.make(mode=mode, dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
     else:
         ctx = ctx.with_mode(mode)
     compiled, bp, _ = batch_params(compiled, sweep, params)
@@ -102,8 +103,8 @@ class TranSweepResult:
 
 def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
                        mesh: Mesh = None, params=None, ctx: SimSpec = None,
-                       opts=None, dc_opts: NewtonOptions = None
-                       ) -> TranSweepResult:
+                       opts=None, dc_opts: NewtonOptions = None,
+                       x0=None) -> TranSweepResult:
     """Batched transient sweep sharded across the mesh's batch axis: the
     per-lane DC operating points and the full adaptive time loops run as ONE
     sharded XLA program each — the multi-chip version of the reference's
@@ -111,7 +112,19 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
     (/root/reference/src/sweeps.jl:471-502).
 
     Swept parameters must not move source breakpoint times (the breakpoint
-    schedule is static, computed from the elaborated nominal values)."""
+    schedule is static, computed from the elaborated nominal values).
+
+    ``sweep=None`` accepts a prebuilt batched parameter pytree via
+    ``params`` (every leaf with a leading points axis — e.g. a custom PVT
+    grid assembled with ``set_param``) instead of a sweep object.
+
+    ``x0``: warm-start guess for the per-lane operating points — usually
+    the NOMINAL op (``solve_dc(compiled).x``).  Strongly recommended for
+    metastable-bias circuits (latches/flops): the cold continuation ladder
+    from zeros is genuinely fragile at some sweep points (the reference's
+    initialization-fragility probe documents this), while a few Newton
+    steps from the nominal op converge across the whole perturbation
+    range."""
     from cedarsim_tpu.analysis.tran import TranOptions, tran_core
     from cedarsim_tpu.analysis.dc import default_newton_options
     from cedarsim_tpu.core.context import Modes as M
@@ -121,11 +134,18 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
     if ctx is None:
-        ctx = SimSpec.make(dtype=compiled.dtype)
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled)
     t0, tstop = float(tspan[0]), float(tspan[1])
     span = tstop - t0
 
-    compiled, bp, _ = batch_params(compiled, sweep, params)
+    if sweep is None:
+        if params is None:
+            raise ValueError("sweep=None needs a prebuilt batched params "
+                             "tree via params=")
+        bp = params
+    else:
+        compiled, bp, _ = batch_params(compiled, sweep, params)
     bp, n = pad_batch(bp, mesh.size)
     npad = jax.tree.leaves(bp)[0].shape[0]
 
@@ -139,8 +159,15 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
     repl = NamedSharding(mesh, P())
     bp = jax.tree.map(lambda a: jax.device_put(a, shard), bp)
     ctx_r = jax.tree.map(lambda a: jax.device_put(a, repl), ctx)
-    x0 = jax.device_put(jnp.zeros((npad, compiled.n_x), compiled.dtype),
-                        shard)
+    if x0 is None:
+        x0b = jnp.zeros((npad, compiled.n_x), compiled.dtype)
+    else:
+        x0 = jnp.asarray(x0, compiled.dtype)
+        if x0.ndim == 1:
+            x0b = jnp.broadcast_to(x0, (npad, compiled.n_x))
+        else:
+            x0b, _ = pad_batch(x0, mesh.size)
+    x0 = jax.device_put(x0b, shard)
 
     d = compiled.dtype
     cache = compiled.__dict__.setdefault("_transweep_shard_cache", {})
