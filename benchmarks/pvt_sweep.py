@@ -44,6 +44,11 @@ def run(points, backend):
     from cedarsim_tpu.parallel.mesh import make_mesh, tran_sweep_sharded
 
     on_tpu = jax.default_backend() == "tpu"
+    if backend == "tpu" and not on_tpu:
+        sys.exit("--backend tpu requested but the TPU backend did not "
+                 "initialize (tunnel down / plugin absent) — refusing to "
+                 "record a mislabeled row; note a hung tunnel blocks "
+                 "forever: run under `timeout`")
     t0 = time.perf_counter()
     with open(os.path.join(DFF, "dff_tb_bsim4.cir")) as f:
         nl = parse_spice(f.read(), file="dff_tb_bsim4.cir")
@@ -86,7 +91,9 @@ def run(points, backend):
     res = tran_sweep_sharded(comp, None, (0.0, 7e-7), mesh, params=bp,
                              ctx=ctx, opts=opts, x0=op.x)
     jax.block_until_ready(res.xs)
-    compile_s = time.perf_counter() - t0
+    # parse + elaborate + compile + nominal op + ONE full execution — the
+    # honest label is setup, not compile
+    setup_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     res = tran_sweep_sharded(comp, None, (0.0, 7e-7), mesh, params=bp,
@@ -108,7 +115,7 @@ def run(points, backend):
                 mesh_devices=int(mesh.size),
                 mode="f32-eval" if on_tpu else "f64",
                 ok=ok, worst_rail_err=round(worst, 4),
-                compile_s=round(compile_s, 1), wall_s=round(wall, 2),
+                setup_s=round(setup_s, 1), wall_s=round(wall, 2),
                 points_per_sec=round(n_pts / wall, 2),
                 newton=int(np.asarray(res.n_newton).sum()),
                 date=time.strftime("%Y-%m-%d"))

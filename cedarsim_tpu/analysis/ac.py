@@ -169,8 +169,11 @@ class NoiseSolution:
     def inoise(self):
         """Input-referred PSD [nf]: output PSD / |H(f)|² of the AC drive
         (ngspice ``inoise_spectrum`` role)."""
-        if self.gain2 is None:
-            raise ValueError("no AC drive gain available")
+        if self.gain2 is None or float(np.max(self.gain2)) <= 0.0:
+            raise ValueError(
+                "input-referred noise needs an AC drive: no source in the "
+                "circuit has a nonzero ac= value, so |H(f)| = 0 and "
+                "onoise/|H|^2 is undefined")
         return self.psd / np.maximum(self.gain2, 1e-300)
 
     def total(self, f1=None, f2=None, input_referred=False):
@@ -215,8 +218,10 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
         ctx = default_ctx(compiled)
     if compiled.n_eps == 0:
         f = np.atleast_1d(np.asarray(freqs))
+        # gain2=ones: a noiseless circuit's input-referred noise is zero
+        # (not an error), without paying the AC solves for it
         return NoiseSolution(f, np.zeros_like(f), np.zeros((len(f), 0)), [],
-                             compiled)
+                             compiled, gain2=np.ones_like(f))
     # DCOP bias (see ac()); AC-mode linearization below
     op = solve_dc(compiled, params, ctx, opts=dc_opts, mode=Modes.DCOP)
     freqs = np.atleast_1d(np.asarray(freqs, np.float64))

@@ -11,7 +11,8 @@ each segment re-elaborates with the altergroup bodies spliced in).
 
 from __future__ import annotations
 
-from cedarsim_tpu.core.compile import compile_circuit, ensure_dynamic
+from cedarsim_tpu.core.compile import (compile_circuit, default_ctx,
+                                        ensure_dynamic)
 from cedarsim_tpu.core.context import SimSpec
 from cedarsim_tpu.frontend.elaborate import load_spice, elaborate
 from cedarsim_tpu.frontend.parser import parse_spice
@@ -137,8 +138,6 @@ def simulate(text_or_circuit, include_paths=(), params=None, temp=None,
 
 
 def _run_circuit(circuit, temp=None, tran_opts=None):
-    temp = temp if temp is not None else circuit.options.get("temp", 27.0)
-    gmin = circuit.options.get("gmin", 1e-12)
     compiled = compile_circuit(circuit)
     run_params = None
     # device-targeted alter statements (a1 alter dev=r1 param=r value=2k)
@@ -149,7 +148,7 @@ def _run_circuit(circuit, temp=None, tran_opts=None):
             run_params = compiled.set_param(
                 run_params if run_params is not None else compiled.params0,
                 dotted, float(kw.get("value", 0.0)))
-    ctx = SimSpec.make(temp_c=temp, gmin=gmin, dtype=compiled.dtype)
+    ctx = default_ctx(compiled, temp_c=temp)
     out = {"circuit": circuit, "compiled": compiled}
     ran_any = False
     for cmd, args, kw in circuit.directives:

@@ -660,15 +660,18 @@ class CompiledCircuit:
         return out
 
 
-def default_ctx(compiled: CompiledCircuit) -> SimSpec:
+def default_ctx(compiled: CompiledCircuit, temp_c=None) -> SimSpec:
     """SimSpec honoring the netlist's ``.option``/``.temp`` (gmin, temp) —
-    what ``simulate()`` builds; analysis entry points use this when no ctx
-    is given, so ``.option gmin=`` reaches direct API callers too (the
-    reference merges option_* params into SimSpec the same way,
-    /root/reference/src/spectre.jl:1529-1544)."""
+    the ONE place the options→SimSpec policy lives; ``simulate()`` and the
+    analysis entry points (ctx=None) both use it, so ``.option gmin=``
+    reaches direct API callers too (the reference merges option_* params
+    into SimSpec the same way, /root/reference/src/spectre.jl:1529-1544).
+    ``temp_c`` overrides the netlist temperature when given."""
     o = getattr(compiled.circuit, "options", {}) or {}
-    return SimSpec.make(temp_c=o.get("temp", 27.0),
-                        gmin=o.get("gmin", 1e-12), dtype=compiled.dtype)
+    if temp_c is None:
+        temp_c = o.get("temp", 27.0)
+    return SimSpec.make(temp_c=temp_c, gmin=o.get("gmin", 1e-12),
+                        dtype=compiled.dtype)
 
 
 def compile_circuit(circuit: Circuit, dtype=None, dynamic_params=(),
