@@ -158,3 +158,29 @@ def test_tline_multiple_echo_staircase():
     for t_probe, want in zip((45e-9, 95e-9, 145e-9), arrivals):
         got = float(sol.interp("b", t_probe))
         assert abs(got - want) < 0.05, (t_probe, got, want)
+
+
+def test_tline_mixed_precision_eval():
+    """The TPU design point (f32 model evals, f64 states/solves, cap-form
+    BDF2, chord Newton) through the delay channel: matched line stays a
+    pure delay.  Catches dtype bugs in the aux-input cast path."""
+    import jax.numpy as jnp
+    ckt = Circuit()
+    vin, a, b = ckt.net("vin"), ckt.net("a"), ckt.net("b")
+    ckt.add(VSourcePULSE, "V1", (vin, ckt.gnd),
+            dict(v1=0.0, v2=2.0, td=10e-9, tr=0.5e-9, tf=0.5e-9,
+                 pw=200e-9, per=1e-3))
+    ckt.add(Resistor, "RS", (vin, a), dict(r=Z0))
+    ckt.add(TLine, "T1", (a, ckt.gnd, b, ckt.gnd), dict(z0=Z0, td=TD))
+    ckt.add(Resistor, "RL", (b, ckt.gnd), dict(r=Z0))
+    comp = compile_circuit(ckt, eval_dtype=jnp.float32)
+    assert comp.eval_dtype == jnp.float32
+    sol = tran(comp, (0.0, 120e-9),
+               opts=TranOptions(max_steps=16384, jac_reuse=1,
+                                newton_reltol=1e-4, newton_abstol=5e-7,
+                                res_tol=1e-3, jac_shunt=1e-7, res_rel=3e-5,
+                                rtol=1e-3, atol=1e-5))
+    assert sol.converged
+    assert abs(float(sol.interp("b", 30e-9))) < 0.02
+    assert abs(float(sol.interp("b", 60e-9)) - 1.0) < 0.02
+    assert abs(float(sol.interp("a", 70e-9)) - 1.0) < 0.02
