@@ -4,6 +4,7 @@ from cedarsim_tpu.devices.simple import (
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
     VCVS, VCCS, CCVS, CCCS, CoupledInductors, VSwitch, ISwitch, TLine,
+    LTRALine,
     OpenCircuit, ShortCircuit, nonlinear_resistor,
     nonlinear_capacitor,
 )

@@ -11,6 +11,8 @@ observable behavior matches.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from cedarsim_tpu import config
@@ -677,6 +679,135 @@ class TLine(DeviceModel):
             y12 = 1j / (s * z0)
             Y2 = jnp.array([[y11, y12], [y12, y11]])
             # 2-port (V1, V2) → 4-node (p1, n1, p2, n2) expansion
+            T = jnp.array([[1.0, 0.0], [-1.0, 0.0],
+                           [0.0, 1.0], [0.0, -1.0]])
+            return (T @ Y2 @ T.T).astype(Y2.dtype)
+
+        return yfun
+
+
+class LTRALine(DeviceModel):
+    """Lossy RLCG transmission-line section (the SPICE O element / ngspice
+    LTRA model; the reference *lexes* the O letter,
+    /root/reference/SpectreNetlistParser.jl/src/SPICE/tokenize/lexer.jl:581,
+    but never implements a runtime — working lossy lines are capability
+    beyond parity).
+
+    One instance models a section with series totals R=rtot, L=ltot and
+    shunt totals G=gtot, C=ctot (the elaborator cascades K sections for
+    heavily lossy lines; each section carries its own share).  Transient =
+    lossy method of characteristics: Branin's traveling waves (the exact
+    lossless machinery of :class:`TLine`, riding the integrator's
+    exact-history delay channel) extended with
+
+      * wave attenuation  α = exp(−R/(2·Z0) − G·Z0/2)  — the exact
+        high-frequency transit attenuation of an RLCG line;
+      * DC-exactness correction: at steady state the attenuated wave pair
+        is a leaky π two-port (series z0(1−α²)/(2α), shunt
+        gc = (1−α)/(z0(1+α)) at each wave node).  A −gc shunt folded into
+        each branch equation *at the wave node* cancels the π shunts
+        exactly, and a series lump ρ = (R − z0(1−α²)/(2α))/2 at each port
+        tops the series part up so the DC path resistance is *exactly* R;
+      * physical shunt conductance lumps G/2 across each port.
+
+    What a single section does NOT model is the dispersive wave distortion
+    inside the section (the RC-diffusion tail of the true impulse response,
+    which ngspice obtains by convolution); cascading sections converges to
+    it, and the elaborator picks the section count from the per-section
+    loss.  DC is exact by construction, and AC/noise bypass the MoC model
+    entirely: ``ac_admittance`` stamps the *exact* frequency-domain RLCG
+    two-port  Y11 = coth(γ)/Zc, Y12 = −1/(Zc·sinh γ) with
+    γ = √((R+jωL)(G+jωC)), Zc = √((R+jωL)/(G+jωC)) — a cascade of exact
+    section two-ports is the exact full line at every frequency."""
+    terminals = ("p1", "n1", "p2", "n2")
+    n_branch = 2
+    n_delay = 2
+    params = dict(rtot=0.0, ltot=250e-9, gtot=0.0, ctot=100e-12)
+
+    @staticmethod
+    def _derived(p):
+        z0 = jnp.sqrt(p["ltot"] / p["ctot"])
+        alpha = jnp.exp(-p["rtot"] / (2.0 * z0) - p["gtot"] * z0 / 2.0)
+        # DC π-equivalent of the attenuated wave pair
+        rs_w = z0 * (1.0 - alpha * alpha) / (2.0 * alpha)
+        gc = (1.0 - alpha) / (z0 * (1.0 + alpha))
+        rho = jnp.maximum(0.0, (p["rtot"] - rs_w) / 2.0)
+        return z0, alpha, rho, gc
+
+    @staticmethod
+    def _waves(lv, p):
+        """U_k (wave-node voltages behind the ρ lumps), iL_k (line currents
+        incl. the −gc wave-node compensation shunt), and the outgoing waves
+        w_k = U_k + z0·iL_k."""
+        vp1, vn1, vp2, vn2, i1, i2 = (lv[0], lv[1], lv[2], lv[3],
+                                      lv[4], lv[5])
+        z0, alpha, rho, gc = LTRALine._derived(p)
+        u1 = (vp1 - vn1) - rho * i1
+        u2 = (vp2 - vn2) - rho * i2
+        il1 = i1 + gc * u1
+        il2 = i2 + gc * u2
+        return z0, alpha, u1, u2, il1, il2
+
+    @staticmethod
+    def eval(lv, p, ctx, eps):
+        i1, i2 = lv[4], lv[5]
+        zero = jnp.zeros_like(i1)
+        if ctx.mode == Modes.AC:
+            # small-signal physics comes from the exact Y(f) stamp
+            return jnp.stack([zero, zero, zero, zero, i1, i2]), \
+                jnp.zeros((6,), lv.dtype)
+        z0, alpha, u1, u2, il1, il2 = LTRALine._waves(lv, p)
+        g2 = p["gtot"] / 2.0
+        if ctx.mode in (Modes.DCOP, Modes.TRANOP):
+            e1 = alpha * (u2 + z0 * il2)
+            e2 = alpha * (u1 + z0 * il1)
+        else:
+            e1, e2 = alpha * eps[0], alpha * eps[1]
+        vd1 = lv[0] - lv[1]
+        vd2 = lv[2] - lv[3]
+        static = jnp.stack([
+            i1 + g2 * vd1, -(i1 + g2 * vd1),
+            i2 + g2 * vd2, -(i2 + g2 * vd2),
+            u1 - z0 * il1 - e1,
+            u2 - z0 * il2 - e2])
+        return static, jnp.zeros_like(static)
+
+    @classmethod
+    def delays(cls, lv, p, ctx):
+        """(u_now, td): the un-attenuated outgoing waves at each wave node
+        (far port's wave feeds this port one delay later; eval applies α)."""
+        z0, _alpha, u1, u2, il1, il2 = cls._waves(lv, p)
+        td = jnp.sqrt(p["ltot"] * p["ctot"])
+        u = jnp.stack([u2 + z0 * il2, u1 + z0 * il1])
+        return u, jnp.stack([td + 0 * u[0], td + 0 * u[0]])
+
+    @classmethod
+    def echo_delays(cls, p):
+        return [math.sqrt(float(p["ltot"]) * float(p["ctot"]))]
+
+    @classmethod
+    def ac_admittance(cls, p):
+        """Exact RLCG two-port Y(f) (4-terminal expansion)."""
+        r, l = float(p["rtot"]), float(p["ltot"])
+        g, c = float(p["gtot"]), float(p["ctot"])
+
+        def yfun(f):
+            s = 2j * jnp.pi * f
+            zs = r + s * l
+            yp = g + s * c
+            gl = jnp.sqrt(zs * yp)
+            # keep the real part bounded so sinh/cosh never overflow
+            # (attenuation e^-300 is zero in every dtype anyway), and keep
+            # the lossless resonances finite like TLine
+            gl = jnp.clip(jnp.real(gl), 0.0, 300.0) + 1j * jnp.imag(gl)
+            sh = jnp.sinh(gl)
+            sh = jnp.where(jnp.abs(sh) < 1e-12, 1e-12 + 0j, sh)
+            th = jnp.tanh(gl)
+            th = jnp.where(jnp.abs(th) < 1e-12, 1e-12 + 0j, th)
+            yc = jnp.sqrt(yp / zs)  # 1/Zc
+            y11 = yc / th
+            y12 = -yc / sh
+            Y2 = jnp.array([[y11, y12], [y12, y11]])
             T = jnp.array([[1.0, 0.0], [-1.0, 0.0],
                            [0.0, 1.0], [0.0, -1.0]])
             return (T @ Y2 @ T.T).astype(Y2.dtype)

@@ -27,7 +27,7 @@ from cedarsim_tpu.devices import (
     Resistor, Capacitor, Inductor, Diode, CoupledInductors,
     VSource, VSourcePWL, VSourcePULSE, VSourceSIN, VSourceEXP,
     ISource, ISourcePWL, ISourcePULSE, ISourceSIN, ISourceEXP,
-    VCVS, VCCS, CCVS, CCCS, VSwitch, ISwitch, TLine,
+    VCVS, VCCS, CCVS, CCCS, VSwitch, ISwitch, TLine, LTRALine,
 )
 from cedarsim_tpu.devices.mos import Mos1
 from cedarsim_tpu.devices.bjt import Bjt
@@ -502,6 +502,12 @@ class Elaborator:
                     f"(got td={td}, z0={z0})", el.loc)
             self.ckt.add(TLine, name, nets, dict(z0=z0, td=td), m=m)
             return
+        if letter == "o":
+            self._instantiate_ltra(el, name, nets, scope, env, m)
+            return
+        if letter == "u":
+            self._instantiate_urc(el, name, nets, scope, env, kw, m)
+            return
         if letter == "s":
             mdl = self._model(el.model, scope, el.loc)
             pr = self._map_params(VSwitch, mdl.params, env, el.loc)
@@ -542,6 +548,171 @@ class Elaborator:
         raise ElabError(
             f"device type {el.letter.upper()!r} not implemented yet "
             f"({el.name})", el.loc)
+
+    def _instantiate_ltra(self, el, name, nets, scope, env, m):
+        """O element — lossy transmission line with an LTRA model card
+        (``.model mname LTRA R= L= G= C= LEN=``).  The reference lexes the
+        O letter (SPICE/tokenize/lexer.jl:581) but has no runtime for it;
+        here it is fully functional.  Dispatch by which per-length
+        constants are present, mirroring ngspice's LTRA cases:
+
+        * L>0 and C>0 (LC / RLC / RLCG): cascade of ``LTRALine`` lossy
+          method-of-characteristics sections — K sections sized so each
+          carries a small fraction of the total loss (K=1 for lossless ==
+          exact Branin).  DC series resistance exact, AC exact (cascade of
+          exact RLCG two-ports), transient converges with K.
+        * C>0, L=0 (RC diffusion line): lumped RC ladder (trapezoidal
+          shunt lumping; what ngspice models by convolution).
+        * G>0, L=0=C (RG): resistive ladder.
+        * R only: a plain series resistor.
+        """
+        if el.model is None:
+            raise ElabError(f"{el.name}: O element needs an LTRA model",
+                            el.loc)
+        mdl = self._model(el.model, scope, el.loc)
+        mp = {k: self.vres(v, env, el.loc) for k, v in mdl.params.items()}
+        r = float(mp.get("r", 0.0))
+        l = float(mp.get("l", 0.0))
+        g = float(mp.get("g", 0.0))
+        c = float(mp.get("c", 0.0))
+        length = float(mp.get("len", mp.get("length", 1.0)))
+        if length <= 0:
+            raise ElabError(f"{el.name}: LTRA LEN must be positive", el.loc)
+        rtot, ltot, gtot, ctot = (r * length, l * length,
+                                  g * length, c * length)
+        p1, n1, p2, n2 = nets
+        if ltot > 0.0 and ctot > 0.0:
+            z0 = math.sqrt(ltot / ctot)
+            # per-section loss budget: keep R/(2Z0)+G·Z0/2 ≤ ~0.1 per
+            # section so the MoC attenuation+lump approximation holds
+            loss = rtot / (2.0 * z0) + gtot * z0 / 2.0
+            k = max(1, min(32, math.ceil(loss / 0.1)))
+            # interior junction reference collapses onto the port-1
+            # reference net: the reference conductor is ideal (carries no
+            # impedance), and separate chained reference nets would leave
+            # each junction's common mode floating (x/y KCL rows of a
+            # differential two-port are redundant -> singular matrix)
+            xa = p1
+            for i in range(k):
+                last = i == k - 1
+                xb = p2 if last else self.ckt.net(f"{name}#x{i + 1}")
+                self.ckt.add(LTRALine, f"{name}#s{i + 1}" if k > 1 else name,
+                             [xa, n1, xb, n2 if last else n1],
+                             dict(rtot=rtot / k, ltot=ltot / k,
+                                  gtot=gtot / k, ctot=ctot / k), m=m)
+                xa = xb
+            return
+        if ctot > 0.0 or gtot > 0.0:
+            # diffusion (RC) / leaky (RG/RCG) line: lumped ladder
+            nseg = max(3, min(50, math.ceil(10.0 * max(
+                1.0, math.log10(max(rtot * ctot * 1e9, 1.0) + 1.0)))))
+            self._ladder(name, nets, rtot, ctot, gtot, nseg, m)
+            return
+        # series R only (degenerate)
+        self.ckt.add(Resistor, name, [p1, p2], dict(r=max(rtot, 1e-12)),
+                     m=m)
+        if not (n1.is_ground and n2.is_ground) and n1.name != n2.name:
+            self.warn(f"{el.name}: R-only LTRA ignores the reference "
+                      "conductor terminals", el.loc)
+
+    def _ladder(self, name, nets, rtot, ctot, gtot, nseg, m,
+                weights=None, shunt=None):
+        """Uniform (or weighted) lumped ladder between nets (p1,n1,p2,n2)
+        or (n1,n2,ncommon): series R splits with shunt C and/or G at the
+        interior junctions (trapezoidal end lumps — total series R and
+        total shunt C/G are exact).  ``shunt(j, frac)`` may be passed to
+        instantiate a custom shunt element (URC's diode variant)."""
+        if len(nets) == 4:
+            p1, n1, p2, n2 = nets
+            ref = lambda i: n1 if (i <= nseg // 2) else n2  # noqa: E731
+        else:
+            p1, p2, ncom = nets
+            ref = lambda i: ncom  # noqa: E731
+        w = list(weights) if weights is not None else [1.0 / nseg] * nseg
+        tot = sum(w)
+        w = [x / tot for x in w]
+        # junction nodes j_0=p1 .. j_nseg=p2; series resistor i spans
+        # (j_i, j_{i+1}); shunt fraction at junction i = (w[i-1]+w[i])/2
+        # with half-lumps at the ends
+        prev = p1
+        for i in range(nseg + 1):
+            frac = ((w[i - 1] if i > 0 else 0.0)
+                    + (w[i] if i < nseg else 0.0)) / 2.0
+            node = prev
+            if shunt is not None:
+                shunt(i, node, ref(i), frac)
+            else:
+                if ctot > 0.0:
+                    self.ckt.add(Capacitor, f"{name}#c{i}", [node, ref(i)],
+                                 dict(c=ctot * frac), m=m)
+                if gtot > 0.0:
+                    self.ckt.add(Resistor, f"{name}#g{i}", [node, ref(i)],
+                                 dict(r=1.0 / (gtot * frac)), m=m)
+            if i < nseg:
+                nxt = (self.ckt.net(f"{name}#j{i + 1}") if i < nseg - 1
+                       else p2)
+                self.ckt.add(Resistor, f"{name}#r{i}", [prev, nxt],
+                             dict(r=max(rtot * w[i], 1e-12)), m=m)
+                prev = nxt
+
+    def _instantiate_urc(self, el, name, nets, scope, env, kw, m):
+        """U element — uniform distributed RC line (ngspice URC; the
+        reference lexes the U letter, SPICE/tokenize/lexer.jl:599-600, with
+        no runtime).  ``Uname n1 n2 ncommon mname L=len [N=segs]`` with
+        ``.model mname URC (K= FMAX= RPERL= CPERL= ISPERL= RSPERL=)``.
+        Expanded at elaboration into a ladder of N segments whose widths
+        grade geometrically (ratio K) toward the middle — fine resolution
+        at the ends where step-response gradients are steepest.  If
+        ISPERL is given the shunt capacitors become reverse-biased
+        junction diodes with proportional saturation current and junction
+        capacitance (ngspice semantics)."""
+        if el.model is None:
+            raise ElabError(f"{el.name}: U element needs a URC model",
+                            el.loc)
+        mdl = self._model(el.model, scope, el.loc)
+        mp = {kk: self.vres(v, env, el.loc) for kk, v in mdl.params.items()}
+        kfac = float(mp.get("k", 2.0))
+        fmax = float(mp.get("fmax", 1e9))
+        rperl = float(mp.get("rperl", 1000.0))
+        cperl = float(mp.get("cperl", 1e-12))
+        isperl = float(mp.get("isperl", 0.0))
+        rsperl = float(mp.get("rsperl", 0.0))
+        length = float(kw.get("l", 0.0) or 0.0)
+        if length <= 0:
+            raise ElabError(f"{el.name}: URC needs L= (line length)", el.loc)
+        rtot, ctot = rperl * length, cperl * length
+        nseg = kw.get("n")
+        if nseg is None:
+            # ngspice's segment-count rule: enough segments that the
+            # smallest (end) lump resolves FMAX
+            arg = (fmax * rtot * ctot * 2.0 * math.pi
+                   * ((kfac - 1.0) / kfac) ** 2)
+            nseg = max(3, min(64, math.ceil(math.log(max(arg, 2.0))
+                                            / math.log(max(kfac, 1.1)))))
+        else:
+            nseg = max(1, min(64, int(nseg)))
+        # symmetric geometric grading: widths ∝ K^min(i, n-1-i)
+        w = [kfac ** min(i, nseg - 1 - i) for i in range(nseg)]
+        if isperl <= 0.0:
+            self._ladder(name, nets, rtot, ctot, 0.0, nseg, m, weights=w)
+            return
+
+        def shunt(i, node, ref, frac):
+            if frac <= 0.0:
+                return
+            p = {"is": isperl * length * frac, "cj0": ctot * frac}
+            if rsperl > 0.0:
+                # RSPERL is Ω·m: series resistance of the lump's diode
+                mid = self.ckt.net(f"{name}#d{i}m")
+                self.ckt.add(Resistor, f"{name}#rs{i}", [node, mid],
+                             dict(r=rsperl / (length * frac)), m=m)
+                node = mid
+            # anode at the common node: reverse-biased for a positive
+            # line voltage (the URC junction-isolation assumption)
+            self.ckt.add(Diode, f"{name}#d{i}", [ref, node], p, m=m)
+
+        self._ladder(name, nets, rtot, ctot, 0.0, nseg, m, weights=w,
+                     shunt=shunt)
 
     def _instantiate_sparam(self, el, name, nets, scope):
         """hspice S-element (reference SParameterElement, SPICE/parse/

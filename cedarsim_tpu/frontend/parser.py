@@ -568,6 +568,8 @@ _ELEMENT_SHAPE = {
     "s": (4, True), "w": (2, True),
     "k": (0, False),
     "t": (4, False),
+    "o": (4, True),   # lossy transmission line (LTRA model)
+    "u": (3, True),   # uniform distributed RC line (URC model)
 }
 
 
