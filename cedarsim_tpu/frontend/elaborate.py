@@ -31,6 +31,7 @@ from cedarsim_tpu.devices import (
 )
 from cedarsim_tpu.devices.mos import Mos1
 from cedarsim_tpu.devices.bjt import Bjt
+from cedarsim_tpu.devices.jfet import Jfet, Mesfet
 from cedarsim_tpu.frontend import parser as P
 from cedarsim_tpu.frontend.expr import eval_expr, ExprError
 
@@ -472,6 +473,28 @@ class Elaborator:
             while len(nets) < 4:
                 nets.append(GROUND)
             self.ckt.add(Bjt, name, nets, p, m=m)
+            return
+        if letter in ("j", "z"):
+            # JFET (njf/pjf) and MESFET (nmf/pmf): the reference parses
+            # these cards but implements no device (spectre.jl:606-630
+            # UnimplementedDevice) — fully functional here
+            mdl = self._model(el.model, scope, el.loc)
+            dev = Jfet if letter == "j" else Mesfet
+            want = ("njf", "pjf") if letter == "j" else ("nmf", "pmf")
+            if mdl.mtype not in want:
+                raise ElabError(
+                    f"{el.name}: expected a {'/'.join(want)} model, got "
+                    f"{mdl.mtype!r}", el.loc)
+            p = self._map_params(dev, mdl.params, env, el.loc,
+                                 rename={"lambda": "lam", "kf": None,
+                                         "af": None, "tnom": None,
+                                         "vtotc": None, "betatce": None,
+                                         "vk": None, "tau": None})
+            area = kw.get("area", val(0, 1.0)) or 1.0
+            for k in ("beta", "is", "cgs", "cgd"):
+                p[k] = p.get(k, dev.params[k]) * area
+            p["ptype"] = 1.0 if mdl.mtype in ("njf", "nmf") else -1.0
+            self.ckt.add(dev, name, nets, p, m=m)
             return
         if letter == "e":
             self.ckt.add(VCVS, name, nets, dict(gain=kw.get("gain", val(0))),
@@ -990,6 +1013,7 @@ class Elaborator:
                      "npn": "q", "pnp": "q", "r": "r", "res": "r",
                      "resistor": "r", "c": "c", "capacitor": "c",
                      "l": "l", "inductor": "l",
+                     "njf": "j", "pjf": "j", "nmf": "z", "pmf": "z",
                      # Spectre MOS masters (normalized by _mos_kind)
                      "bsim4": "m", "bsim3v3": "m", "bsim3": "m",
                      "bsimcmg": "m", "bsimcmg107": "m", "mos1": "m",
