@@ -352,7 +352,11 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     #: holds a shifting (t, u) sample ring; each step attempt reads
     #: u(t_new − td) by linear interpolation and the residual sees it as a
     #: held aux input (explicit-in-delay treatment — standard when td ≳ h)
-    n_dly = getattr(compiled, "n_dly", 0)
+    n_dly = getattr(compiled, "n_dly", 0)      # total aux width
+    n_ring = getattr(compiled, "n_ring", n_dly)  # ring-filled slots
+    n_lat = getattr(compiled, "n_lat", 0)        # latched-state slots
+    ring_slots = (jnp.asarray(getattr(compiled, "ring_slots"))
+                  if n_ring and n_lat else None)
     KD = opts.delay_history
 
     def parts(x, t, eps=None, dly=None):
@@ -536,15 +540,25 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # holds u0 (jnp.interp clamps to the ends).  On resume the corrector
         # history (Sn/Qn) must see u(t0 − td) from the RESTORED ring, not
         # the live value — the trap corrector otherwise solves its first
-        # post-seam step against a wrong Sn on the delay rows
+        # post-seam step against a wrong Sn on the delay rows.  Latched
+        # aux state (LRM transition()/zi_*) seeds settled at the op, or
+        # restores from the checkpoint.
+        latw0 = compiled.latch_init(x0, ctx_t.at_time(t0), params)
+        if init_state is not None and "latw" in init_state:
+            latw0 = jnp.asarray(init_state["latw"]).astype(dtype)
         u0_d, td0_d = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
-        if init_state is not None and "t_ring" in init_state:
-            _tr0 = jnp.asarray(init_state["t_ring"]).astype(dtype)
-            _ur0 = jnp.asarray(init_state["u_ring"]).astype(dtype)
-            dly_t0 = jax.vmap(lambda q, col: jnp.interp(q, _tr0, col))(
-                jnp.asarray(t0, dtype) - td0_d, _ur0.T)
+        if n_ring:
+            if init_state is not None and "t_ring" in init_state:
+                _tr0 = jnp.asarray(init_state["t_ring"]).astype(dtype)
+                _ur0 = jnp.asarray(init_state["u_ring"]).astype(dtype)
+                ring0 = jax.vmap(lambda q, col: jnp.interp(q, _tr0, col))(
+                    jnp.asarray(t0, dtype) - td0_d, _ur0.T)
+            else:
+                ring0 = u0_d
+            dly_t0 = (latw0.at[ring_slots].set(ring0)
+                      if ring_slots is not None else ring0)
         else:
-            dly_t0 = u0_d
+            dly_t0 = latw0
         S0, Q0 = parts(x0, t0, dly=dly_t0)
     else:
         S0, Q0 = parts(x0, t0)
@@ -568,12 +582,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                       jfail=jnp.asarray(False))
     ckpt_fields = CHECKPOINT_FIELDS
     if n_dly:
-        _, td0_d = compiled.delay_sources(x0, ctx_t.at_time(t0), params)
-        state0.update(
-            t_ring=jnp.full((KD,), t0, dtype),
-            u_ring=jnp.tile(u0_d.astype(dtype)[None, :], (KD, 1)),
-            dly_td=td0_d.astype(dtype))
-        ckpt_fields = CHECKPOINT_FIELDS + ("t_ring", "u_ring", "dly_td")
+        state0.update(latw=latw0.astype(dtype))
+        ckpt_fields = CHECKPOINT_FIELDS + ("latw",)
+        if n_ring:
+            state0.update(
+                t_ring=jnp.full((KD,), t0, dtype),
+                u_ring=jnp.tile(u0_d.astype(dtype)[None, :], (KD, 1)),
+                dly_td=td0_d.astype(dtype))
+            ckpt_fields = ckpt_fields + ("t_ring", "u_ring", "dly_td")
     if init_state is not None:
         # Qn/Sn are recomputed at the checkpoint point (S0/Q0 above, since
         # x0/t0 equal the checkpoint's); history restores the predictor
@@ -597,7 +613,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         next_bp = bps[jnp.minimum(c["bpi"], nb - 1)]
         h_use = jnp.minimum(jnp.minimum(h, hmax),
                             jnp.maximum(next_bp - t, hmin))
-        if n_dly:
+        if n_ring:
             # active delay lines bound the step: h ≤ min(td)/2 keeps at
             # least two ring samples per delay, so the interpolated waves
             # can't alias even when LTE is controlled by slower dynamics
@@ -649,11 +665,16 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             xdh = jnp.where(use_be, -x, -(2.0 * x + h_real * c["xdot"]))
         eps_k = (draw_eps(x, t, h_real, c["k"]) if noisy else None)
         if n_dly:
-            # delayed-value inputs for this step: u(t_new − td) from the
-            # history ring, held fixed through the Newton solve
-            dly_k = jax.vmap(
-                lambda q, col: jnp.interp(q, c["t_ring"], col))(
-                    t_new - c["dly_td"], c["u_ring"].T)
+            # aux inputs for this step: u(t_new − td) from the history
+            # ring + the latched state slots, held fixed through Newton
+            if n_ring:
+                ring_k = jax.vmap(
+                    lambda q, col: jnp.interp(q, c["t_ring"], col))(
+                        t_new - c["dly_td"], c["u_ring"].T)
+                dly_k = (c["latw"].at[ring_slots].set(ring_k)
+                         if ring_slots is not None else ring_k)
+            else:
+                dly_k = c["latw"]
         else:
             dly_k = None
         if mn:
@@ -821,7 +842,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 jfail=jnp.logical_or(stale_fail,
                                      jnp.logical_and(acc, hit_bp)),
             )
-        if n_dly:
+        if n_ring:
             # push the accepted point's delayed-expression samples into the
             # shift ring (ascending times by construction — jnp.interp needs
             # sorted xs); td refreshes for the next step's lookups
@@ -835,6 +856,14 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                     c["u_ring"]),
                 dly_td=jnp.where(acc, td_new.astype(dtype), c["dly_td"]),
             )
+        if n_lat:
+            # event-latch update at ACCEPTED points only: each latch site
+            # sees the accepted solution (transition re-targets its ramp,
+            # zi_* samples on its clock) — the event-queue replacement
+            latw_new = compiled.latch_update(
+                xn, ctx_t.at_time(t_new), dly_k, params)
+            c.update(latw=jnp.where(acc, latw_new.astype(dtype),
+                                    c["latw"]))
         kc = kc + acc.astype(jnp.int32)
         return c, (ts_b, xs_b, xd_b, kc)
 

@@ -60,6 +60,12 @@ real_dtype = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32
 #: Per-model override: ``va.codegen.make_device(module, delay_mode=...)``.
 va_delay_mode = "pade"
 
+#: How VA ``transition()`` lowers: "smooth" (exponential edge shaping via a
+#: companion state; all analyses) or "latch" (LRM-exact linear ramps over
+#: the integrator's latched-state channel; AC treats it as unity gain).
+#: Per-model override: ``va.codegen.make_device(module, transition_mode=...)``.
+va_transition_mode = "smooth"
+
 #: Default complex dtype (AC / noise analyses).
 complex_dtype = jnp.complex128 if jax.config.read("jax_enable_x64") else jnp.complex64
 

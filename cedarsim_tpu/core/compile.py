@@ -48,8 +48,9 @@ class Group:
     row_idx: np.ndarray      # [n_inst, n_lrow] int32, n_x = trash row
     kcl_mask: np.ndarray     # [n_lrow] bool: True for KCL rows (scaled by m)
     eps_idx: np.ndarray      # [n_inst, n_noise] int32 into global eps vector
-    dly_idx: np.ndarray = None  # [n_inst, n_delay] int32 into global delay
-    #                             vector (exact-history absdelay inputs)
+    dly_idx: np.ndarray = None  # [n_inst, n_delay + n_latch] int32 into the
+    #                             global aux vector (exact-history absdelay
+    #                             inputs first, then latched-state slots)
     #: params uniform across the group and not requested dynamic: kept as
     #: concrete Python/numpy constants so model conditionals fold at trace
     #: time — the reference's const-prop of non-ParamSim parameters
@@ -155,16 +156,19 @@ class CompiledCircuit:
         params0 = {}
         eps_off = 0
         dly_off = 0
+        ring_slots: list[int] = []   # aux indices filled from the history ring
+        latch_slots: list[int] = []  # aux indices persisted as latched state
         for key in order:
             insts = buckets[key]
             model = insts[0].model
             nt, ni, nb, nc = (model.n_terms(), model.n_internal,
                               model.n_branch, model.n_control)
             n_delay = getattr(model, "n_delay", 0)
+            n_latch = getattr(model, "n_latch", 0)
             var_idx = np.full((len(insts), model.n_lvar()), pad, np.int32)
             row_idx = np.full((len(insts), model.n_lrow()), pad, np.int32)
             eps_idx = np.zeros((len(insts), model.n_noise), np.int32)
-            dly_idx = np.zeros((len(insts), n_delay), np.int32)
+            dly_idx = np.zeros((len(insts), n_delay + n_latch), np.int32)
             for j, inst in enumerate(insts):
                 self._inst_loc[inst.name] = (key, j)
                 for k, net in enumerate(inst.nets):
@@ -196,9 +200,12 @@ class CompiledCircuit:
                 if model.n_noise:
                     eps_idx[j] = eps_off + np.arange(model.n_noise)
                     eps_off += model.n_noise
-                if n_delay:
-                    dly_idx[j] = dly_off + np.arange(n_delay)
-                    dly_off += n_delay
+                if n_delay or n_latch:
+                    dly_idx[j] = dly_off + np.arange(n_delay + n_latch)
+                    ring_slots.extend(range(dly_off, dly_off + n_delay))
+                    latch_slots.extend(range(dly_off + n_delay,
+                                             dly_off + n_delay + n_latch))
+                    dly_off += n_delay + n_latch
             kcl_mask = np.zeros(model.n_lrow(), bool)
             kcl_mask[: nt + ni] = True
             grp = Group(key, model, insts, var_idx, row_idx,
@@ -227,7 +234,13 @@ class CompiledCircuit:
             gp["$mult"] = jnp.asarray([i.mult for i in insts], self.dtype)
             params0[key] = gp
         self.n_eps = eps_off
+        #: total aux-input width: ring-filled (exact-history delays) +
+        #: latch-filled (event-latched state: LRM-exact transition, zi_*)
         self.n_dly = dly_off
+        self.n_ring = len(ring_slots)
+        self.n_lat = len(latch_slots)
+        self.ring_slots = np.asarray(ring_slots, np.int32)
+        self.latch_slots = np.asarray(latch_slots, np.int32)
         self.params0 = params0
         self.group_order = order
 
@@ -293,7 +306,8 @@ class CompiledCircuit:
             pv = {k: self._cast_eval(v) for k, v in gp.items()
                   if k != "$mult"}
             sp = g.static_params
-            ne = g.model.n_noise + getattr(g.model, "n_delay", 0)
+            ne = (g.model.n_noise + getattr(g.model, "n_delay", 0)
+                  + getattr(g.model, "n_latch", 0))
             e0 = jnp.zeros(ne, self.eval_dtype)
 
             def local_jac(l, p):
@@ -451,26 +465,78 @@ class CompiledCircuit:
         return pwr, ex
 
     def delay_sources(self, x, ctx: SimSpec, params=None):
-        """(u_now, td) arrays over all n_dly exact-history absdelay sites,
+        """(u_now, td) arrays over all n_ring exact-history absdelay sites,
         evaluated at x — u_now feeds the integrator's history ring, td the
-        t−td lookups (analysis/tran.py).  Nested delayed expressions (an
-        absdelay inside another's argument) read 0 here — not supported."""
+        t−td lookups (analysis/tran.py).  Both are indexed by the ring-slot
+        order (``ring_slots`` maps them into the full aux vector).  Nested
+        delayed expressions (an absdelay inside another's argument) read 0
+        here — not supported."""
         params = self.params0 if params is None else params
         x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
         u = jnp.zeros(max(self.n_dly, 1), self.dtype)
         td = jnp.zeros(max(self.n_dly, 1), self.dtype)
         for key in self.group_order:
             g = self.groups[key]
-            if getattr(g.model, "n_delay", 0) == 0:
+            nd = getattr(g.model, "n_delay", 0)
+            if nd == 0:
                 continue
             gp = {k: v for k, v in params[key].items() if k != "$mult"}
             sp = g.static_params
             lv = x_pad[g.var_idx]
             uu, tt = jax.vmap(
                 lambda l, p: g.model.delays(l, {**sp, **p}, ctx))(lv, gp)
-            u = u.at[g.dly_idx].set(uu.astype(self.dtype))
-            td = td.at[g.dly_idx].set(tt.astype(self.dtype))
-        return u, td
+            u = u.at[g.dly_idx[:, :nd]].set(uu.astype(self.dtype))
+            td = td.at[g.dly_idx[:, :nd]].set(tt.astype(self.dtype))
+        rs = self.ring_slots if self.n_ring else np.zeros(1, np.int32)
+        return u[rs], td[rs]
+
+    def latch_init(self, x, ctx: SimSpec, params=None):
+        """Initial full aux vector with every latch site settled at the
+        operating point (model.latch0); ring slots zero (the integrator
+        overwrites them from the history ring each step)."""
+        params = self.params0 if params is None else params
+        latw = jnp.zeros(max(self.n_dly, 1), self.dtype)
+        if self.n_lat == 0:
+            return latw
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        for key in self.group_order:
+            g = self.groups[key]
+            nd = getattr(g.model, "n_delay", 0)
+            nl = getattr(g.model, "n_latch", 0)
+            if nl == 0:
+                continue
+            gp = {k: v for k, v in params[key].items() if k != "$mult"}
+            sp = g.static_params
+            lv = x_pad[g.var_idx]
+            l0 = jax.vmap(
+                lambda l, p: g.model.latch0(l, {**sp, **p}, ctx))(lv, gp)
+            latw = latw.at[g.dly_idx[:, nd:]].set(l0.astype(self.dtype))
+        return latw
+
+    def latch_update(self, x, ctx: SimSpec, latw, params=None):
+        """Updated aux vector after an ACCEPTED step at ctx.time: each latch
+        site sees its previous state and the accepted solution and returns
+        its new state (model.latch) — the event-queue replacement that makes
+        LRM-exact transition()/zi_* possible inside lax.while_loop."""
+        params = self.params0 if params is None else params
+        if self.n_lat == 0:
+            return latw
+        x_pad = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        for key in self.group_order:
+            g = self.groups[key]
+            nd = getattr(g.model, "n_delay", 0)
+            nl = getattr(g.model, "n_latch", 0)
+            if nl == 0:
+                continue
+            gp = {k: v for k, v in params[key].items() if k != "$mult"}
+            sp = g.static_params
+            lv = x_pad[g.var_idx]
+            lat_rows = latw[g.dly_idx[:, nd:]]
+            ln = jax.vmap(
+                lambda l, p, lr: g.model.latch(l, {**sp, **p}, ctx, lr))(
+                    lv, gp, lat_rows)
+            latw = latw.at[g.dly_idx[:, nd:]].set(ln.astype(self.dtype))
+        return latw
 
     # ---------------------------------------------------------- observables
 
@@ -527,7 +593,8 @@ class CompiledCircuit:
                     lv = xp[g.var_idx[j]]
                     lvd = xdp[g.var_idx[j]]
                     e0 = jnp.zeros(
-                        g.model.n_noise + getattr(g.model, "n_delay", 0),
+                        g.model.n_noise + getattr(g.model, "n_delay", 0)
+                        + getattr(g.model, "n_latch", 0),
                         x.dtype)
                     (s, _), (_, qdot) = jax.jvp(
                         lambda l: g.model.eval(l, gp, ctx, e0), (lv,), (lvd,))

@@ -66,8 +66,15 @@ class DeviceModel:
     #: number of noise sources
     n_noise: int = 0
     #: exact-history delayed-value inputs (VA absdelay, delay_mode="history");
-    #: the aux vector passed to ``eval`` is [n_noise noise, n_delay delayed]
+    #: the aux vector passed to ``eval`` is [n_noise noise, n_delay delayed,
+    #: n_latch latched]
     n_delay: int = 0
+    #: event-latched state slots (LRM-exact transition() ramps, zi_* sampled
+    #: filters): the integrator carries them across steps, seeds them with
+    #: ``latch0(lv, p, ctx)`` at the operating point, and updates them with
+    #: ``latch(lv, p, ctx, lat)`` after every ACCEPTED step (ctx.time = the
+    #: accepted time) — the lax.while_loop replacement for an event queue
+    n_latch: int = 0
     #: parameter defaults: dict name -> float. All params become traced arrays.
     params: dict = {}
     #: params for which a "was it given" mask is needed ($param_given /

@@ -414,6 +414,76 @@ def _try_const(e, module):
         return None
 
 
+def _zi_coeff_counts(module, e):
+    """Static (nb, na) — numbers of z^{-1}-ascending numerator/denominator
+    coefficients after root-form normalization — for a zi_* site.  Only
+    the COUNTS must be static; the values may be parameter expressions."""
+    name, args = e[1], e[2]
+    if len(args) < 4:
+        raise VACodegenError(
+            f"module {module.name}: {name}(expr, num, den, T[, tau[, t0]])")
+
+    def arr_len(a, what):
+        if not (isinstance(a, tuple) and a[0] in ("arr", "array")):
+            raise VACodegenError(
+                f"module {module.name}: {name}() {what} must be a "
+                "{...} coefficient array")
+        return len(a[1])
+
+    if name in ("zi_nd", "zi_np"):
+        nb = arr_len(args[1], "numerator")
+    else:
+        z = arr_len(args[1], "zeros")
+        if z % 2:
+            raise VACodegenError(
+                f"module {module.name}: {name}() zeros must be (re, im) "
+                "pairs")
+        nb = z // 2 + 1
+    if name in ("zi_nd", "zi_zd"):
+        na = arr_len(args[2], "denominator")
+    else:
+        pz = arr_len(args[2], "poles")
+        if pz % 2:
+            raise VACodegenError(
+                f"module {module.name}: {name}() poles must be (re, im) "
+                "pairs")
+        na = pz // 2 + 1
+    if name in ("zi_zd", "zi_zp"):
+        if nb > na:
+            raise VACodegenError(
+                f"module {module.name}: {name}() has more zeros than the "
+                "denominator order")
+        nb = na      # zero-root numerator is padded to the pole count
+    if na < 1:
+        raise VACodegenError(
+            f"module {module.name}: {name}() needs a denominator")
+    return nb, na
+
+
+def _host_eval(e, module, params):
+    """Host-side numeric value of a parameter expression (for the zi_*
+    sample clock, which must be voltage-independent per the LRM)."""
+    if isinstance(e, (int, float)):
+        return float(e)
+    if e[0] == "num":
+        return float(e[1])
+    if e[0] == "ref":
+        if e[1] in params:
+            return float(params[e[1]])
+        return float(_const_expr(e, module))
+    if e[0] == "un":
+        v = _host_eval(e[2], module, params)
+        return {"-": -v, "+": v}[e[1]]
+    if e[0] == "bin":
+        a = _host_eval(e[2], module, params)
+        b = _host_eval(e[3], module, params)
+        return {"+": a + b, "-": a - b, "*": a * b, "/": a / b,
+                "**": a ** b}[e[1]]
+    raise VACodegenError(
+        f"module {module.name}: zi_* sample period/offset must be a "
+        "constant or parameter expression")
+
+
 def _lf_n_states(module, e):
     """Static state count for a filter/event operator site (the DAE row
     block size — must be known before tracing)."""
@@ -507,7 +577,8 @@ def _pade_coeffs(td):
     return num, den
 
 
-def make_device(module: Module, strict_ranges=False, delay_mode=None):
+def make_device(module: Module, strict_ranges=False, delay_mode=None,
+                transition_mode=None):
     """Compile a parsed VA Module into a DeviceModel subclass.
 
     ``delay_mode``: how ``absdelay`` lowers (default from
@@ -520,12 +591,29 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
       device reads u(t−td) as an injected input (transient + DC only; AC /
       noise raise — there is no linearized e^{−jωtd} stamp on this path).
       Wideband-exact where Padé runs out of band.
+
+    ``transition_mode``: how ``transition`` lowers (default from
+    ``config.va_transition_mode``):
+
+    * ``"smooth"`` — exponential edge shaping via one companion state
+      (within 1% of target after the rise/fall time); all analyses.
+    * ``"latch"`` — LRM-exact linear ramps: the integrator's latched-state
+      channel carries (target, y_start, t_start) per site, re-latched at
+      accepted steps when the input changes, and the output is the exact
+      piecewise-linear ramp y_start + (target−y_start)·min(1, (t−t_start)/
+      rise_or_fall).  A nonzero delay argument still rides the Padé block
+      ahead of the latch.  AC treats the operator as unity gain.
     """
     if delay_mode is None:
         from cedarsim_tpu import config as _cfg
         delay_mode = getattr(_cfg, "va_delay_mode", "pade")
     if delay_mode not in ("pade", "history"):
         raise VACodegenError(f"unknown delay_mode {delay_mode!r}")
+    if transition_mode is None:
+        from cedarsim_tpu import config as _cfg
+        transition_mode = getattr(_cfg, "va_transition_mode", "smooth")
+    if transition_mode not in ("smooth", "latch"):
+        raise VACodegenError(f"unknown transition_mode {transition_mode!r}")
     ports = list(module.ports)
     grounds = set(module.ground_nets)
     internal = [n for n in module.nets if n not in ports and n not in grounds]
@@ -570,6 +658,8 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
     lf_sites = []       # [(expr, kind, n_states)] lexical order — linear
     #                     filter / event operators carrying extra states
     dly_sites = []      # absdelay sites in history mode (exact-delay inputs)
+    lat_sites = []      # [(expr, kind, n_slots)] event-latched sites:
+    #                     latch-mode transition ramps + zi_* sampled filters
     for e in _all_exprs(module):
         if e[0] == "call":
             if e[1] in ("white_noise", "flicker_noise", "noise_table"):
@@ -586,15 +676,26 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
                     # site becomes an injected delayed-value input
                     if not any(x is e for x in dly_sites):
                         dly_sites.append(e)
+                elif (e[1] == "transition" and transition_mode == "latch"):
+                    # LRM-exact ramp: latched state instead of the ODE
+                    # shaper; a nonzero delay keeps its Padé block
+                    if not any(x is e for x, _, _ in lat_sites):
+                        lat_sites.append((e, "transition", 3))
+                        if (len(e[2]) >= 2
+                                and _try_const(e[2][1], module) != 0.0):
+                            lf_sites.append((e, "transition", _PADE_ORDER))
                 elif not any(x is e for x, _, _ in lf_sites):
                     lf_sites.append((e, e[1], _lf_n_states(module, e)))
 
             if e[1] in ("zi_nd", "zi_np", "zi_zd", "zi_zp"):
-                raise VACodegenError(
-                    f"module {module.name}: z-domain filter {e[1]}() not "
-                    "supported (needs a discrete sample clock; the "
-                    "reference simulator also has no runtime support — "
-                    "VerilogAParser tokenizes them only)")
+                # z-domain filters: sampled IIR over the latched-state
+                # channel (the reference simulator has no runtime support
+                # — VerilogAParser tokenizes them only)
+                if not any(x is e for x, _, _ in lat_sites):
+                    nb, na = _zi_coeff_counts(module, e)
+                    # [y_held, t_next, u_hist(nb-1), y_hist(max(0, na-2))]
+                    lat_sites.append(
+                        (e, e[1], 2 + (nb - 1) + max(0, na - 2)))
 
     # --- parameters
     given_queries = set()
@@ -627,7 +728,7 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
     interp = _Interp(module, node_index, branch_index, named_branch,
                      n_nodes_local, len(v_branches), noise_sites,
                      ddx_probes, idt_sites, switch_branches, lf_sites,
-                     dly_sites)
+                     dly_sites, lat_sites)
 
     class VADevice(DeviceModel):
         terminals = tuple(ports)
@@ -636,6 +737,7 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
                     + sum(n for _, _, n in lf_sites))
         n_noise = len(noise_sites)
         n_delay = len(dly_sites)
+        n_latch = interp.n_lat_slots
         params = {}            # filled below (nominal defaults)
         given_params = ()
         va_module = module
@@ -666,13 +768,14 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
         @staticmethod
         def eval(lv, p, ctx, eps):
             # eps is the aux-input vector: [n_noise noise draws,
-            # n_delay exact-history delayed values]
+            # n_delay exact-history delayed values, n_latch latched state]
             return interp.run(lv, p, ctx, eps, collect_noise=False)
 
         @classmethod
         def noise(cls, lv, p, ctx):
             return interp.run(lv, p, ctx,
-                              jnp.zeros(cls.n_noise + cls.n_delay),
+                              jnp.zeros(cls.n_noise + cls.n_delay
+                                        + cls.n_latch),
                               collect_noise=True)
 
         @classmethod
@@ -681,8 +784,27 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
             given point — u_now feeds the integrator's history ring, td the
             t−td lookups."""
             return interp.run(lv, p, ctx,
-                              jnp.zeros(cls.n_noise + cls.n_delay),
+                              jnp.zeros(cls.n_noise + cls.n_delay
+                                        + cls.n_latch),
                               collect_noise=False, collect_delay=True)
+
+        @classmethod
+        def latch0(cls, lv, p, ctx):
+            """Initial latched state (every transition site settled at the
+            operating point)."""
+            return interp.run(lv, p, ctx,
+                              jnp.zeros(cls.n_noise + cls.n_delay
+                                        + cls.n_latch),
+                              collect_noise=False, collect_latch="init")
+
+        @classmethod
+        def latch(cls, lv, p, ctx, lat):
+            """Updated latched state after an accepted step at ctx.time:
+            transition sites re-latch their ramp when the input changed."""
+            eps = jnp.concatenate(
+                [jnp.zeros(cls.n_noise + cls.n_delay, lat.dtype), lat])
+            return interp.run(lv, p, ctx, eps,
+                              collect_noise=False, collect_latch="update")
 
         @classmethod
         def eval_var(cls, lv, p, ctx, name):
@@ -693,13 +815,44 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None):
             don't carry the rings) — delayed-variable observables are only
             exact through the pade path."""
             return interp.run(lv, p, ctx,
-                              jnp.zeros(cls.n_noise + cls.n_delay),
+                              jnp.zeros(cls.n_noise + cls.n_delay
+                                        + cls.n_latch),
                               collect_noise=False, capture_var=name)
 
     # nominal defaults (so DeviceModel machinery sees names)
     VADevice.params = {n: None for n in porder}
     VADevice.__name__ = f"VA_{module.name}"
     VADevice.__qualname__ = VADevice.__name__
+
+    zi_clock_exprs = [e for (e, kind, _n) in lat_sites
+                      if kind.startswith("zi")]
+    if zi_clock_exprs:
+        def _zi_breakpoints(params, tstop):
+            """Sample-clock grid t0 + n·T for every zi_* site — the
+            integrator's breakpoint schedule lands accepted steps exactly
+            on the samples (the while_loop replacement for an event
+            queue's timer events)."""
+            import numpy as _np
+            pts = []
+            for e in zi_clock_exprs:
+                T = _host_eval(e[2][3], module, params)
+                t0a = (_host_eval(e[2][5], module, params)
+                       if len(e[2]) > 5 else 0.0)
+                if T <= 0.0:
+                    raise VACodegenError(
+                        f"module {module.name}: zi_* sample period must "
+                        f"be positive (got {T})")
+                n = int(_np.floor((tstop - t0a) / T))
+                if n > 200_000:
+                    raise VACodegenError(
+                        f"module {module.name}: zi_* clock would need {n} "
+                        f"sample breakpoints in ({t0a}, {tstop}) — period "
+                        "too small for this time span")
+                if n > 0:
+                    pts.append(t0a + T * _np.arange(1, n + 1))
+            return (_np.concatenate(pts) if pts
+                    else _np.zeros(0, _np.float64))
+        VADevice.breakpoints = staticmethod(_zi_breakpoints)
     return VADevice
 
 
@@ -831,7 +984,7 @@ class _Interp:
     def __init__(self, module, node_index, branch_index, named_branch,
                  n_nodes_local, n_vbranch, noise_sites, ddx_probes=(),
                  idt_sites=(), switch_branches=(), lf_sites=(),
-                 dly_sites=()):
+                 dly_sites=(), lat_sites=()):
         self.switch_branches = frozenset(switch_branches)
         self.module = module
         self.ddx_probes = tuple(ddx_probes)
@@ -842,6 +995,17 @@ class _Interp:
         # from the aux-input slot n_noise + k (delay_mode="history")
         self.dly_site_ids = {id(e): k for k, e in enumerate(dly_sites)}
         self.n_dly = len(dly_sites)
+        # event-latched sites (latch-mode transition ramps, zi_* sampled
+        # filters): id(expr) → index; per-site (kind, slot offset, n_slots)
+        # into the latched aux block at n_noise + n_dly + off
+        self.lat_site_ids = {}
+        self.lat_sites = []
+        loff = 0
+        for k, (e, kind, n_sl) in enumerate(lat_sites):
+            self.lat_site_ids[id(e)] = k
+            self.lat_sites.append((kind, loff, n_sl))
+            loff += n_sl
+        self.n_lat_slots = loff
         # filter/event operator sites: id(expr) → (index, kind, offset,
         # n_states); offsets pack the state blocks after the idt rows
         self.lf_site_ids = {}
@@ -862,9 +1026,9 @@ class _Interp:
     # env keys: str = variable; ("I", a, b) = current contrib accumulator;
     # ("V", a, b) = voltage contrib accumulator
     def run(self, lv, p, ctx, eps, collect_noise, capture_var=None,
-            capture_all=False, collect_delay=False):
+            capture_all=False, collect_delay=False, collect_latch=None):
         st = _State(self, lv, p, ctx, eps, collect_noise,
-                    collect_delay=collect_delay)
+                    collect_delay=collect_delay, collect_latch=collect_latch)
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
@@ -878,6 +1042,15 @@ class _Interp:
                 td[k] = tv + zero
             return jnp.stack(u) if u else jnp.zeros(0, lv.dtype), \
                 jnp.stack(td) if td else jnp.zeros(0, lv.dtype)
+        if collect_latch is not None:
+            # flattened per-site latched-state rows
+            zero = jnp.zeros((), lv.dtype)
+            out = [zero] * self.n_lat_slots
+            for k, vals in st.lat_rec.items():
+                _kind, off, n_sl = self.lat_sites[k]
+                for i, v in enumerate(vals):
+                    out[off + i] = v + zero
+            return (jnp.stack(out) if out else jnp.zeros(0, lv.dtype))
         if capture_all:
             # debug/observability: every module-level variable's value
             return {k: _pair(v)[0] + jnp.zeros((), lv.dtype)
@@ -989,7 +1162,7 @@ class _Interp:
 
 class _State:
     def __init__(self, interp, lv, p, ctx, eps, collect_noise,
-                 collect_delay=False):
+                 collect_delay=False, collect_latch=None):
         self.it = interp
         self.lv = lv
         self.p = p
@@ -997,7 +1170,9 @@ class _State:
         self.eps = eps
         self.collect = collect_noise
         self.collect_delay = collect_delay
+        self.collect_latch = collect_latch  # None | "init" | "update"
         self.dly_rec = {}          # site k -> (u_now, td)
+        self.lat_rec = {}          # site k -> (target, y_start, t_start)
         self.noise_pwr = []
         self.noise_exp = []
         self.zero = 0.0
@@ -1393,6 +1568,141 @@ class _State:
             y = y + c * w[i]
         return y
 
+    def _transition_latch(self, kl, args, env, node):
+        """LRM-exact transition() (transition_mode="latch"): the integrator
+        carries (target, y_start, t_start) in the latched aux channel,
+        re-latched at accepted steps whenever the (possibly Padé-delayed)
+        input changes; the output is the exact linear ramp
+        y_start + (target−y_start)·min(1, (t−t_start)/rise_or_fall)."""
+        it = self.it
+
+        def ev(e_, what):
+            return _scalar(self.expr(e_, env), what)
+
+        x = _scalar(self.expr(args[0], env), "transition")
+        xd = x
+        k = it.lf_site_ids.get(id(node))
+        if k is not None:          # nonzero delay: Padé block feeds the latch
+            _kind, off, _n_st = it.lf_sites[k]
+            base = it.n_nodes + it.n_vbranch + it.n_idt + off
+            td = ev(args[1], "transition delay")
+            num, den = _pade_coeffs(td)
+            xd = self._lf_laplace(k, base, _PADE_ORDER, x, num, den, env,
+                                  degen=_degen_td(td))
+        mode = self.ctx.mode
+        if self.collect_latch is None and mode in (Modes.DCOP, Modes.TRANOP):
+            return xd              # steady state: output settled at input
+        if self.collect_latch is None and mode == Modes.AC:
+            return xd              # unity small-signal gain
+        rise = ev(args[2], "transition rise") if len(args) > 2 else 1e-9
+        fall = ev(args[3], "transition fall") if len(args) > 3 else rise
+        t = self.ctx.time
+        if self.collect_latch == "init":
+            # settled at the op: ramp finished well before t0
+            t0i = t - jnp.maximum(jnp.maximum(rise, fall), 0.0) - 1.0
+            self.lat_rec[kl] = (xd, xd, t0i)
+            return xd
+        _kind, loff, _nsl = it.lat_sites[kl]
+        a0 = it.n_noise + it.n_dly + loff
+        target, y0, t0 = self.eps[a0], self.eps[a0 + 1], self.eps[a0 + 2]
+        dur = jnp.where(target >= y0, jnp.maximum(rise, 1e-15),
+                        jnp.maximum(fall, 1e-15))
+        frac = jnp.clip((t - t0) / dur, 0.0, 1.0)
+        y = y0 + (target - y0) * frac
+        if self.collect_latch == "update":
+            # re-latch when the input moved: the running ramp's current
+            # value becomes the new start point (LRM interrupted-ramp rule)
+            tol = 1e-12 + 1e-9 * jnp.abs(xd)
+            changed = jnp.abs(xd - target) > tol
+            self.lat_rec[kl] = (jnp.where(changed, xd, target),
+                                jnp.where(changed, y, y0),
+                                jnp.where(changed, t, t0))
+        return y
+
+    def _zi_coeffs(self, name, args, env):
+        """(b, a): z^{-1}-ascending numerator/denominator coefficient lists
+        (root forms expanded via _poly_from_pairs in z, reversed into
+        z^{-1}, numerator zero-padded to the pole count)."""
+        def ev(e_):
+            return _scalar(self.expr(e_, env), name)
+
+        if name in ("zi_nd", "zi_np"):
+            b = [ev(c) for c in args[1][1]]
+        else:
+            b = list(reversed(_poly_from_pairs([ev(c)
+                                                for c in args[1][1]])))
+        if name in ("zi_nd", "zi_zd"):
+            a = [ev(c) for c in args[2][1]]
+        else:
+            a = list(reversed(_poly_from_pairs([ev(c)
+                                                for c in args[2][1]])))
+        if name in ("zi_zd", "zi_zp"):
+            b = [0.0] * (len(a) - len(b)) + b
+        return b, a
+
+    def _zi_latch(self, name, args, env, node):
+        """z-domain IIR filter (LRM 4.5.15 zi_nd/np/zd/zp): the input is
+        sampled on the clock t0 + n·T (the device schedules breakpoints so
+        accepted steps land exactly on the samples), the difference
+        equation updates in the latched aux channel, and the output is the
+        zero-order hold of y_n.  DC returns the steady gain H(z=1)·u; AC
+        raises (no small-signal stamp for a sampled system on this path).
+        The reference simulator has no zi_* runtime at all (VerilogAParser
+        tokenizes them only)."""
+        it = self.it
+        kl = it.lat_site_ids.get(id(node))
+        if kl is None:
+            raise VACodegenError(f"{name}() site not registered")
+        _kind, loff, _nsl = it.lat_sites[kl]
+
+        def ev(e_, what):
+            return _scalar(self.expr(e_, env), what)
+
+        x = _scalar(self.expr(args[0], env), name)
+        b, a = self._zi_coeffs(name, args, env)
+        nb, na = len(b), len(a)
+        mode = self.ctx.mode
+        if self.collect_latch is None and mode in (Modes.DCOP, Modes.TRANOP):
+            return x * sum(b) / sum(a)       # sampled steady state
+        if self.collect_latch is None and mode == Modes.AC:
+            raise VACodegenError(
+                f"module {it.module.name}: {name}() has no small-signal "
+                "(AC/noise) semantics on this path — analyze the sampled "
+                "system in transient")
+        t = self.ctx.time
+        a0v = it.n_noise + it.n_dly + loff
+        if self.collect_latch == "init":
+            T = ev(args[3], "zi sample period")
+            t0a = ev(args[5], "zi t0") if len(args) > 5 else 0.0
+            y = x * sum(b) / sum(a)
+            tn = t0a + T * (jnp.floor((t - t0a) / T + 1e-9) + 1.0)
+            self.lat_rec[kl] = tuple([y, tn] + [x] * (nb - 1)
+                                     + [y] * max(0, na - 2))
+            return y
+        y_held = self.eps[a0v]
+        if self.collect_latch == "update":
+            T = ev(args[3], "zi sample period")
+            t_next = self.eps[a0v + 1]
+            u_hist = [self.eps[a0v + 2 + i] for i in range(nb - 1)]
+            y_hist = [self.eps[a0v + 2 + (nb - 1) + i]
+                      for i in range(max(0, na - 2))]
+            yfull = [y_held] + y_hist        # y_n, y_{n-1}, ...
+            u_all = [x] + u_hist             # u_{n+1}, u_n, ...
+            fire = t >= t_next - 1e-9 * T
+            y_new = (sum(b[i] * u_all[i] for i in range(nb))
+                     - sum(a[i + 1] * yfull[i] for i in range(na - 1))) \
+                / a[0]
+
+            def sel(nv, ov):
+                return jnp.where(fire, nv, ov)
+
+            self.lat_rec[kl] = tuple(
+                [sel(y_new, y_held), sel(t_next + T, t_next)]
+                + [sel(u_all[i], u_hist[i]) for i in range(nb - 1)]
+                + [sel(yfull[i], y_hist[i]) for i in range(max(0, na - 2))])
+            return sel(y_new, y_held)
+        return y_held                        # transient: zero-order hold
+
     def _lf_call(self, name, args, env, node):
         """Analog filter / event operators (LRM 4.5.10-17) lowered to the
         site's extra state rows.  The reference simulator has no runtime
@@ -1420,6 +1730,9 @@ class _State:
                     "semantics — recompile the model with "
                     "delay_mode='pade'")
             return self.eps[it.n_noise + kd]
+        kl = it.lat_site_ids.get(id(node))
+        if kl is not None:
+            return self._transition_latch(kl, args, env, node)
         k = it.lf_site_ids.get(id(node))
         if k is None:
             raise VACodegenError(f"{name}() site not registered")
@@ -1557,6 +1870,8 @@ class _State:
             return self.lv[row]
         if name in _LF_OPS:
             return self._lf_call(name, args, env, node)
+        if name in ("zi_nd", "zi_np", "zi_zd", "zi_zp"):
+            return self._zi_latch(name, args, env, node)
         if name == "noise_table":
             return self.zero
         if name == "analysis":
@@ -1646,9 +1961,10 @@ class _State:
         return fenv[fn.name]
 
 
-def load_va(text: str, file="<va>", include_paths=()):
+def load_va(text: str, file="<va>", include_paths=(), **make_kwargs):
     """Parse + compile VA source → dict module-name → DeviceModel subclass
     (the TPU equivalent of ``load_VA_model``,
-    /root/reference/src/ModelLoader.jl:20)."""
+    /root/reference/src/ModelLoader.jl:20).  Extra keyword args pass
+    through to ``make_device`` (delay_mode=, transition_mode=, ...)."""
     mods = parse_va(text, file, include_paths)
-    return {m.name: make_device(m) for m in mods}
+    return {m.name: make_device(m, **make_kwargs) for m in mods}

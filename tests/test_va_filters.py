@@ -281,15 +281,27 @@ def test_idtmod_phase_wrap():
         assert abs(got - want) < 3e-3, (t, got, want)
 
 
-def test_zi_filters_still_rejected():
-    bad = """
+def test_zi_filters_now_supported():
+    """zi_* used to be rejected; they now run over the latched-state
+    channel (full behavioral coverage in tests/test_va_zi.py).  Keep a
+    compile smoke here, plus the malformed-site rejection."""
+    good = """
 module vazi(inp, out);
   inout inp, out;
   electrical inp, out;
   analog V(out) <+ zi_nd(V(inp), {1.0}, {1.0}, 1e-6);
 endmodule
 """
-    with pytest.raises(VACodegenError, match="z-domain"):
+    devs = load_va(good)
+    assert devs["vazi"].n_latch >= 2
+    bad = """
+module vazibad(inp, out);
+  inout inp, out;
+  electrical inp, out;
+  analog V(out) <+ zi_zp(V(inp), {0.5, 0.0, 0.2, 0.0}, {0.1, 0.0}, 1e-6);
+endmodule
+"""
+    with pytest.raises(VACodegenError, match="more zeros"):
         load_va(bad)
 
 
