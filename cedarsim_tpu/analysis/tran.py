@@ -189,6 +189,15 @@ class TranSolution:
         vals = self[name]
         return np.interp(t_eval, self.ts, vals)
 
+    def interp_state(self, t_eval):
+        """Full state vector linearly interpolated at time(s) ``t_eval``
+        (shape [n_x] for scalar t, [len(t), n_x] for a vector)."""
+        t = np.asarray(t_eval, dtype=float)
+        xs = np.asarray(self.xs)
+        out = np.stack([np.interp(t, self.ts, xs[:, i])
+                        for i in range(xs.shape[1])], axis=-1)
+        return out
+
 
 def xdot0_and_mask_impl(compiled, x, ctx, params):
     """Traceable (ẋ0, lte_mask) from ONE model walk at the operating point:
