@@ -31,7 +31,8 @@ from cedarsim_tpu.analysis.tran import (tran, TranOptions, save_checkpoint,
                                         load_checkpoint)
 from cedarsim_tpu.analysis.ac import ac, acdec, noise
 from cedarsim_tpu.analysis.pss import pss
-from cedarsim_tpu.analysis.hb import hb, hb_autonomous, pac
+from cedarsim_tpu.analysis.hb import (hb, hb_autonomous, pac, pnoise,
+                                      oscillator_phase_noise)
 from cedarsim_tpu.analysis.sweeps import (
     Sweep, ProductSweep, TandemSweep, SerialSweep, sweepify, dc_sweep,
 )

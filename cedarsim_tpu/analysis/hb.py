@@ -510,6 +510,126 @@ def pnoise(res: HBResult, out: str, freqs, k_sidebands: int = None
                           eps_names=names, hbres=res, k_sidebands=K)
 
 
+@dataclasses.dataclass
+class PhaseNoiseResult:
+    """Oscillator phase noise via the perturbation projection vector
+    (Demir/Mehrotra/Roychowdhury, "Phase noise in oscillators: a unifying
+    theory", TCAS-I 2000).
+
+    ``c`` is the time-shift diffusion constant (seconds): the variance of
+    the oscillator's accumulated time jitter grows as ``c·t``, so the RMS
+    jitter after n periods is ``sqrt(c·n·T)``.  The carrier-normalized
+    spectrum is the Lorentzian  L(Δf) = f0²c / (π²f0⁴c² + Δf²).
+    """
+    c: float                   # phase (time-shift) diffusion constant [s]
+    ppv: np.ndarray            # [N, n_x] PPV samples (time-shift normalized)
+    per_source: np.ndarray     # [n_eps] contribution of each source to c
+    eps_names: list
+    hbres: HBResult
+    #: quality metrics: relative spread of the biorthogonality product
+    #: v(t)·C(t)·ẋ(t) across samples (≪1 for a trustworthy PPV), and the
+    #: relative residual of the right null vector ẋ
+    norm_spread: float
+    null_resid: float
+
+    def jitter(self, n_periods: float = 1.0) -> float:
+        """RMS accumulated jitter after ``n_periods`` [s]."""
+        return float(np.sqrt(self.c * n_periods * self.hbres.period))
+
+    def ldbc(self, offsets) -> np.ndarray:
+        """Phase noise L(Δf) in dBc/Hz at offset frequencies [Hz]."""
+        df = np.atleast_1d(np.asarray(offsets, float))
+        f0 = self.hbres.freq
+        s = f0 ** 2 * self.c / (np.pi ** 2 * f0 ** 4 * self.c ** 2
+                                + df ** 2)
+        return 10.0 * np.log10(np.maximum(s, 1e-300))
+
+
+def oscillator_phase_noise(res: HBResult, inv_iters: int = 3
+                           ) -> PhaseNoiseResult:
+    """Phase noise of an autonomous oscillator from its HB orbit.
+
+    The orbit's time derivative ẋ(t) is the right null function of the
+    linearized periodic operator A (the same collocation Jacobian Newton
+    used); the PPV v(t) is the LEFT null function, normalized by the
+    Floquet biorthogonality v(t)ᵀC(t)ẋ(t) = 1 — computed here by inverse
+    iteration on Aᵀ (A is singular exactly to the HB convergence
+    tolerance, so one LU back-solve per iteration snaps onto the null
+    direction).  Each white noise source s, entering through the
+    amplitude-modulated column c_s(t) = ∂F/∂ε_s·sqrt(pwr_s(t)) with
+    double-sided PSD ½ (our ``pwr`` is single-sided), contributes
+
+        c = (1/2N) Σ_j Σ_s (v_jᵀ c_{s,j})²   [seconds]
+
+    to the time-shift diffusion.  Flicker sources are excluded (white-only,
+    like the transient-noise path)."""
+    compiled, params = res.compiled, res.params
+    d = compiled.dtype
+    N, n = res.x_samples.shape
+    T = res.period
+    w = 2.0 * np.pi / T
+    Dhat = jnp.asarray(_diff_matrix(N, np.float64), d)
+    ctx_t = res.ctx.with_mode(Modes.TRAN)
+    xs = jnp.asarray(res.x_samples, d)
+    ts = jnp.asarray(res.t_samples, d)
+
+    @jax.jit
+    def run():
+        G, C = jax.vmap(
+            lambda x, t: compiled.jacobians(x, ctx_t.at_time(t), params))(
+                xs, ts)
+        A = jnp.einsum("jl,lab->jalb", w * Dhat, C)
+        A = A.at[jnp.arange(N), :, jnp.arange(N), :].add(G)
+        A = A.reshape(N * n, N * n)
+        # right null vector: the orbit derivative (sanity check only)
+        r0 = jnp.asarray(res.xdot_samples, d).reshape(N * n)
+        null_resid = (jnp.linalg.norm(A @ r0)
+                      / (jnp.linalg.norm(A, ord="fro")
+                         * jnp.linalg.norm(r0) / (N * n) + 1e-300))
+        # left null vector by inverse iteration on Aᵀ
+        v = jnp.ones(N * n, d)
+        for _ in range(inv_iters):
+            v = linalg.solve(A.T, v)
+            v = v / jnp.linalg.norm(v)
+        V = v.reshape(N, n)
+        # biorthogonality normalization v_jᵀ C_j ẋ_j = 1
+        xd = jnp.asarray(res.xdot_samples, d)
+        s = jnp.einsum("ja,jab,jb->j", V, C, xd)
+        V = V / jnp.mean(s)
+        spread = jnp.std(s) / jnp.abs(jnp.mean(s))
+        # modulated white-noise columns
+        if compiled.n_eps:
+            Jeps = jax.vmap(
+                lambda x, t: jax.jacfwd(
+                    lambda e: compiled.residuals(
+                        x, ctx_t.at_time(t), params, eps=e)[0])(
+                    jnp.zeros(compiled.n_eps, d)))(xs, ts)  # [N, n, n_eps]
+            pwr, ex = jax.vmap(
+                lambda x, t: compiled.noise_sources(
+                    x, ctx_t.at_time(t), params))(xs, ts)
+            white = (ex[0] == 0.0)
+            Cmod = Jeps * (jnp.sqrt(jnp.maximum(pwr, 0.0))
+                           * white[None, :])[:, None, :]
+            proj = jnp.einsum("ja,jas->js", V, Cmod)        # [N, n_eps]
+            per = jnp.sum(proj ** 2, axis=0) / (2.0 * N)    # [n_eps]
+        else:
+            per = jnp.zeros((0,), d)
+        return V, per, spread, null_resid
+
+    V, per, spread, null_resid = run()
+    names = []
+    for key in compiled.group_order:
+        g = compiled.groups[key]
+        for inst in g.instances:
+            for k in range(g.model.n_noise):
+                names.append(f"{inst.name}#n{k}")
+    per = np.asarray(per)
+    return PhaseNoiseResult(c=float(per.sum()), ppv=np.asarray(V),
+                            per_source=per, eps_names=names, hbres=res,
+                            norm_spread=float(spread),
+                            null_resid=float(null_resid))
+
+
 def hb_autonomous(compiled: CompiledCircuit, period_guess: float,
                   anchor: str, params=None, ctx: SimSpec = None,
                   n_harmonics: int = 15, max_iter: int = 40,

@@ -250,3 +250,41 @@ Bmix out 0 V='V(nr)*V(lo)'
     # the stationary analysis is blind to the modulated path
     st = noise(comp, "out", freqs)
     assert st.psd.max() < 1e-3 * pn.psd.min()
+
+
+def test_oscillator_phase_noise_lc_tank_closed_form():
+    """PPV phase noise of a noisy-resistor LC oscillator vs the classical
+    closed form.  For a near-harmonic tank orbit v = A·cos(ω0 t) with a
+    parallel resistor's current noise (single-sided 4kT/R), projecting onto
+    the tank's phase ISF −sin(ω0 t)/(A·C·ω0) gives the time-shift
+    diffusion  c = kT/(R·C²·A²·ω0²).  The PPV machinery must reproduce it
+    (weak-nonlinearity corrections are O(ε²), a few %)."""
+    from cedarsim_tpu.analysis.hb import oscillator_phase_noise
+    K_B, T_K = 1.380649e-23, 300.15
+    L, C, R = 1e-3, 1e-9, 1e4
+    a = 2e-4                       # net negative conductance after R
+    b = a / 3.0                    # -> A = 2.0
+    g_total = a + 1.0 / R
+    ckt = load_spice(f"""noisy vdp
+L1 out 0 {L}
+C1 out 0 {C}
+R1 out 0 {R}
+B1 out 0 I='{-g_total}*V(out) + {b}*V(out)^3'
+.end
+""")
+    comp = compile_circuit(ckt)
+    w0 = 1.0 / np.sqrt(L * C)
+    res = hb_autonomous(comp, 2 * np.pi / w0, anchor="out", n_harmonics=9,
+                        kick=0.5, warmup_periods=30.0, tol=1e-10)
+    assert res.converged
+    A_osc = 2.0 * abs(res.spectrum("out")[1])
+    pn = oscillator_phase_noise(res)
+    # the PPV is trustworthy: biorthogonality constant along the orbit
+    assert pn.norm_spread < 0.05, pn.norm_spread
+    c_theory = K_B * T_K / (R * C ** 2 * A_osc ** 2 * w0 ** 2)
+    assert abs(pn.c / c_theory - 1.0) < 0.15, (pn.c, c_theory)
+    # spectrum sanity: Lorentzian rolls off 20 dB/decade far out
+    l1, l2 = pn.ldbc([1e3, 1e4])
+    assert 19.0 < l1 - l2 < 21.0
+    # jitter accumulates as sqrt(n)
+    assert abs(pn.jitter(100.0) / (10 * pn.jitter(1.0)) - 1.0) < 1e-9
