@@ -61,6 +61,10 @@ class NewtonOptions:
     restarts: int = 4
 
 
+#: sentinel for "params are a single (unbatched) tree" in DCResult._obs
+_UNBATCHED = object()
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["x", "converged", "iters", "resnorm"], meta_fields=[])
 @dataclasses.dataclass
@@ -69,6 +73,34 @@ class DCResult:
     converged: jax.Array
     iters: jax.Array
     resnorm: jax.Array
+
+    def __getitem__(self, name):
+        """Named observable access at the operating point (``res["vout"]``,
+        ``res["x1.m1.I"]``) — the reference's ``sol[sys.vout]`` UX.
+        Available on results returned by ``solve_dc``/``dc_sweep``/``mc_dc``/
+        ``simulate`` (which attach the circuit context after the jitted
+        solve; the raw pytree crossing a jit/vmap boundary carries arrays
+        only).  Batched results return one value per lane."""
+        obs = getattr(self, "_obs", None)
+        if obs is None:
+            raise TypeError(
+                "this DCResult carries no circuit context (it crossed a "
+                "jit/vmap boundary raw) — index into .x, or use a result "
+                "returned by solve_dc()/dc_sweep()/simulate()")
+        compiled, ctx, params, ctx_axes = obs
+        fn = compiled.observe(name)
+        x = jnp.asarray(self.x)
+
+        def one(xx, pp, cc):
+            return fn(xx, jnp.zeros_like(xx), cc, pp)
+
+        if x.ndim == 1:
+            out = one(x, params, ctx)
+        else:
+            p_ax = 0 if ctx_axes is not _UNBATCHED else None
+            c_ax = None if ctx_axes in (None, _UNBATCHED) else ctx_axes
+            out = jax.vmap(one, in_axes=(0, p_ax, c_ax))(x, params, ctx)
+        return np.asarray(out)
 
 
 def default_newton_options(compiled) -> NewtonOptions:
@@ -283,6 +315,8 @@ def solve_dc(compiled: CompiledCircuit, params=None, ctx: SimSpec = None,
         from cedarsim_tpu.utils import artifacts
         if bool(np.all(np.asarray(res.converged))):
             artifacts.store_op(akey, res.x)
+    if not isinstance(res.x, jax.core.Tracer):
+        res._obs = (compiled, ctx, params, _UNBATCHED)
     return res
 
 

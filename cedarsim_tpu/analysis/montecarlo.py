@@ -86,9 +86,14 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
                 in_axes=(0, None, 0)))
         return cache[o]
 
+    def attach(r):
+        from cedarsim_tpu.analysis.sweeps import _ctx_axes
+        r._obs = (compiled, ctx, bp, _ctx_axes(False, ctx.mode))
+        return r
+
     if not warm_start:
         x0 = jnp.zeros((n, compiled.n_x), compiled.dtype)
-        return batched(opts)(bp, ctx, x0)
+        return attach(batched(opts)(bp, ctx, x0))
 
     from cedarsim_tpu.analysis.dc import solve_dc
     nominal = solve_dc(compiled, compiled.params0, ctx, opts=opts, mode=mode)
@@ -98,7 +103,7 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     res = batched(light)(bp, ctx, x0)
     ok = np.asarray(res.converged)
     if ok.all():
-        return res
+        return attach(res)
     # robust second pass for the failed lanes only
     bad = np.nonzero(~ok)[0]
     bp_bad = jax.tree.map(lambda a: a[bad], bp)
@@ -112,5 +117,5 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     conv[bad] = np.asarray(res2.converged)
     iters[bad] = np.asarray(res2.iters)
     resnorm[bad] = np.asarray(res2.resnorm)
-    return DCResult(jnp.asarray(x), jnp.asarray(conv), jnp.asarray(iters),
-                    jnp.asarray(resnorm))
+    return attach(DCResult(jnp.asarray(x), jnp.asarray(conv),
+                           jnp.asarray(iters), jnp.asarray(resnorm)))

@@ -186,7 +186,10 @@ def dc_sweep(compiled: CompiledCircuit, sweep, params=None,
              for pt in points], compiled.dtype)
         ctx = ctx.replace(temp=temps)
     fn = _get_sweep_jit(compiled, opts, has_temp)
-    return fn(bp, ctx, x0)
+    res = fn(bp, ctx, x0)
+    if not isinstance(res.x, jax.core.Tracer):
+        res._obs = (compiled, ctx, bp, _ctx_axes(has_temp, ctx.mode))
+    return res
 
 
 def _ctx_axes(temp_batched, mode):

@@ -32,6 +32,40 @@ def test_simple_vr_circuit():
     assert np.isclose(i, 2.5, **DEFTOL)
 
 
+def test_dc_result_named_access():
+    # res["name"] observable UX on operating points — the reference's
+    # sol[sys.vout] access (/root/reference/src/circsummary.jl)
+    ckt = Circuit()
+    vcc = ckt.net("vcc")
+    ckt.add(VSource, "V", (vcc, ckt.gnd), dict(dc=5.0))
+    ckt.add(Resistor, "R", (vcc, ckt.gnd), dict(r=2.0))
+    c = compile_circuit(ckt)
+    res = solve_dc(c)
+    assert np.isclose(float(res["vcc"]), 5.0, **DEFTOL)
+    assert np.isclose(float(res["R.I"]), 2.5, **DEFTOL)
+    # a raw pytree (no attached context) refuses with a clear error
+    from cedarsim_tpu.analysis.dc import DCResult
+    bare = DCResult(res.x, res.converged, res.iters, res.resnorm)
+    with pytest.raises(TypeError):
+        bare["vcc"]
+
+
+def test_dc_sweep_named_access():
+    # batched named access: one value per sweep lane, per-lane params
+    from cedarsim_tpu.analysis.sweeps import Sweep, dc_sweep
+    ckt = Circuit()
+    vin, vmid = ckt.net("vin"), ckt.net("vmid")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=1.0))
+    ckt.add(Resistor, "R1", (vin, vmid), dict(r=1e3))
+    ckt.add(Resistor, "R2", (vmid, ckt.gnd), dict(r=1e3))
+    comp = compile_circuit(ckt)
+    r2s = np.array([500.0, 1000.0, 2000.0])
+    res = dc_sweep(comp, Sweep("R2.r", r2s))
+    assert np.allclose(res["vmid"], r2s / (1000.0 + r2s), rtol=1e-8)
+    # branch current through the swept R2 uses the per-lane resistance
+    assert np.allclose(res["R2.I"], (1.0 / (1000.0 + r2s)), rtol=1e-8)
+
+
 def test_simple_ir_circuit():
     # I=-5 into R=2 → V = 10  (reference test/basic.jl:84-107, SPICE sign
     # convention: negative current flows from - to + terminal)
