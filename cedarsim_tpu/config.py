@@ -28,14 +28,26 @@ def _machine_tag():
     # can SIGILL when loaded on a host missing one (observed across container
     # migrations: "+prefer-no-scatter is not supported on the host machine").
     # JAX's cache key does not cover this, so segregate the cache per CPU
-    # feature fingerprint.
+    # fingerprint.  Hash the model name too, not just the flags: LLVM adds
+    # model-specific tuning features (prefer-no-scatter/-gather) that differ
+    # between hosts whose cpuinfo flag sets are identical.
     import hashlib
     try:
         with open("/proc/cpuinfo") as f:
+            parts = {}
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(flags.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "model name", "vendor_id", "cpu family",
+                           "model", "stepping") and key not in parts:
+                    val = line.split(":", 1)[1].strip()
+                    if key == "flags":
+                        val = " ".join(sorted(val.split()))
+                    parts[key] = val
+                if len(parts) == 6:
+                    break
+            if parts:
+                sig = "|".join(f"{k}={parts[k]}" for k in sorted(parts))
+                return hashlib.sha256(sig.encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
