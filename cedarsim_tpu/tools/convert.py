@@ -3,10 +3,14 @@
 The reference ships ``spak-convert`` (SpiceArmyKnife.jl/src/Convert.jl:26-60)
 with per-simulator emitters over the shared CST
 (``CodeGenScope{Sim}``, src/codegen.jl:24-63; SPICE->Spectre in
-cg_spectre.jl, SPICE->SPICE in cg_spice.jl).  Here both dialect parsers
-already normalize to one statement AST (frontend/parser.py dataclasses), so
-conversion is an emitter per output dialect over that AST plus a model-type
-mapping table.
+cg_spectre.jl, SPICE->SPICE in cg_spice.jl, SPICE->Verilog-A in
+cg_veriloga.jl).  Here both dialect parsers already normalize to one
+statement AST (frontend/parser.py dataclasses), so conversion is an emitter
+per output dialect over that AST plus a model-type mapping table.  The
+Verilog-A emitter additionally lowers primitive elements to analog
+contributions, so a converted subckt of primitives is a self-contained VA
+module that compiles back through this framework's own VA pipeline
+(round-trip gated in tests/test_convert.py).
 
 Magnitude suffixes are never emitted — numbers print in exponent form, which
 sidesteps the SPICE ``M``=milli vs Spectre ``M``=mega trap the reference's
@@ -565,6 +569,490 @@ class SpiceEmitter:
         L.append(" ".join(parts))
 
 
+# --------------------------------------------------------- Verilog-A output
+
+_VA_KEYWORDS = {
+    "module", "endmodule", "analog", "begin", "end", "parameter", "real",
+    "integer", "electrical", "ground", "branch", "inout", "input", "output",
+    "if", "else", "for", "while", "case", "endcase", "function", "endfunction",
+    "paramset", "endparamset", "from", "exclude", "string",
+}
+
+
+def _va_id(name: str) -> str:
+    """Sanitize a SPICE name into a legal Verilog-A identifier (lowercased —
+    the reference lowercases everything SPICE, cg_veriloga.jl:262)."""
+    out = []
+    for ch in str(name).lower():
+        out.append(ch if (ch.isalnum() or ch == "_") else "_")
+    s = "".join(out)
+    if not s or not (s[0].isalpha() or s[0] == "_"):
+        s = "n_" + s
+    if s in _VA_KEYWORDS:
+        s += "_"
+    return s
+
+
+def emit_expr_va(ast, ref=None) -> str:
+    """Expression AST -> Verilog-A source.  ``ref(name)`` maps identifier
+    references (used for global-\\`define prefixing and lowercasing, the
+    reference's Identifier handler, cg_veriloga.jl:261-291).  ``**`` becomes
+    ``pow()`` — VA has no power operator."""
+    r = ref or _va_id
+    if isinstance(ast, (int, float)):
+        return fmt_num(ast)
+    if isinstance(ast, str):
+        return r(ast)
+    kind = ast[0]
+    if kind == "num":
+        return fmt_num(ast[1])
+    if kind == "ref":
+        return r(ast[1])
+    if kind == "un":
+        return f"({ast[1]}{emit_expr_va(ast[2], r)})"
+    if kind == "bin":
+        if ast[1] in ("**", "^"):
+            return (f"pow({emit_expr_va(ast[2], r)},"
+                    f"{emit_expr_va(ast[3], r)})")
+        return (f"({emit_expr_va(ast[2], r)}{ast[1]}"
+                f"{emit_expr_va(ast[3], r)})")
+    if kind == "cond":
+        return (f"({emit_expr_va(ast[1], r)}?"
+                f"{emit_expr_va(ast[2], r)}:"
+                f"{emit_expr_va(ast[3], r)})")
+    if kind == "call":
+        fn = str(ast[1]).lower()
+        args = [emit_expr_va(a, r) for a in ast[2]]
+        # SPICE spellings -> VA LRM spellings
+        fn = {"atan": "atan", "arctan": "atan", "log": "ln", "log10": "log",
+              "pwr": "pow", "int": "floor"}.get(fn, fn)
+        return f"{fn}({','.join(args)})"
+    raise ConvertError(f"cannot emit VA expression node {ast!r}")
+
+
+#: SPICE .model type -> Verilog-A master module the paramset specializes
+#: (the reference resolves these against its model DB and emits
+#: ``paramset <name> <module>;``, cg_veriloga.jl:446-482).
+def _spice_model_to_va_master(mtype, params):
+    master, extra = _spice_model_to_spectre(mtype, params)
+    ty = extra.get("type")
+    ty = ty[1] if isinstance(ty, tuple) else None
+    return {"bsim3v3": "bsim3"}.get(master, master), ty
+
+
+class VerilogAEmitter:
+    """SPICE/Spectre netlist -> Verilog-A (the cg_veriloga.jl role,
+    SpiceArmyKnife.jl/src/cg_veriloga.jl).
+
+    Reference-shaped output:
+      - top-level ``.param`` -> \\`define macros (module-scope params stay
+        ``parameter real``), cg_veriloga.jl:229-259;
+      - ``.model`` -> ``paramset`` specializing a VA master module,
+        cg_veriloga.jl:427-537;
+      - ``.subckt`` -> ``module`` with electrical ports, cg_veriloga.jl:538+;
+        subckt instances (X) and modeled devices (D/M/Q/...) become
+        structural module instantiations;
+      - primitive elements (R C L V I E G F H B) lower to analog
+        *contributions* in the containing module — a module with only
+        primitives is self-contained Verilog-A that compiles straight back
+        through this framework's own VA pipeline (round-trip tested).
+
+    Waveform sources (SIN/PULSE/EXP/PWL) become closed-form ``$abstime``
+    expressions with SPICE semantics (hold before delay, periodic pulse via
+    ``floor()``, PWL as nested ternary interpolation).
+    """
+
+    dialect = "veriloga"
+
+    def __init__(self, in_dialect="spice"):
+        self.lines = []
+        self.globals = set()       # lowercased `define'd top-level params
+        self.paramsets = {}        # model name -> master
+        self.modules = set()       # emitted module names
+        self.in_dialect = in_dialect
+
+    # ---- identifier/ref helpers
+
+    def _ref_factory(self, local):
+        globals_ = self.globals
+
+        def ref(name):
+            s = _va_id(name)
+            if s in local:
+                return s
+            if s in globals_:
+                return "`" + s
+            return s
+        return ref
+
+    def ev(self, v, local=frozenset()):
+        return emit_expr_va(v, self._ref_factory(local))
+
+    # ---- top level
+
+    def emit(self, netlist: P.SpiceNetlist) -> str:
+        L = self.lines = ["// converted by cedarsim_tpu.tools.convert"]
+        if netlist.title:
+            L.append("// " + netlist.title)
+        L.append('`include "disciplines.vams"')
+        L.append("")
+        top_elements = []
+        for st in netlist.statements:
+            if isinstance(st, P.Param):
+                for k, v in st.assignments:
+                    name = _va_id(k)
+                    self.globals.add(name)
+                    L.append(f"`define {name} ({self.ev(v)})")
+            elif isinstance(st, P.Model):
+                self.paramset(st)
+            elif isinstance(st, P.Subckt):
+                self.module(st.name, st.nodes, st.params, st.body, st.loc)
+            elif isinstance(st, P.Element):
+                top_elements.append(st)
+            elif isinstance(st, P.Include):
+                L.append(f"// include not converted inline — convert "
+                         f"separately: {st.path}"
+                         + (f" section={st.section}" if st.section else ""))
+            elif isinstance(st, P.LibSection):
+                # the reference wraps .lib sections in `ifdef blocks
+                # (cg_veriloga.jl:120-137)
+                tag = "SECTION_" + _va_id(st.name).upper()
+                L.append(f"`ifdef {tag}")
+                for s in st.body:
+                    if isinstance(s, P.Model):
+                        self.paramset(s)
+                    elif isinstance(s, P.Subckt):
+                        self.module(s.name, s.nodes, s.params, s.body, s.loc)
+                    else:
+                        L.append("// unconverted in section: " +
+                                 (s.loc.src.strip() if s.loc else ""))
+                L.append("`endif")
+            elif isinstance(st, P.Control):
+                if st.loc is not None and st.loc.src:
+                    L.append("// " + st.loc.src.strip())
+            elif isinstance(st, P.ErrorNode):
+                L.append(f"// PARSE ERROR preserved: {st.message}")
+            else:
+                raise ConvertError(
+                    f"cannot convert {type(st).__name__} to Verilog-A")
+        if top_elements:
+            L.append("")
+            self.module("testbench", [], {}, top_elements, None)
+        return "\n".join(self.lines) + "\n"
+
+    def paramset(self, st: P.Model):
+        master, ty = _spice_model_to_va_master(st.mtype, st.params)
+        name = _va_id(st.name)
+        self.paramsets[name] = master
+        L = self.lines
+        L.append(f"// master module '{master}' must be provided by the "
+                 "model library (e.g. an `include of its .va source)")
+        L.append(f"paramset {name} {master};")
+        if ty is not None:
+            L.append(f'  .type = "{ty}";')
+        for k, v in st.params.items():
+            if str(k).lower() == "level":
+                continue
+            L.append(f"  .{_va_id(k)} = {self.ev(v)};")
+        L.append("endparamset")
+        L.append("")
+
+    # ---- modules
+
+    def module(self, name, ports, params, body, loc):
+        L = self.lines
+        mname = _va_id(name)
+        self.modules.add(mname)
+        pmap = {}                       # original node -> VA net
+        ground_used = [False]
+
+        def net(n):
+            s = str(n)
+            if s == "0" or s.lower() in ("gnd", "gnd!", "0!"):
+                ground_used[0] = True
+                return "gnd"
+            return pmap.setdefault(s, _va_id(s))
+
+        vports = [net(p) for p in ports]
+        local = set(vports) | {_va_id(k) for k in params}
+        decls, insts, analog = [], [], []
+        branches = {}                   # element name -> branch id
+
+        # two passes: first collect every net/branch, then emit elements
+        elements = [st for st in body if isinstance(st, P.Element)]
+        for el in elements:
+            for n in el.nodes:
+                net(n)
+        for st in body:
+            if isinstance(st, P.Element):
+                self.element(st, net, local, decls, insts, analog, branches)
+            elif isinstance(st, P.Param):
+                for k, v in st.assignments:
+                    kk = _va_id(k)
+                    if kk not in local:
+                        local.add(kk)
+                        decls.append(
+                            f"  parameter real {kk} = {self.ev(v, local)};")
+            elif isinstance(st, P.Model):
+                # module-scoped models hoist to top-level paramsets (the
+                # reference stores them in a local DB; a hoisted paramset is
+                # equivalent for uniquely-named models)
+                self.paramset(st)
+            elif isinstance(st, P.Control):
+                if st.loc is not None and st.loc.src:
+                    analog.append("    // " + st.loc.src.strip())
+            elif isinstance(st, P.ErrorNode):
+                analog.append(f"    // PARSE ERROR preserved: {st.message}")
+            else:
+                raise ConvertError(
+                    f"cannot convert {type(st).__name__} inside "
+                    f"subckt {name}")
+
+        L.append(f"module {mname}({', '.join(vports)});")
+        if vports:
+            L.append(f"  inout {', '.join(vports)};")
+        allnets = list(dict.fromkeys(
+            vports + [v for v in pmap.values() if v not in vports]))
+        if ground_used[0]:
+            allnets = ["gnd"] + [n for n in allnets if n != "gnd"]
+        if allnets:
+            L.append(f"  electrical {', '.join(allnets)};")
+        if ground_used[0]:
+            L.append("  ground gnd;")
+        for k, v in params.items():
+            L.append(f"  parameter real {_va_id(k)} = "
+                     f"{self.ev(v, local)};")
+        L.extend(decls)
+        L.extend(insts)
+        if analog:
+            L.append("  analog begin")
+            L.extend(analog)
+            L.append("  end")
+        L.append("endmodule")
+        L.append("")
+
+    # ---- elements -> contributions / instances
+
+    def _wave_expr(self, kind, args, local):
+        """SPICE source waveform -> $abstime expression (SPICE semantics:
+        hold before delay; PULSE periodic; PWL held at both ends)."""
+        def a(i, default=0.0):
+            if i < len(args):
+                return self.ev(args[i], local)
+            return fmt_num(default)
+
+        def anum(i, default=None):
+            if i < len(args) and isinstance(args[i], (int, float)):
+                return float(args[i])
+            return default
+
+        t = "$abstime"
+        if kind in ("sin", "sine"):
+            vo, va, fr, td, th = a(0), a(1), a(2, 1.0), a(3), a(4)
+            w = f"(6.283185307179586*{fr})"
+            base = f"({vo}+{va}*sin({w}*({t}-{td})))"
+            if anum(4) not in (None, 0.0):
+                base = (f"({vo}+{va}*exp(-({t}-{td})*{th})"
+                        f"*sin({w}*({t}-{td})))")
+            return f"(({t})<({td})?({vo}):{base})"
+        if kind == "pulse":
+            v1, v2 = a(0), a(1)
+            td, tr, tf, pw = a(2), a(3, 1e-12), a(4, 1e-12), a(5, 1e30)
+            if anum(3) == 0.0:
+                tr = fmt_num(1e-12)
+            if anum(4) == 0.0:
+                tf = fmt_num(1e-12)
+            per = anum(6)
+            tt = f"(({t})-({td}))"
+            if per is not None and per > 0:
+                tt = f"({tt}-({a(6)})*floor({tt}/({a(6)})))"
+            ramp_up = f"(({v1})+(({v2})-({v1}))*{tt}/({tr}))"
+            ramp_dn = (f"(({v2})-(({v2})-({v1}))*"
+                       f"({tt}-({tr})-({pw}))/({tf}))")
+            return (f"(({t})<({td})?({v1}):"
+                    f"({tt}<({tr})?{ramp_up}:"
+                    f"({tt}<(({tr})+({pw}))?({v2}):"
+                    f"({tt}<(({tr})+({pw})+({tf}))?{ramp_dn}:({v1})))))")
+        if kind == "exp":
+            v1, v2 = a(0), a(1)
+            td1, tau1, td2, tau2 = a(2), a(3, 1e-9), a(4, 1e30), a(5, 1e-9)
+            rise = (f"(({v1})+(({v2})-({v1}))*"
+                    f"(1.0-exp(-(({t})-({td1}))/({tau1}))))")
+            both = (f"({rise}+(({v1})-({v2}))*"
+                    f"(1.0-exp(-(({t})-({td2}))/({tau2}))))")
+            return (f"(({t})<({td1})?({v1}):"
+                    f"(({t})<({td2})?{rise}:{both}))")
+        if kind == "pwl":
+            pts = [self.ev(x, local) for x in args]
+            if len(pts) < 2:
+                raise ConvertError("PWL needs at least one (t, v) pair")
+            tv = list(zip(pts[0::2], pts[1::2]))
+            expr = f"({tv[-1][1]})"      # hold last value
+            for (t0, v0), (t1, v1) in reversed(list(zip(tv[:-1], tv[1:]))):
+                seg = (f"(({v0})+(({v1})-({v0}))*(({t})-({t0}))"
+                       f"/(({t1})-({t0})))")
+                expr = f"(({t})<({t1})?{seg}:{expr})"
+            return f"(({t})<({tv[0][0]})?({tv[0][1]}):{expr})"
+        raise ConvertError(f"waveform {kind!r} not convertible to VA")
+
+    def _behavioral(self, ast, net, local, branches):
+        """B-source expression: rewrite v(a[,b]) / i(vsrc) probe calls into
+        VA probes, then emit."""
+        def rw(e):
+            if isinstance(e, tuple) and e and e[0] == "call":
+                fn = str(e[1]).lower()
+                args = [rw(x) for x in e[2]]
+                if fn == "v":
+                    nodes = [x[1] if isinstance(x, tuple) and x[0] == "ref"
+                             else x for x in e[2]]
+                    probes = ",".join(net(n) for n in nodes)
+                    return ("ref", f"V({probes})")
+                if fn == "i":
+                    src = e[2][0]
+                    src = src[1] if isinstance(src, tuple) \
+                        and src[0] == "ref" else src
+                    b = branches.get(str(src).lower())
+                    if b is None:
+                        raise ConvertError(
+                            f"behavioral i({src}) probes a source not in "
+                            "this subckt — cannot convert")
+                    return ("ref", f"I({b})")
+                return ("call", e[1], args)
+            if isinstance(e, tuple) and e:
+                return tuple([e[0]] + [rw(x) if isinstance(x, tuple)
+                                       or isinstance(x, str)
+                                       else x for x in e[1:]])
+            return e
+
+        ref = self._ref_factory(local)
+
+        def ref2(name):
+            s = str(name)
+            if s.startswith(("V(", "I(")):
+                return s
+            return ref(s)
+        return emit_expr_va(rw(ast), ref2)
+
+    def element(self, el: P.Element, net, local, decls, insts, analog,
+                branches):
+        letter, name = el.letter, _va_id(el.name)
+        nn = [net(n) for n in el.nodes]
+        ev = lambda v: self.ev(v, local)  # noqa: E731
+        mfac = el.params.get("m")
+        mul = f"({ev(mfac)})*" if mfac is not None else ""
+
+        if letter == "r":
+            r = el.values[0] if el.values else el.params.get("r")
+            if r is None:
+                raise ConvertError(f"{el.name}: no resistance")
+            analog.append(f"    I({nn[0]},{nn[1]}) <+ "
+                          f"{mul}V({nn[0]},{nn[1]})/({ev(r)});  // {name}")
+            return
+        if letter == "c":
+            c = el.values[0] if el.values else el.params.get("c")
+            analog.append(f"    I({nn[0]},{nn[1]}) <+ "
+                          f"{mul}ddt(({ev(c)})*V({nn[0]},{nn[1]}));"
+                          f"  // {name}")
+            return
+        if letter == "l":
+            lval = el.values[0] if el.values else el.params.get("l")
+            b = f"b_{name}"
+            branches[el.name.lower()] = b
+            decls.append(f"  branch ({nn[0]},{nn[1]}) {b};")
+            analog.append(f"    V({b}) <+ ({ev(lval)})*ddt(I({b}));"
+                          f"  // {name}")
+            return
+        if letter in ("v", "i"):
+            toks = _scan_source_tokens(el)
+            parts = []
+            if "dc" in toks:
+                parts.append(f"({ev(toks['dc'])})")
+            for kind, args in el.waves:
+                parts.append(self._wave_expr(kind, args, local))
+            if not parts:
+                parts = ["0.0"]
+            expr = parts[-1]         # tran wave overrides dc, SPICE rule
+            if "ac" in toks:
+                analog.append(f"    // {name}: AC stimulus "
+                              f"mag={ev(toks['ac'])} dropped (no ac_stim "
+                              "in target pipeline)")
+            if letter == "v":
+                b = f"b_{name}"
+                branches[el.name.lower()] = b
+                decls.append(f"  branch ({nn[0]},{nn[1]}) {b};")
+                analog.append(f"    V({b}) <+ {expr};  // {name}")
+            else:
+                analog.append(f"    I({nn[0]},{nn[1]}) <+ {mul}{expr};"
+                              f"  // {name}")
+            return
+        if letter in ("e", "g"):
+            gain = el.values[0] if el.values else el.params.get(
+                "gain", el.params.get("gm", 1.0))
+            ctrl = f"V({nn[2]},{nn[3]})"
+            if letter == "e":
+                b = f"b_{name}"
+                branches[el.name.lower()] = b
+                decls.append(f"  branch ({nn[0]},{nn[1]}) {b};")
+                analog.append(f"    V({b}) <+ ({ev(gain)})*{ctrl};"
+                              f"  // {name}")
+            else:
+                analog.append(f"    I({nn[0]},{nn[1]}) <+ "
+                              f"{mul}({ev(gain)})*{ctrl};  // {name}")
+            return
+        if letter in ("f", "h"):
+            gain = el.values[0] if el.values else el.params.get("gain", 1.0)
+            b = branches.get(str(el.model).lower()) if el.model else None
+            if b is None:
+                raise ConvertError(
+                    f"{el.name}: controlling source {el.model!r} not in "
+                    "this subckt — cannot convert")
+            if letter == "f":
+                analog.append(f"    I({nn[0]},{nn[1]}) <+ "
+                              f"{mul}({ev(gain)})*I({b});  // {name}")
+            else:
+                bo = f"b_{name}"
+                branches[el.name.lower()] = bo
+                decls.append(f"  branch ({nn[0]},{nn[1]}) {bo};")
+                analog.append(f"    V({bo}) <+ ({ev(gain)})*I({b});"
+                              f"  // {name}")
+            return
+        if letter == "b":
+            vexpr = el.params.get("v")
+            iexpr = el.params.get("i")
+            if vexpr is not None:
+                b = f"b_{name}"
+                branches[el.name.lower()] = b
+                decls.append(f"  branch ({nn[0]},{nn[1]}) {b};")
+                analog.append(
+                    f"    V({b}) <+ "
+                    f"{self._behavioral(vexpr, net, local, branches)};"
+                    f"  // {name}")
+            elif iexpr is not None:
+                analog.append(
+                    f"    I({nn[0]},{nn[1]}) <+ {mul}"
+                    f"{self._behavioral(iexpr, net, local, branches)};"
+                    f"  // {name}")
+            else:
+                raise ConvertError(f"{el.name}: B source without v=/i=")
+            return
+        if letter in ("d", "m", "q", "j", "z", "x"):
+            master = _va_id(el.model) if el.model else None
+            if master is None:
+                raise ConvertError(f"{el.name}: no model/subckt name")
+            ov = dict(el.params)
+            if letter in ("d", "q") and el.values:
+                ov = {"area": el.values[0], **ov}
+            ps = ",".join(f".{_va_id(k)}({ev(v)})"
+                          for k, v in ov.items() if v is not None)
+            pstr = f" #({ps})" if ps else ""
+            insts.append(f"  {master}{pstr} {name}"
+                         f"({', '.join(nn)});")
+            return
+        raise ConvertError(
+            f"{el.name}: device letter {letter!r} not convertible to "
+            "Verilog-A")
+
+
 # ------------------------------------------------------------ model DB
 
 def extract_models(netlist: P.SpiceNetlist, source="<netlist>"):
@@ -626,6 +1114,8 @@ def convert_text(text: str, input_dialect="auto", output_dialect="spectre",
         return SpectreEmitter(in_dialect=ind).emit(nl)
     if output_dialect in ("spice", "ngspice", "hspice"):
         return SpiceEmitter(in_dialect=ind).emit(nl)
+    if output_dialect in ("veriloga", "va"):
+        return VerilogAEmitter(in_dialect=ind).emit(nl)
     raise ConvertError(f"unknown output dialect {output_dialect!r}")
 
 
@@ -640,7 +1130,8 @@ def main(argv=None):
                     choices=["auto", "spice", "ngspice", "hspice",
                              "spectre"])
     ap.add_argument("--output-simulator", default="spectre",
-                    choices=["spice", "ngspice", "hspice", "spectre"])
+                    choices=["spice", "ngspice", "hspice", "spectre",
+                             "veriloga"])
     ap.add_argument("--extract-models", metavar="DB_JSON",
                     help="also write all .model cards as a JSON model DB")
     a = ap.parse_args(argv)
@@ -654,9 +1145,9 @@ def main(argv=None):
         with open(a.extract_models, "w") as f:
             json.dump(extract_models(nl, source=a.input), f, indent=1)
     if a.output:
-        out = (SpectreEmitter(in_dialect=ind)
-               if a.output_simulator == "spectre"
-               else SpiceEmitter(in_dialect=ind)).emit(nl)
+        emitters = {"spectre": SpectreEmitter, "veriloga": VerilogAEmitter}
+        cls = emitters.get(a.output_simulator, SpiceEmitter)
+        out = cls(in_dialect=ind).emit(nl)
         with open(a.output, "w") as f:
             f.write(out)
     return 0

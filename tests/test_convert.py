@@ -163,3 +163,108 @@ def test_fmt_and_expr():
     assert fmt_num(1000.0) == "1000"
     assert fmt_num(1e-9) == "1e-09"
     assert emit_expr(("bin", "*", ("num", 2.0), ("ref", "vv"))) == "(2*vv)"
+
+
+# ------------------------------------------------------- Verilog-A output
+
+VA_RT_SUBCKT = """* rc block
+.subckt blk in out r=1k
+r1 in out {r}
+r2 out 0 2k
+c1 out 0 1p
+.ends
+.end
+"""
+
+VA_RT_CTRL = """* controlled/behavioral block
+.subckt amp in out
+v1 ref 0 1
+e1 mid 0 in 0 2
+bload out 0 v={v(mid)+0.5*i(v1)}
+.ends
+.end
+"""
+
+
+def test_veriloga_subckt_roundtrip(tmp_path):
+    """SPICE subckt of primitives -> VA module -> back through our own VA
+    pipeline: DC must match the direct SPICE elaboration (the strongest
+    check on the cg_veriloga.jl role)."""
+    va = convert_text(VA_RT_SUBCKT, "spice", "veriloga")
+    assert "module blk(in, out);" in va
+    assert "ground gnd;" in va
+    assert "parameter real r = 1000;" in va
+    f = tmp_path / "blk.va"
+    f.write_text(va)
+    code = f"""* va roundtrip
+.hdl "{f}"
+v1 vin 0 3
+x1 vin vout blk r=1k
+.op
+"""
+    from cedarsim_tpu import simulate
+    res = simulate(code)
+    comp = res["compiled"]
+    vout = float(np.asarray(res["op"].x)[comp.node_names.index("vout")])
+    # direct SPICE: divider 1k over 2k of 3 V -> 2 V
+    assert vout == pytest.approx(2.0, abs=1e-6)
+
+
+def test_veriloga_controlled_behavioral_roundtrip(tmp_path):
+    """VCVS, internal V source and a B source probing v() and i() all
+    lower to VA contributions and solve identically."""
+    va = convert_text(VA_RT_CTRL, "spice", "veriloga")
+    assert "branch" in va and "V(b_v1) <+" in va
+    f = tmp_path / "amp.va"
+    f.write_text(va)
+    code = f"""* va roundtrip 2
+.hdl "{f}"
+vin vin 0 1.5
+x1 vin vout amp
+.op
+"""
+    from cedarsim_tpu import simulate
+    res = simulate(code)
+    comp = res["compiled"]
+    vout = float(np.asarray(res["op"].x)[comp.node_names.index("vout")])
+    # e1 gain 2 -> mid = 3.0; i(v1) = 0 (dangling); bload: vout = mid
+    assert vout == pytest.approx(3.0, abs=1e-6)
+
+
+def test_veriloga_models_sources_hierarchy():
+    """.model -> paramset, .param -> `define, top elements -> testbench
+    module, X instances -> structural instantiation, waveform sources ->
+    $abstime expressions (reference cg_veriloga.jl:229-537 behaviors)."""
+    text = """* tb
+.param vddv=1.8
+.model nch nmos level=54 vth0=0.47
+.subckt lp a b r=1k
+r1 a b {r}
+.ends
+vdd vdd 0 {vddv}
+vp p 0 pulse(0 {vddv} 1n 100p 100p 4n 10n)
+vs s 0 sin(0 1 1meg)
+m1 out p 0 0 nch w=1u l=0.1u
+x1 out qq lp r=2k
+.tran 1n 20n
+.end
+"""
+    va = convert_text(text, "spice", "veriloga")
+    assert "`define vddv (1.8)" in va
+    assert "paramset nch bsim4;" in va
+    assert '.type = "n";' in va
+    assert "module testbench();" in va
+    assert "floor(" in va           # periodic pulse
+    assert "sin(" in va
+    assert "`vddv" in va            # global define referenced w/ backtick
+    assert "nch #(.w(1e-06),.l(1e-07)) m1(out, p, gnd, gnd);" in va
+    assert "lp #(.r(2000)) x1(out, qq);" in va
+
+
+def test_veriloga_cli(tmp_path):
+    from cedarsim_tpu.tools.convert import main
+    src = tmp_path / "in.cir"
+    src.write_text(VA_RT_SUBCKT)
+    out = tmp_path / "out.va"
+    assert main([str(src), str(out), "--output-simulator", "veriloga"]) == 0
+    assert "module blk" in out.read_text()
