@@ -459,6 +459,15 @@ class Elaborator:
             return
         if letter == "q":
             mdl = self._model(el.model, scope, el.loc)
+            lvl = self.vres(mdl.params.get("level", 1.0), env, el.loc)
+            if mdl.mtype == "vbic" or lvl in (4.0, 9.0):
+                # ngspice/hspice select VBIC at BJT level 4 (and 9); the
+                # reference instantiates UnimplementedDevice for every
+                # non-GP BJT (spectre.jl:606-630) — functional here via the
+                # in-tree VBIC-class VA model
+                self._instantiate_vbic(el, name, nets, kw, mdl, env, m,
+                                       val)
+                return
             p = self._map_params(Bjt, mdl.params, env, el.loc,
                                  rename={"tnom": None, "xtb": None,
                                          "xti": None, "eg": None,
@@ -830,6 +839,47 @@ class Elaborator:
             nets.append(nets[-1])
         self.ckt.add(cls, name, nets[:4], p, m=m)
 
+    def _instantiate_vbic(self, el, name, nets, kw, mdl, env, m, val):
+        """VBIC-class BJT from a ``.model level=4/9`` card (or a Spectre
+        ``vbic`` master with ``type=npn/pnp``).  Model-card parameters map
+        case-insensitively onto the VA module's parameters; unknown names
+        are collected into one warning (same discipline as
+        :meth:`_instantiate_bsim4`)."""
+        from cedarsim_tpu.models import vbic_class
+        cls = vbic_class()
+        if mdl.mtype == "vbic":
+            ty = mdl.params.get("type")
+            if isinstance(ty, tuple) and ty and ty[0] == "ref":
+                ty = ty[1]
+            npn = not str(ty).lower().startswith("p")
+        else:
+            npn = mdl.mtype != "pnp"
+        p = {"TYPE": 1.0 if npn else -1.0}
+        ignored = []
+        for k, v in mdl.params.items():
+            if k in ("level", "type"):
+                continue
+            actual = cls.param_lower.get(k.lower())
+            if actual is None:
+                ignored.append(k)
+                continue
+            p[actual] = self.vres(v, env, el.loc)
+        for k, v in kw.items():
+            actual = cls.param_lower.get(k.lower())
+            if actual is None:
+                ignored.append(k)
+                continue
+            p[actual] = v
+        area = kw.get("area", val(0, 1.0))
+        if area is not None:
+            p["AREA"] = area
+        if ignored:
+            self.warn(f"vbic model {el.model!r}: ignoring unsupported "
+                      f"parameter(s) {sorted(set(ignored))}", el.loc)
+        while len(nets) < 4:
+            nets.append(GROUND)
+        self.ckt.add(cls, name, nets[:4], p, m=m)
+
     def _instantiate_bsource(self, el, name, nets, env, m, prefix,
                              nodemap):
         from cedarsim_tpu.frontend.behavioral import (
@@ -1010,7 +1060,8 @@ class Elaborator:
     #: model type → element letter for master-style instantiation (Spectre
     #: instances and X-cards naming a .model)
     _MTYPE_LETTER = {"nmos": "m", "pmos": "m", "d": "d", "diode": "d",
-                     "npn": "q", "pnp": "q", "r": "r", "res": "r",
+                     "npn": "q", "pnp": "q", "vbic": "q", "r": "r",
+                     "res": "r",
                      "resistor": "r", "c": "c", "capacitor": "c",
                      "l": "l", "inductor": "l",
                      "njf": "j", "pjf": "j", "nmf": "z", "pmf": "z",

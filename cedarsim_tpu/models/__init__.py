@@ -16,10 +16,21 @@ _CACHE: dict = {}
 
 def bsim4_class():
     """Compile (once per process) and return the BSIM4 DeviceModel class."""
-    if "bsim4" not in _CACHE:
+    return _load("bsim4")
+
+
+def vbic_class():
+    """Compile (once per process) and return the VBIC DeviceModel class
+    (``vbic.va`` — BJT levels 4/9 and the Spectre ``vbic`` master; the
+    reference leaves every non-GP BJT unimplemented, spectre.jl:606-630)."""
+    return _load("vbic")
+
+
+def _load(name):
+    if name not in _CACHE:
         from cedarsim_tpu.va.codegen import load_va
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bsim4.va")
+                            name + ".va")
         with open(path) as f:
-            _CACHE["bsim4"] = load_va(f.read(), path)["bsim4"]
-    return _CACHE["bsim4"]
+            _CACHE[name] = load_va(f.read(), path)[name]
+    return _CACHE[name]
