@@ -121,6 +121,8 @@ def _spice_model_to_spectre(mtype, params):
     extra = {}
     if mtype in ("npn", "pnp"):
         extra["type"] = ("ref", mtype)
+        if lvl in (4.0, 9.0):
+            return "vbic", extra       # BJT level 4/9 selects VBIC
     return table.get(mtype, mtype), extra
 
 
@@ -134,6 +136,8 @@ def _spectre_model_to_spice(mtype, params):
         lvl = {"bsim4": 54.0, "bsim3v3": 49.0, "bsim3": 49.0,
                "bsimcmg": 72.0, "mos1": 1.0, "mos902": 1.0}[mtype]
         return ("nmos" if ty != "p" else "pmos"), {"level": lvl}
+    if mtype == "vbic":
+        return ("pnp" if ty == "pnp" else "npn"), {"level": 4.0}
     table = {"diode": "d", "resistor": "r", "capacitor": "c",
              "inductor": "l", "bjt": ("pnp" if ty == "pnp" else "npn"),
              "relay": "sw"}

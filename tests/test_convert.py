@@ -268,3 +268,18 @@ def test_veriloga_cli(tmp_path):
     out = tmp_path / "out.va"
     assert main([str(src), str(out), "--output-simulator", "veriloga"]) == 0
     assert "module blk" in out.read_text()
+
+
+def test_vbic_model_mapping_roundtrip():
+    """BJT level 4 maps to the Spectre/VA vbic master and back."""
+    text = """* vbic map
+.model qv npn level=4 is=1e-16
+q1 c b 0 0 qv
+.end
+"""
+    scs = convert_text(text, "spice", "spectre")
+    assert "model qv vbic type=npn" in scs
+    back = convert_text(scs, "spectre", "spice")
+    assert "level=4" in back and ("npn" in back)
+    va = convert_text(text, "spice", "veriloga")
+    assert "paramset qv vbic;" in va

@@ -178,3 +178,57 @@ q1 (c b 0 0) qsp
     ic = (2.0 - v["c"]) / 1.0
     ic_pred = 1e-16 * (math.exp(0.65 / VT) - 1)
     assert abs(ic - ic_pred) / ic_pred < 1e-4
+
+
+def test_vbic_self_heating():
+    """RTH electrothermal loop: the device evaluates at T + dT with
+    dT = RTH * P solved self-consistently.  Gate against the numpy fixed
+    point of the model's own temperature mapping at the solved bias."""
+    nl = parse_spice("""* vbic sh
+VB b 0 0.7
+VC vdd 0 3.0
+RC vdd c 1.0
+RE e 0 1.0
+Q1 c b e 0 qn
+.model qn npn level=4 is=1e-16 ibei=1e-18 rcx=1e-6 rbx=1e-6 re=1e-6
++ rth=2e4
+.end
+""")
+    comp = compile_circuit(elaborate(nl))
+    r = solve_dc(comp, ctx=SimSpec.make(gmin=1e-15))
+    assert bool(r.converged)
+    x = np.asarray(r.x)
+    v = {n: float(x[i]) for i, n in enumerate(comp.node_names)}
+    ic = (3.0 - v["c"]) / 1.0
+    vbe, vbc = 0.7 - v["e"], 0.7 - v["c"]
+    tnomk = 300.15
+    dT = 0.0
+    for _ in range(300):
+        t = tnomk + dT
+        rt, vt = t / tnomk, KB * t / Q
+        iset = 1e-16 * rt ** 3 * math.exp(1.12 * (rt - 1) / (rt * vt))
+        ibei = 1e-18 * rt ** 3 * math.exp(1.12 * (rt - 1) / (rt * vt))
+        ifi = iset * (math.exp(vbe / vt) - 1)
+        iri = iset * (math.exp(vbc / vt) - 1)
+        ibe = ibei * (math.exp(vbe / vt) - 1)
+        itz = ifi - iri
+        p = itz * (vbe - vbc) + ibe * vbe + iri * vbc
+        dT = 0.5 * dT + 0.5 * 2e4 * p      # damped fixed point
+    assert dT > 2.0                        # self-heating is significant
+    ic_pred = itz - iri
+    assert abs(ic - ic_pred) / ic_pred < 1e-4, (ic, ic_pred, dT)
+    # and the cold device (rth absent) carries measurably less current
+    nl0 = parse_spice("""* vbic cold
+VB b 0 0.7
+VC vdd 0 3.0
+RC vdd c 1.0
+RE e 0 1.0
+Q1 c b e 0 qn
+.model qn npn level=4 is=1e-16 ibei=1e-18 rcx=1e-6 rbx=1e-6 re=1e-6
+.end
+""")
+    r0 = solve_dc(compile_circuit(elaborate(nl0)), ctx=SimSpec.make(gmin=1e-15))
+    x0 = np.asarray(r0.x)
+    names0 = compile_circuit(elaborate(nl0)).node_names
+    ic0 = (3.0 - float(x0[names0.index("c")])) / 1.0
+    assert ic > 1.3 * ic0
