@@ -111,6 +111,7 @@ class Elaborator:
         self.temp = temp
         self.param_overrides = {
             k.lower(): v for k, v in (param_overrides or {}).items()}
+        self._warned_mismatch = False
 
     # ---------------------------------------------------------------- utils
 
@@ -215,6 +216,9 @@ class Elaborator:
 
     def _do_control(self, st: P.Control, scope):
         env = scope["env"]
+        if st.cmd == "statistics":
+            self._do_statistics(st, scope)
+            return
         if st.cmd == "funcdecl":
             # Spectre user-defined function (reference FunctionDecl,
             # forms.jl:145): registered in the lexical param scope; called
@@ -838,6 +842,51 @@ class Elaborator:
         while len(nets) < 4:
             nets.append(nets[-1])
         self.ckt.add(cls, name, nets[:4], p, m=m)
+
+    def _do_statistics(self, st: P.Control, scope):
+        """Spectre ``statistics { process/mismatch { vary ... } }`` — apply
+        Monte-Carlo parameter variations when elaborating with ``mc_seed``
+        (beyond the reference, whose parser has no statistics form).
+
+        Semantics: each ``vary`` perturbs the named parameter with one draw
+        from the seeded elaboration RNG — ``dist=gauss`` adds N(0, std),
+        ``dist=unif`` adds U(-std, std), ``dist=lnorm`` multiplies by
+        exp(N(0, std)); ``percent=yes`` scales std by |nominal|/100.
+        Spectre's mismatch draws are per-*instance*; here they are
+        approximated as one independent global draw per vary (warned once)
+        — per-point decorrelation across sweep lanes still happens through
+        per-lane seeds (analysis/montecarlo.py)."""
+        env = scope["env"]
+        entries = st.args[0]
+        for ent in entries:
+            if ent.get("kind") == "unsupported":
+                self.warn("statistics: unsupported clause ignored: "
+                          + ent.get("src", ""), st.loc)
+                continue
+            name = ent["param"]
+            if name not in env:
+                raise ElabError(
+                    f"statistics vary references undefined parameter "
+                    f"{name!r}", st.loc)
+            if self.rng is None:
+                continue                      # nominal elaboration
+            if ent["kind"] == "mismatch" and not self._warned_mismatch:
+                self._warned_mismatch = True
+                self.warn("statistics mismatch variations are applied as "
+                          "independent global draws (per-instance "
+                          "decorrelation not modeled)", st.loc)
+            nominal = float(env[name])
+            dist = str(ent.get("dist", "gauss")).lower()
+            std = self.vres(ent.get("std", 0.0), env, st.loc)
+            if str(ent.get("percent", "no")).lower() in ("yes", "1", "true"):
+                std = abs(nominal) * std / 100.0
+            if dist == "lnorm":
+                new = nominal * float(np.exp(self.rng.normal(0.0, std)))
+            elif dist in ("unif", "uniform"):
+                new = nominal + float(self.rng.uniform(-std, std))
+            else:                             # gauss (default)
+                new = nominal + float(self.rng.normal(0.0, std))
+            env.define(name, float(new))
 
     def _instantiate_vbic(self, el, name, nets, kw, mdl, env, m, val):
         """VBIC-class BJT from a ``.model level=4/9`` card (or a Spectre

@@ -214,9 +214,10 @@ class SpectreParser:
             # value=.." (reference AlterStatement) — applied per segment
             kw = dict(self._assignments(toks[2:], loc))
             return P.Control("alterstmt", [toks[0][1]], kw, loc)
+        if hl in ("statistics", "statistics{"):
+            return self._statistics(line, loc)
         if hl in ("save", "options", "set", "info", "shell", "check",
-                  "alter", "altergroup", "statistics", "real",
-                  "statistics{", "}"):
+                  "alter", "altergroup", "real", "}"):
             if hl == "options":
                 return P.Control("option",  [],
                                  dict(self._assignments(toks[1:], loc)), loc)
@@ -246,6 +247,71 @@ class SpectreParser:
             return P.Control(atype, args, kw, loc)
         # instance: name (nodes) master param=val ...
         return self._instance(toks, loc)
+
+    def _statistics(self, line, loc):
+        """``statistics { process { vary p dist=gauss std=s } mismatch
+        { ... } }`` — Monte-Carlo variation specs.  Beyond the reference:
+        SpectreNetlistParser has no statistics form (no hit in its
+        parse/forms.jl) and this repo previously skipped the header line,
+        leaving the body to mis-parse as instances.  Entries are applied by
+        the elaborator when an ``mc_seed`` is given; nominal elaboration
+        ignores them."""
+        body_lines = []
+        depth = line.count("{") - line.count("}")
+        if depth == 0 and "{" in line:
+            # whole block on one line: statistics { process { vary ... } }
+            inner = line.split("{", 1)[1].rstrip()
+            if inner.endswith("}"):
+                inner = inner[:-1].strip()
+            if inner:
+                body_lines.append((loc.line, inner))
+        # the opening brace may sit on the next line
+        while depth == 0 and "{" not in line and self.i < len(self.lines):
+            n2, l2 = self.lines[self.i]
+            self.i += 1
+            line = l2
+            depth = l2.count("{") - l2.count("}")
+            if "{" in l2:
+                break
+        while depth > 0 and self.i < len(self.lines):
+            n2, l2 = self.lines[self.i]
+            depth += l2.count("{") - l2.count("}")
+            self.i += 1
+            stripped = l2.strip()
+            if depth <= 0:
+                stripped = stripped.rstrip("}").strip()
+            if stripped:
+                body_lines.append((n2, stripped))
+        entries = []
+        kind = "process"
+        queue = list(body_lines)
+        while queue:
+            n2, bl = queue.pop(0)
+            w = bl.split()
+            h = w[0].lower().rstrip("{")
+            if h in ("process", "mismatch"):
+                kind = h
+                # single-line form: "process { vary ... }"
+                rest = bl.split("{", 1)
+                rest = rest[1] if len(rest) == 2 else ""
+                rest = rest.rstrip().rstrip("}").strip()
+                if rest:
+                    queue.insert(0, (n2, rest))
+                continue
+            if h == "}" or bl == "}":
+                continue
+            if h == "vary" and len(w) >= 2:
+                toks = _tokens(bl, loc.file, n2)
+                kw = dict(self._assignments(toks[2:], loc))
+                ent = {"kind": kind, "param": w[1]}
+                for k, v in kw.items():
+                    if isinstance(v, tuple) and v and v[0] == "ref":
+                        v = v[1]
+                    ent[k.lower()] = v
+                entries.append(ent)
+                continue
+            entries.append({"kind": "unsupported", "src": bl})
+        return P.Control("statistics", [entries], {}, loc)
 
     def _funcdecl(self, line, loc):
         """``real NAME([real] a, [real] b) { return EXPR; }`` — user-defined

@@ -5,6 +5,7 @@ masters, model masters, and mixed-language switching
 import numpy as np
 
 from cedarsim_tpu import simulate
+from cedarsim_tpu.frontend.spectre import parse_spectre
 
 
 def test_spectre_divider_dc():
@@ -157,3 +158,78 @@ op2 op
     c1 = res["compiled@a1"]
     v1 = np.asarray(res["op@a1"].x)[c1.node_names.index("out")]
     assert abs(v1 - 0.75) < 1e-9         # r2 = 3k
+
+
+# ----------------------------------------------------- statistics blocks
+
+STATS_DECK = """// stats
+simulator lang=spectre
+parameters r0=1k c0=1p
+statistics {
+   process {
+      vary r0 dist=gauss std=100
+   }
+   mismatch {
+      vary r0 dist=gauss std=10
+   }
+}
+i1 (0 a) isource dc=1m
+r1 (a 0) resistor r=r0
+"""
+
+
+def _stats_rval(seed):
+    import numpy as np
+    from cedarsim_tpu import SimSpec, compile_circuit, elaborate, solve_dc
+    comp = compile_circuit(elaborate(parse_spectre(STATS_DECK),
+                                     mc_seed=seed))
+    r = solve_dc(comp, ctx=SimSpec.make(gmin=1e-15))
+    assert bool(r.converged)
+    x = np.asarray(r.x)
+    return float(x[comp.node_names.index("a")]) / 1e-3
+
+
+def test_statistics_block_monte_carlo():
+    """Spectre statistics{process/mismatch{vary}} blocks drive seeded
+    Monte-Carlo parameter variation (beyond the reference: its parser has
+    no statistics form).  Nominal elaboration ignores them; a seeded one
+    applies the documented draws in order, reproducibly."""
+    import numpy as np
+    assert abs(_stats_rval(None) - 1000.0) < 1e-6
+    v7a, v7b = _stats_rval(7), _stats_rval(7)
+    assert v7a == v7b                       # reproducible
+    rng = np.random.default_rng(7)
+    expect = 1000.0 + rng.normal(0, 100) + rng.normal(0, 10)
+    assert abs(v7a - expect) < 1e-6
+    assert _stats_rval(8) != v7a            # seed changes the draw
+
+
+def test_statistics_percent_and_undefined():
+    """percent=yes scales std by |nominal|/100; varying an undefined
+    parameter is an elaboration error with the netlist location."""
+    import numpy as np
+    import pytest
+    from cedarsim_tpu import elaborate
+    from cedarsim_tpu.frontend.elaborate import ElabError
+    deck = """// stats pct
+simulator lang=spectre
+parameters r0=1k
+statistics {
+   process { vary r0 dist=gauss std=5 percent=yes }
+}
+r1 (a 0) resistor r=r0
+"""
+    ckt = elaborate(parse_spectre(deck), mc_seed=3)
+    rng = np.random.default_rng(3)
+    expect = 1000.0 + rng.normal(0, 50.0)   # 5 percent of 1k
+    grp = [k for k in ckt.instances if True]
+    # find the resistor's r parameter value
+    inst = next(i for i in ckt.instances if i.name == "r1")
+    assert abs(float(inst.params["r"]) - expect) < 1e-9
+    bad = """// stats bad
+simulator lang=spectre
+statistics { process { vary nope dist=gauss std=1 } }
+r1 (a 0) resistor r=1k
+"""
+    with pytest.raises(ElabError, match="nope"):
+        elaborate(parse_spectre(bad), mc_seed=1)
