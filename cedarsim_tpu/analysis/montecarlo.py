@@ -77,6 +77,12 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
         ctx = ctx.with_mode(mode)
     compiled, bp = scatter_params(compiled, n, dist,
                                   jax.random.PRNGKey(seed))
+    return _mc_solve(compiled, bp, n, ctx, opts, mode, warm_start)
+
+
+def _mc_solve(compiled, bp, n, ctx, opts, mode, warm_start):
+    """Solve a batched parameter pytree ``bp`` (leading axis n) as ONE
+    vmapped program, with the nominal-warm-start + robust-relaunch ladder."""
     cache = compiled.__dict__.setdefault("_mc_jit_cache", {})
 
     def batched(o):
@@ -119,3 +125,77 @@ def mc_dc(compiled: CompiledCircuit, n: int, dist: dict, seed=0,
     resnorm[bad] = np.asarray(res2.resnorm)
     return attach(DCResult(jnp.asarray(x), jnp.asarray(conv),
                            jnp.asarray(iters), jnp.asarray(resnorm)))
+
+
+def statistics_params(netlist, n, include_paths=(), seed=0, temp=27.0):
+    """Elaborate ``netlist`` (AST) under n Monte-Carlo seeds driven by its
+    ``statistics``/``agauss`` variations, and assemble ONE batched parameter
+    pytree over a single compiled circuit.
+
+    Per-seed elaboration is host-side and cheap (milliseconds); the expensive
+    parts — compile and solve — happen once and batched.  The varied device
+    parameters are discovered automatically by diffing the elaborations
+    (which follows the variation through arbitrary parameter expressions),
+    declared dynamic, and stacked per lane.  Returns (compiled,
+    batched_params).  Raises if a seed changes the circuit *structure*
+    (e.g. a statistics draw flipping an .if branch)."""
+    from cedarsim_tpu.core.compile import compile_circuit
+    from cedarsim_tpu.frontend.elaborate import elaborate
+    ckts = [elaborate(netlist, include_paths=include_paths,
+                      mc_seed=seed + i, temp=temp) for i in range(n)]
+    base = ckts[0]
+    sig = [(i.name, type(i.model).__name__, getattr(i.model, "name", ""))
+           for i in base.instances]
+    insts_by_lane = []
+    varying = set()
+    for lane, c in enumerate(ckts):
+        s = [(i.name, type(i.model).__name__, getattr(i.model, "name", ""))
+             for i in c.instances]
+        if s != sig:
+            raise ValueError(
+                f"statistics seed {seed + lane} changed the circuit "
+                "structure — per-seed topology variation cannot batch")
+        insts_by_lane.append({i.name: i for i in c.instances})
+        if lane:
+            for i0, ic in zip(base.instances, c.instances):
+                for pn, v0 in i0.params.items():
+                    if not np.array_equal(np.asarray(v0),
+                                          np.asarray(ic.params[pn])):
+                        varying.add(f"{i0.name}.{pn}".lower())
+    compiled = compile_circuit(
+        base, dynamic_params=sorted(
+            v[:-6] if v.endswith("$given") else v for v in varying))
+    bp = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape),
+        compiled.params0)
+    for key in compiled.group_order:
+        grp = compiled.groups[key]
+        for pn, v in compiled.params0[key].items():
+            if pn == "$mult":
+                continue
+            stacked = np.stack([
+                np.stack([np.asarray(insts_by_lane[lane][inst.name]
+                                     .params[pn], np.float64)
+                          for inst in grp.instances])
+                for lane in range(n)])
+            bp = {**bp, key: {**bp[key],
+                              pn: jnp.asarray(stacked, compiled.dtype)}}
+    return compiled, bp
+
+
+def mc_statistics(netlist, n, include_paths=(), seed=0, ctx: SimSpec = None,
+                  opts: NewtonOptions = None, mode=Modes.DCOP,
+                  warm_start=True, temp=27.0) -> DCResult:
+    """n Monte-Carlo DC points over the netlist's ``statistics`` blocks
+    (and any ``agauss`` expressions) as ONE vmapped program — the Spectre
+    MC workflow with the serial re-elaborate-and-solve loop replaced by
+    host-side param assembly + a single batched solve."""
+    from cedarsim_tpu.analysis.dc import default_newton_options
+    compiled, bp = statistics_params(netlist, n, include_paths, seed, temp)
+    opts = opts or default_newton_options(compiled)
+    if ctx is None:
+        from cedarsim_tpu.core.compile import default_ctx
+        ctx = default_ctx(compiled).with_mode(mode)
+    else:
+        ctx = ctx.with_mode(mode)
+    return _mc_solve(compiled, bp, n, ctx, opts, mode, warm_start)

@@ -142,3 +142,53 @@ def test_find_param_ranges():
     r = find_param_ranges(s)
     assert r["r"] == (1.0, 3.0, 3)
     assert r["c"] == (5.0, 9.0, 2)
+
+
+def test_mc_statistics_batched():
+    """Spectre statistics-block Monte-Carlo as ONE vmapped program:
+    per-seed elaborations are diffed to find the varied device params,
+    stacked, and solved batched — each lane must land exactly on its own
+    seeded draw (the serial re-elaborate loop's answer)."""
+    import numpy as np
+    from cedarsim_tpu.frontend.spectre import parse_spectre
+    from cedarsim_tpu.analysis.montecarlo import mc_statistics
+    scs = """// stats mc
+simulator lang=spectre
+parameters r0=1k
+statistics {
+   process { vary r0 dist=gauss std=100 }
+   mismatch { vary r0 dist=gauss std=10 }
+}
+i1 (0 a) isource dc=1m
+r1 (a 0) resistor r=r0
+"""
+    nl = parse_spectre(scs)
+    n = 8
+    res = mc_statistics(nl, n, seed=11)
+    assert bool(np.asarray(res.converged).all())
+    vals = np.asarray(res.x)[:, 0] / 1e-3
+    for i in range(n):
+        rng = np.random.default_rng(11 + i)
+        expect = 1000.0 + rng.normal(0, 100) + rng.normal(0, 10)
+        assert abs(vals[i] - expect) < 1e-4, (i, vals[i], expect)
+
+
+def test_mc_statistics_structure_change_rejected():
+    """A seed that flips circuit structure (here an .if on a sampled
+    parameter) cannot batch and must raise, not silently mis-assemble."""
+    import pytest
+    from cedarsim_tpu import parse_spice
+    from cedarsim_tpu.analysis.montecarlo import statistics_params
+    code = """* structure flip
+.param g={agauss(0,1,1)}
+v1 a 0 1
+.if (g > 0)
+r1 a 0 1k
+.else
+c1 a 0 1n
+.endif
+.end
+"""
+    nl = parse_spice(code)
+    with pytest.raises(ValueError, match="structure"):
+        statistics_params(nl, 16, seed=0)
