@@ -88,3 +88,9 @@ K_BOLTZMANN = 1.380649e-23
 Q_CHARGE = 1.602176634e-19
 #: 0 Celsius in Kelvin.
 T_ZERO_C = 273.15
+
+#: Trace-time jaxpr cache for compact-model evaluation: trace each model's
+#: eval once per (static-params, aval) signature and replay the jaxpr at
+#: later trace sites (core/compile.cached_model_eval).  Cuts VA re-trace
+#: cost; the emitted jaxpr (and so XLA compile + numerics) is identical.
+trace_cache = True

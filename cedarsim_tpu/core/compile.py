@@ -39,6 +39,104 @@ from cedarsim_tpu.core.circuit import Circuit, Instance
 from cedarsim_tpu.core.context import SimSpec
 
 
+# --------------------------------------------------------- trace-time cache
+#
+# Tracing a compact model is expensive for VA devices: each call re-runs the
+# AST interpreter over e.g. BSIM-CMG's 178 KB body, and one transient
+# program traces the model subgraph several times (predictor residual,
+# corrector, fused Jacobian walk, per formulation).  The jaxpr of one eval
+# is identical whenever (model, static params, ctx structure, input avals)
+# are identical, so we trace once per signature and REPLAY the cached jaxpr
+# at every later trace site (jax.core.eval_jaxpr re-binds the primitives
+# under the current trace, so vmap/jvp/jacfwd transforms still apply).
+# This cuts trace time only — the emitted jaxpr has the same equation count
+# and the results agree to 1 ULP with direct tracing (tiny constant-folding
+# ordering differences; regression-gated).  Disable via config.trace_cache.
+
+_EVAL_TRACE_CACHE: dict = {}
+
+
+def _sig_of(v):
+    if isinstance(v, (jax.core.Tracer, jax.Array)):
+        a = jax.api_util.shaped_abstractify(v)
+        return ("aval", a.shape, str(a.dtype), bool(a.weak_type))
+    arr = np.asarray(v)
+    return ("const", arr.shape, str(arr.dtype), arr.tobytes())
+
+
+def _is_traced(v):
+    return isinstance(v, (jax.core.Tracer, jax.Array))
+
+
+def _build_eval(model, merged, ctx, lv, eps):
+    return model.eval(lv, merged, ctx, eps)
+
+
+def _build_jac(model, merged, ctx, l, e0):
+    return jax.jacfwd(lambda ll: model.eval(ll, merged, ctx, e0))(l)
+
+
+def _build_jacaux(model, merged, ctx, l, e):
+    def f(ll):
+        s, q = model.eval(ll, merged, ctx, e)
+        return (s, q), (s, q)
+    (Js, Jq), (sv, qv) = jax.jacfwd(f, has_aux=True)(l)
+    return sv, qv, Js, Jq
+
+
+def _cached_trace(tag, model, merged, ctx_e, arrays, build):
+    """Run ``build(model, merged, ctx_e, *arrays)`` through the trace cache.
+
+    Concrete entries of ``merged`` (the group's static params) stay closure
+    constants so model conditionals fold exactly as in a direct call — their
+    VALUES are part of the cache key.  Traced entries, the array arguments
+    and the SimSpec leaves become jaxpr inputs.  Caching the *differentiated*
+    builders (jacfwd) means even the JVP re-linearization work is done once
+    per signature, not once per trace site."""
+    if not getattr(config, "trace_cache", True):
+        return build(model, merged, ctx_e, *arrays)
+    dyn_keys = tuple(sorted(k for k, v in merged.items() if _is_traced(v)))
+    stat = {k: v for k, v in merged.items() if k not in set(dyn_keys)}
+    ctx_leaves, ctx_def = jax.tree.flatten(ctx_e)
+    n_arr = len(arrays)
+    args = list(arrays) + list(ctx_leaves) + [merged[k] for k in dyn_keys]
+    traced = [_is_traced(a) for a in args]
+    try:
+        key = (tag, model, ctx_def, dyn_keys,
+               tuple(sorted((k, _sig_of(v)) for k, v in stat.items())),
+               tuple(_sig_of(a) for a in args))
+    except Exception:                      # unhashable oddity: trace direct
+        return build(model, merged, ctx_e, *arrays)
+    entry = _EVAL_TRACE_CACHE.get(key)
+    if entry is None:
+        n_ctx = len(ctx_leaves)
+        consts = [None if t else a for t, a in zip(traced, args)]
+
+        def fn(*targs):
+            it = iter(targs)
+            full = [next(it) if t else c for t, c in zip(traced, consts)]
+            c2 = jax.tree.unflatten(ctx_def, full[n_arr:n_arr + n_ctx])
+            d2 = dict(zip(dyn_keys, full[n_arr + n_ctx:]))
+            return build(model, {**stat, **d2}, c2, *full[:n_arr])
+
+        closed, shape = jax.make_jaxpr(fn, return_shape=True)(
+            *[jax.api_util.shaped_abstractify(a)
+              for a, t in zip(args, traced) if t])
+        out_def = jax.tree.structure(shape)
+        entry = (closed, out_def)
+        _EVAL_TRACE_CACHE[key] = entry
+    closed, out_def = entry
+    flat = jax.core.eval_jaxpr(closed.jaxpr, closed.consts,
+                               *[a for a, t in zip(args, traced) if t])
+    return jax.tree.unflatten(out_def, flat)
+
+
+def cached_model_eval(model, merged, ctx_e, lv, eps):
+    """``model.eval(lv, merged, ctx_e, eps)`` through the trace cache."""
+    return _cached_trace("eval", model, merged, ctx_e, (lv, eps),
+                         _build_eval)
+
+
 @dataclasses.dataclass
 class Group:
     key: str
@@ -280,7 +378,7 @@ class CompiledCircuit:
                   if k != "$mult"}
             sp = g.static_params
             s, q = jax.vmap(
-                lambda l, p, e: g.model.eval(l, {**sp, **p}, ctx_e, e))(
+                lambda l, p, e: cached_model_eval(g.model, {**sp, **p}, ctx_e, l, e))(
                     lv, pv, le)
             scale = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
                               gp["$mult"][:, None], 1.0)
@@ -311,8 +409,8 @@ class CompiledCircuit:
             e0 = jnp.zeros(ne, self.eval_dtype)
 
             def local_jac(l, p):
-                return jax.jacfwd(
-                    lambda ll: g.model.eval(ll, {**sp, **p}, ctx_e, e0))(l)
+                return _cached_trace("jac", g.model, {**sp, **p}, ctx_e,
+                                     (l, e0), _build_jac)
 
             Js, Jq = jax.vmap(local_jac)(lv, pv)     # [n_inst, n_lrow, n_lvar]
             scale = jnp.where(jnp.asarray(g.kcl_mask)[None, :, None],
@@ -358,7 +456,7 @@ class CompiledCircuit:
 
             def one(l, p, e):
                 (sv, qv), lin = jax.linearize(
-                    lambda ll: g.model.eval(ll, {**sp, **p}, ctx, e), l)
+                    lambda ll: cached_model_eval(g.model, {**sp, **p}, ctx, ll, e), l)
                 Js, Jq = jax.vmap(lin)(basis)     # [n_lvar, n_lrow]
                 return sv, qv, Js.T, Jq.T
 
@@ -404,11 +502,8 @@ class CompiledCircuit:
             sp = g.static_params
 
             def one(l, p, e):
-                def f(ll):
-                    s, q = g.model.eval(ll, {**sp, **p}, ctx_e, e)
-                    return (s, q), (s, q)
-                (Js, Jq), (sv, qv) = jax.jacfwd(f, has_aux=True)(l)
-                return sv, qv, Js, Jq
+                return _cached_trace("jacaux", g.model, {**sp, **p}, ctx_e,
+                                     (l, e), _build_jacaux)
 
             sv, qv, Js, Jq = jax.vmap(one)(lv, pv, le)
             scale_r = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
