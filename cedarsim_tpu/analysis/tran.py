@@ -109,6 +109,15 @@ class TranOptions:
     #: factor/solve split mirrors KLU's klu_factor/klu_solve); cross-step
     #: reuse is dense-only (the cache carries dense (G, C)).
     jac_reuse: int = 0
+    #: full-Newton rescue after a failed per-step chord certify
+    #: (jac_reuse=1 only; cross-step reuse has its own stale-J retry).
+    #: Structured as a SECOND while_loop seeded at the chord iterate, so
+    #: under vmap it costs nothing while every lane certifies (the batched
+    #: while's condition is false on entry) and rescues a stalled lane
+    #: in-program otherwise — the solver-level fix for the round-2
+    #: flaky-lane h-collapse (bench.py's host-side relaunch is now a
+    #: second line of defense, not the only one).
+    chord_fallback: bool = True
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
@@ -397,7 +406,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         return xi * sigma * (ex == 0.0)
 
     def newton_step(x_init, t_new, h, a0, Qhist, Sn, beta, c0, xdh,
-                    eps=None, dly=None):
+                    eps=None, dly=None, seed=None):
         """Implicit-step Newton.  Charge form solves the generalized
         multistep corrector
 
@@ -415,8 +424,28 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         are data, so every method shares ONE loop-body instantiation.
         (S, Q, G, C) from ONE fused model walk per iteration ride in the
         carry (compile-time discipline — see dc.py docstring); the final
-        (S, Q) at the accepted point come out for free."""
-        S0_, Q0_, G0_, C0_ = rj(x_init, t_new, eps, dly)
+        (S, Q) at the accepted point come out for free.
+
+        ``seed``: optional (S, Q, G, C, done, nnwt0) continuation state —
+        the full-Newton RESCUE of a failed per-step chord certify.  The
+        carry starts at the chord's final iterate with its (S, Q) and the
+        predictor-point (G, C) already in hand (no model walk at init —
+        the seed's C is one iterate stale, which only perturbs the first
+        search direction; the convergence test always uses fresh values).
+        Lanes whose chord already certified enter with done=True, so the
+        batched while_loop body never executes when every lane certified —
+        the rescue is free on the common path.  This is what keeps a
+        marginal vmapped lane from h-collapsing at a breakpoint when its
+        frozen-Jacobian iteration stops certifying (the round-2 flaky-lane
+        root cause): the lane converges in-program instead of stalling."""
+        if seed is None:
+            S0_, Q0_, G0_, C0_ = rj(x_init, t_new, eps, dly)
+            done0 = jnp.asarray(False)
+            nnwt0 = jnp.asarray(0, jnp.int32)
+        else:
+            S0_, Q0_, G0_, C0_, done0, nnwt0 = seed
+            done0 = jnp.asarray(done0)
+            nnwt0 = jnp.asarray(nnwt0, jnp.int32)
 
         def fres(x, S, Q, C):
             if cap_form:
@@ -457,9 +486,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             return jnp.logical_and(jnp.logical_not(done), it < opts.max_newton)
 
         xn, Sf, Qf, _, _, done, _, nnwt = jax.lax.while_loop(
-            cond, body, (x_init, S0_, Q0_, G0_, C0_, jnp.asarray(False),
-                         jnp.asarray(0, jnp.int32),
-                         jnp.asarray(0, jnp.int32)))
+            cond, body, (x_init, S0_, Q0_, G0_, C0_, done0,
+                         jnp.asarray(0, jnp.int32), nnwt0))
         ok = jnp.logical_and(done, jnp.all(jnp.isfinite(xn)))
         return xn, Sf, Qf, ok, nnwt
 
@@ -727,6 +755,20 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
                 chord_solve, eps=eps_k, dly=dly_k,
                 init_parts=None if mn_cross else init_parts)
+            if not mn_cross and opts.chord_fallback:
+                # full-Newton rescue of a failed chord certify: a second
+                # while_loop seeded at the chord iterate (done=nok).  When
+                # every lane certified, the batched while's condition is
+                # false on entry — zero body executions, so the rescue adds
+                # nothing to the common path.  When a marginal lane's
+                # frozen-J iteration stalls (the f32 eval-noise floor at a
+                # breakpoint — the round-2 flaky-lane root cause), it
+                # converges here instead of h-collapsing to an unfinished
+                # lane that only the bench's host-side relaunch could save.
+                xn, Sn_new, Qn_new, nok, nnwt = newton_step(
+                    xn, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
+                    eps=eps_k, dly=dly_k,
+                    seed=(Sn_new, Qn_new, G, C, nok, nnwt))
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action
             stale_fail = (jnp.logical_and(jnp.logical_not(nok),
