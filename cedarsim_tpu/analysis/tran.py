@@ -109,8 +109,13 @@ class TranOptions:
     #: factor/solve split mirrors KLU's klu_factor/klu_solve); cross-step
     #: reuse is dense-only (the cache carries dense (G, C)).
     jac_reuse: int = 0
-    #: full-Newton rescue after a failed per-step chord certify
-    #: (jac_reuse=1 only; cross-step reuse has its own stale-J retry).
+    #: full-Newton rescue after a failed per-step chord certify.  Applies
+    #: exactly where the per-step chord path runs: jac_reuse=1 on either
+    #: linear-algebra path, and jac_reuse>=2 on the SPARSE path (sparse
+    #: never gets cross-step reuse, so it has no stale-J retry of its
+    #: own).  The dense cross-step path (jac_reuse>=2, mn_cross) is
+    #: excluded — there a Newton failure with a stale J is retried at the
+    #: same h with a fresh one instead.
     #: Structured as a SECOND while_loop seeded at the chord iterate, so
     #: under vmap it costs nothing while every lane certifies (the batched
     #: while's condition is false on entry) and rescues a stalled lane
@@ -118,6 +123,19 @@ class TranOptions:
     #: flaky-lane h-collapse (bench.py's host-side relaunch is now a
     #: second line of defense, not the only one).
     chord_fallback: bool = True
+    #: consecutive Newton-failed step attempts (h shrinking 4× each) before
+    #: the chord_fallback rescue becomes eligible for a lane.  Under vmap
+    #: the rescue's while_loop body executes for the WHOLE batch whenever
+    #: ANY lane enters it, and each iteration is a full jacfwd model walk +
+    #: factorization — engaging on every chord miss cost 5× batched
+    #: throughput on the DFF bench (17.1 → 3.4 tr/s, 2026-08-19) while the
+    #: pathology it exists for (the round-2 h-collapse stall at a
+    #: breakpoint) only appears as a failure *streak*.  Ordinary one-off
+    #: chord misses reject-and-shrink as before; a lane that has already
+    #: failed Newton ``rescue_after`` times at the same t (h down 4^k×)
+    #: gets the in-program full-Newton rescue on its next attempt.
+    #: 0 = engage immediately on any chord certify failure.
+    rescue_after: int = 2
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step
@@ -608,6 +626,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
         rrun=jnp.asarray(0, jnp.int32), errp=jnp.asarray(1.0, dtype),
+        nfr=jnp.asarray(0, jnp.int32),
     )
     if mn_cross:
         # cached model linearization; jage starts huge so the first attempt
@@ -765,10 +784,43 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 # breakpoint — the round-2 flaky-lane root cause), it
                 # converges here instead of h-collapsing to an unfinished
                 # lane that only the bench's host-side relaunch could save.
-                xn, Sn_new, Qn_new, nok, nnwt = newton_step(
-                    xn, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
+                # Engagement gate: only a lane whose Newton has ALREADY
+                # failed opts.rescue_after consecutive attempts at this t
+                # (h shrunk 4× each time — the collapse spiral signature)
+                # enters the rescue; a one-off chord miss keeps the cheap
+                # reject-and-shrink path.  Under vmap the rescue body runs
+                # for the whole batch when any lane enters, so ungated
+                # engagement cost 5× batched throughput (2026-08-19 bench).
+                _eligible = c["nfr"] >= opts.rescue_after
+                # Seed hygiene: a chord iterate that diverged — non-finite
+                # (every rescue dx would be non-finite, zeroed, x frozen:
+                # the loop would spin the whole max_newton budget with no
+                # possible recovery) or wandered beyond the 5.0 per-
+                # iteration step cap from the predictor — restarts the
+                # rescue at x_pred, whose fused-walk (S, Q) are already in
+                # hand (S0p/Q0p) and whose (G, C) are exact there.
+                _xfin = jnp.all(jnp.isfinite(xn))
+                _far = jnp.logical_not(
+                    jnp.max(jnp.abs(xn - x_pred)) <= 5.0)
+                _from_pred = jnp.logical_and(
+                    jnp.logical_not(nok), jnp.logical_or(
+                        jnp.logical_not(_xfin), _far))
+                _sx = jnp.where(_from_pred, x_pred, xn)
+                _sS = jnp.where(_from_pred, S0p, Sn_new)
+                _sQ = jnp.where(_from_pred, Q0p, Qn_new)
+                _done0 = jnp.logical_or(nok, jnp.logical_not(_eligible))
+                xn_r, Sn_r, Qn_r, nok_r, nnwt = newton_step(
+                    _sx, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
                     eps=eps_k, dly=dly_k,
-                    seed=(Sn_new, Qn_new, G, C, nok, nnwt))
+                    seed=(_sS, _sQ, G, C, _done0, nnwt))
+                # ineligible lanes keep the chord outcome (the rescue's
+                # while_loop returned their seed untouched, but its done0
+                # was forced True — don't let that read as convergence)
+                _res = jnp.logical_and(_eligible, jnp.logical_not(nok))
+                xn = jnp.where(_res, xn_r, xn)
+                Sn_new = jnp.where(_res, Sn_r, Sn_new)
+                Qn_new = jnp.where(_res, Qn_r, Qn_new)
+                nok = jnp.where(_res, nok_r, nok)
             # Newton failure with a STALE linearization is retried at the
             # same h with a fresh one before any step-size action
             stale_fail = (jnp.logical_and(jnp.logical_not(nok),
@@ -869,6 +921,11 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 nh).astype(jnp.int32),
             rrun=jnp.where(acc, jnp.asarray(0, jnp.int32),
                            c["rrun"] + 1).astype(jnp.int32),
+            # Newton-failure streak: the chord_fallback engagement gate.
+            # Any converged Newton (accepted OR LTE-rejected) resets it —
+            # only back-to-back certify failures at shrinking h count.
+            nfr=jnp.where(nok, jnp.asarray(0, jnp.int32),
+                          c["nfr"] + 1).astype(jnp.int32),
             errp=jnp.where(
                 jnp.logical_and(acc, jnp.logical_and(
                     have_lte, jnp.logical_not(jnp.logical_or(hit_bp,

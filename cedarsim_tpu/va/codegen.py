@@ -11,7 +11,12 @@ Key semantics (reference cites):
 - contributions ``I(a,b) <+ expr`` accumulate (resistive, ddt-charge) pairs;
   ``V(a,b) <+`` allocates a branch-current unknown with constraint
   V(a,b) − expr = 0 (vasim.jl:128-180).  Mixed I/V ("switch") branches are
-  rejected for now (vasim.jl's branch state machine — TODO).
+  supported, including runtime-switched ones: the branch always carries a
+  current unknown and the residual selects the V-constraint or I-relation
+  per evaluation (see ``switch_branches`` collection below and
+  tests/test_va.py's switch-branch cases) — the static
+  resolution vasim.jl's per-branch state machine does at codegen time,
+  generalized to a ``jnp.where`` select so a condition on bias works.
 - ddt() splits expressions into (static, dynamic) parts; linear combinations
   only (charge-based compact models satisfy this).
 - conditionals with traced conditions evaluate both branches and
