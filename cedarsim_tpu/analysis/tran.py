@@ -134,8 +134,13 @@ class TranOptions:
     #: chord misses reject-and-shrink as before; a lane that has already
     #: failed Newton ``rescue_after`` times at the same t (h down 4^k×)
     #: gets the in-program full-Newton rescue on its next attempt.
-    #: 0 = engage immediately on any chord certify failure.
-    rescue_after: int = 2
+    #: 0 = engage immediately on any chord certify failure.  Default 5:
+    #: at rescue_after=2 the DFF bench still engaged ~6k batch-iterations
+    #: on 2-streaks that h-shrink resolves anyway (identical rejection
+    #: counts, 1.7x wall); a genuine stall spiral runs hundreds of
+    #: attempts, so waiting five failures (h down 4^5 = 1024x) costs a
+    #: stalled lane almost nothing and keeps the common path clean.
+    rescue_after: int = 5
     #: consecutive LTE rejections (with converged Newton) before the step is
     #: accepted anyway with an order reset.  Bounds the breakpoint Zeno loop:
     #: a marginal error estimate (err ~ 1.1-1.5) on a breakpoint-landing step

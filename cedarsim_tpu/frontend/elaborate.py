@@ -33,7 +33,7 @@ from cedarsim_tpu.devices.mos import Mos1
 from cedarsim_tpu.devices.bjt import Bjt
 from cedarsim_tpu.devices.jfet import Jfet, Mesfet
 from cedarsim_tpu.frontend import parser as P
-from cedarsim_tpu.frontend.expr import eval_expr, ExprError
+from cedarsim_tpu.frontend.expr import eval_expr, expr_refs, ExprError
 
 
 class ElabError(ValueError):
@@ -95,6 +95,50 @@ class ParamEnv:
         return self[name] if name in self else default
 
 
+class _MismatchEnv(ParamEnv):
+    """Per-instance parameter overlay for ``statistics { mismatch }``.
+
+    A lookup of a mismatch-varied parameter returns a draw keyed on
+    (mc_seed, instance path, parameter name); a lookup of any parameter
+    whose definition *transitively references* a mismatch parameter pulls
+    that definition down and re-evaluates it in this overlay, so derived
+    parameters (``vth = vth0 + dvthmm``) decorrelate per instance too.
+    Everything else delegates to the shared environment (keeping its
+    global cache warm).  Reference role: per-instance ``agauss`` sampling
+    from ``spec.rng`` (/root/reference/src/spectre_env.jl:178-187)."""
+
+    def __init__(self, parent, elab, inst_name):
+        super().__init__(parent=parent)
+        self._elab = elab
+        self._inst = inst_name
+
+    def __getitem__(self, name):
+        n = name.lower()
+        if n in self.cache:
+            return self.cache[n]
+        if n not in self.exprs:
+            el = self._elab
+            if n in el.mismatch_vars and el.rng is not None:
+                v = el._mismatch_draw(n, self._inst, self.parent)
+                self.cache[n] = v
+                return v
+            if el.rng is not None and el._mismatch_dependent(n, self.parent):
+                e = _find_param_expr(n, self.parent)
+                if e is not None:
+                    self.exprs[n] = e   # re-evaluate locally (below)
+        return super().__getitem__(n)
+
+
+def _find_param_expr(name, env):
+    """Defining expression of ``name`` in the closest enclosing scope."""
+    e = env
+    while e is not None:
+        if name in e.exprs:
+            return e.exprs[name]
+        e = e.parent
+    return None
+
+
 def _tiny_default(v, d):
     return d if v is None else v
 
@@ -111,7 +155,12 @@ class Elaborator:
         self.temp = temp
         self.param_overrides = {
             k.lower(): v for k, v in (param_overrides or {}).items()}
-        self._warned_mismatch = False
+        self.mc_seed = mc_seed
+        #: statistics-block mismatch registrations:
+        #: name -> (dist, std_expr, percent, loc); consumed per instance
+        #: by _MismatchEnv
+        self.mismatch_vars = {}
+        self._mm_dep_cache = {}
 
     # ---------------------------------------------------------------- utils
 
@@ -142,6 +191,62 @@ class Elaborator:
             return float(eval_expr(v, env, self.rng))
         except ExprError as e:
             raise ElabError(str(e), loc)
+
+    # -------------------------------------------------- mismatch statistics
+
+    def _mismatch_draw(self, var, inst, env):
+        """One per-instance draw for a ``statistics mismatch`` parameter,
+        keyed deterministically on (mc_seed, instance path, name) so the
+        same seed reproduces lane-for-lane while matched instances
+        decorrelate."""
+        import zlib
+        dist, std_expr, percent, loc = self.mismatch_vars[var]
+        nominal = float(env[var])     # process draws already applied here
+        std = self.vres(std_expr, env, loc)
+        if percent:
+            std = abs(nominal) * std / 100.0
+        seed = [0 if self.mc_seed is None else int(self.mc_seed) & 0xffffffff,
+                zlib.crc32(inst.encode()), zlib.crc32(var.encode())]
+        rng = np.random.default_rng(seed)
+        if dist == "lnorm":
+            return nominal * float(np.exp(rng.normal(0.0, std)))
+        if dist in ("unif", "uniform"):
+            return nominal + float(rng.uniform(-std, std))
+        return nominal + float(rng.normal(0.0, std))
+
+    def _mismatch_dependent(self, name, env, _seen=None):
+        """Does ``name``'s definition transitively reference a mismatch-
+        varied parameter?  Memoized on (defining scope, name)."""
+        if not self.mismatch_vars:
+            return False
+        e = env
+        while e is not None and name not in e.exprs:
+            e = e.parent
+        if e is None:
+            return False
+        key = (id(e), name)
+        hit = self._mm_dep_cache.get(key)
+        if hit is not None:
+            return hit
+        expr = e.exprs[name]
+        if isinstance(expr, (int, float)) or (
+                isinstance(expr, tuple) and expr and expr[0] == "funcdef"):
+            self._mm_dep_cache[key] = False
+            return False
+        _seen = _seen or set()
+        if key in _seen:
+            return False                      # cycle guard
+        _seen.add(key)
+        dep = False
+        for r in expr_refs(expr):
+            if r in self.mismatch_vars:
+                dep = True
+                break
+            if self._mismatch_dependent(r, e, _seen):
+                dep = True
+                break
+        self._mm_dep_cache[key] = dep
+        return dep
 
     # ------------------------------------------------------------ main walk
 
@@ -357,6 +462,12 @@ class Elaborator:
     def _instantiate(self, el: P.Element, scope, prefix, nodemap, mfac):
         env = scope["env"]
         name = prefix + el.name.lower()
+        if self.mismatch_vars and self.rng is not None:
+            # per-instance mismatch overlay: this instance's parameter
+            # expressions see instance-keyed draws for mismatch-varied
+            # params (and re-evaluate anything derived from them)
+            env = _MismatchEnv(env, self, name)
+            scope = dict(scope, env=env)
         nets = [self._net(n, prefix, nodemap) for n in el.nodes]
         letter = el.letter
         if letter == "b":
@@ -848,14 +959,18 @@ class Elaborator:
         Monte-Carlo parameter variations when elaborating with ``mc_seed``
         (beyond the reference, whose parser has no statistics form).
 
-        Semantics: each ``vary`` perturbs the named parameter with one draw
-        from the seeded elaboration RNG — ``dist=gauss`` adds N(0, std),
-        ``dist=unif`` adds U(-std, std), ``dist=lnorm`` multiplies by
-        exp(N(0, std)); ``percent=yes`` scales std by |nominal|/100.
-        Spectre's mismatch draws are per-*instance*; here they are
-        approximated as one independent global draw per vary (warned once)
-        — per-point decorrelation across sweep lanes still happens through
-        per-lane seeds (analysis/montecarlo.py)."""
+        Semantics: each ``process vary`` perturbs the named parameter with
+        one draw from the seeded elaboration RNG — ``dist=gauss`` adds
+        N(0, std), ``dist=unif`` adds U(-std, std), ``dist=lnorm``
+        multiplies by exp(N(0, std)); ``percent=yes`` scales std by
+        |nominal|/100.  ``mismatch vary`` draws are per-*instance*
+        (Spectre semantics; the reference's per-instance ``agauss``
+        sampling role, /root/reference/src/spectre_env.jl:178-187): the
+        parameter is registered in ``self.mismatch_vars`` and every
+        device/subckt instantiation evaluates it — and anything derived
+        from it — under a per-instance overlay with a draw keyed
+        deterministically on (mc_seed, instance path, parameter), so two
+        matched devices decorrelate while the same lane reproduces."""
         env = scope["env"]
         entries = st.args[0]
         for ent in entries:
@@ -868,13 +983,16 @@ class Elaborator:
                 raise ElabError(
                     f"statistics vary references undefined parameter "
                     f"{name!r}", st.loc)
+            if ent["kind"] == "mismatch":
+                self.mismatch_vars[name.lower()] = (
+                    str(ent.get("dist", "gauss")).lower(),
+                    ent.get("std", 0.0),
+                    str(ent.get("percent", "no")).lower() in
+                    ("yes", "1", "true"),
+                    st.loc)
+                continue
             if self.rng is None:
                 continue                      # nominal elaboration
-            if ent["kind"] == "mismatch" and not self._warned_mismatch:
-                self._warned_mismatch = True
-                self.warn("statistics mismatch variations are applied as "
-                          "independent global draws (per-instance "
-                          "decorrelation not modeled)", st.loc)
             nominal = float(env[name])
             dist = str(ent.get("dist", "gauss")).lower()
             std = self.vres(ent.get("std", 0.0), env, st.loc)

@@ -26,6 +26,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<attr>\(\*.*?\*\))
   | (?P<str>"(?:[^"\\\n]|\\.)*")
   | (?P<num>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[TGMKkmunpfa]?)
+  | (?P<paste>``)
   | (?P<directive>`[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<id>[a-zA-Z_][a-zA-Z0-9_$]*|\\[^ \t\n]+|\$[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<op><\+|<<<|>>>|<<|>>|<=|>=|==|!=|&&|\|\||\*\*|[-+*/%<>!&|^~=(){}\[\];:,.?@#])
@@ -86,6 +87,10 @@ def lex_va(text: str, file="<va>"):
                 scale = _SCALE[body[-1]]
                 body = body[:-1]
             toks.append(Tok("num", s, line, col, value=float(body) * scale))
+        elif kind == "paste":
+            # `` token-paste operator (meaningful inside `define bodies;
+            # resolved by the preprocessor's macro expansion)
+            toks.append(Tok("paste", s, line, col))
         elif kind == "directive":
             toks.append(Tok("directive", s[1:], line, col))
         elif kind == "id":

@@ -301,8 +301,10 @@ class VAParser:
         self.skip_attrs()
         t = self.peek()
         if t.text == ";":
-            self.next()
-            return ("null",)
+            # Verilog-A has no null statement: a stray semicolon (e.g.
+            # after `end`) is an error, matching the reference's VAS46
+            # (VerilogAParser.jl/test/errors/extra_semi2.out)
+            raise VAParseError("unexpected semicolon", t, self.file)
         if t.text == "begin":
             self.next()
             local_vars = {}
@@ -430,16 +432,13 @@ class VAParser:
                 self.expect(";")
                 return st
             if self.peek(1).text == "(":
-                name = self.next().text
-                self.expect("(")
-                args = []
-                if not self.at(")"):
-                    args.append(self.parse_expr())
-                    while self.accept(","):
-                        args.append(self.parse_expr())
-                self.expect(")")
-                self.expect(";")
-                return ("call", name, args)
+                # a bare function call is a statement without an
+                # assignment — illegal in Verilog-A (LRM: analog functions
+                # are expression constructs); the reference's VAS14
+                # (VerilogAParser.jl/test/errors/missing_assignment.out)
+                raise VAParseError(
+                    "statement without assignment is illegal in Verilog-A "
+                    f"(assign the result: x = {t.text}(...))", t, self.file)
         raise VAParseError("cannot parse statement", t, self.file)
 
     def _parse_assign_nosemi(self):

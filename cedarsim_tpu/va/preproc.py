@@ -15,7 +15,23 @@ from cedarsim_tpu.va.lexer import lex_va, Tok
 
 
 class VAPreprocError(ValueError):
-    pass
+    """Preprocessor diagnostic.  Carries the offending token (when one
+    exists) so golden-file caret rendering works identically to
+    VAParseError — the reference renders preprocessor errors through the
+    same machinery (VerilogAParser.jl/src/parse/errors.jl)."""
+
+    def __init__(self, msg, tok=None, file="<va>"):
+        self.tok = tok
+        self.raw_message = msg
+        if tok is not None:
+            msg = f"{file}:{tok.line}:{tok.col}: {msg}"
+        super().__init__(msg)
+
+    def render(self, sources=None, color=False):
+        if self.tok is None:
+            return str(self)
+        from cedarsim_tpu.va.diagnostics import render
+        return render(self.raw_message, self.tok, sources, color)
 
 
 _BUILTIN_DEFINES = {
@@ -135,7 +151,7 @@ def preprocess(text: str, file="<va>", include_paths=(), defines=None,
                                        file)
                 out.extend(exp)
                 continue
-            raise VAPreprocError(f"{file}:{t.line}: undefined macro `{d}")
+            raise VAPreprocError(f"undefined macro `{d}", t, file)
         if t.kind == "nl":
             i += 1
             continue
@@ -169,17 +185,29 @@ def _find_include(name, cur_file, include_paths):
                          f"(from {cur_file}, paths {list(include_paths)})")
 
 
-def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
-    """Expand one macro use.  Returns (expanded_tokens, next_index)."""
+def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0,
+                  _stack=()):
+    """Expand one macro use.  Returns (expanded_tokens, next_index).
+
+    ``_stack``: names of macros currently being expanded — a macro whose
+    expansion uses itself (directly or through another macro) is an
+    immediate error, matching the reference's VAS04 "Macro Evaluation
+    recursed" (VerilogAParser.jl/test/errors/recursive_macro.out) rather
+    than a depth-limit blowup."""
+    if macro.name in _stack:
+        raise VAPreprocError(
+            f"recursive expansion of macro `{macro.name} (the macro's "
+            "expansion uses the macro itself; check for spelling mistakes "
+            "or definition ordering)", use_tok, file)
+    _stack = _stack + (macro.name,)
     if _depth > 100:
-        raise VAPreprocError(f"{file}:{use_tok.line}: recursive macro "
-                             f"`{macro.name}")
+        raise VAPreprocError(f"macro expansion nested too deeply "
+                             f"(`{macro.name})", use_tok, file)
     args = []
     if macro.params is not None:
         if toks[i].text != "(":
             raise VAPreprocError(
-                f"{file}:{use_tok.line}: macro `{macro.name} expects "
-                "arguments")
+                f"macro `{macro.name} expects arguments", use_tok, file)
         i += 1
         depth = 1
         cur = []
@@ -187,7 +215,8 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
             t = toks[i]
             if t.kind == "eof":
                 raise VAPreprocError(
-                    f"{file}:{use_tok.line}: unterminated macro call")
+                    f"unterminated call of macro `{macro.name}",
+                    use_tok, file)
             if t.text == "(":
                 depth += 1
             elif t.text == ")":
@@ -206,8 +235,8 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
         args.append(cur)
         if len(args) != len(macro.params):
             raise VAPreprocError(
-                f"{file}:{use_tok.line}: macro `{macro.name} expects "
-                f"{len(macro.params)} args, got {len(args)}")
+                f"macro `{macro.name} expects {len(macro.params)} "
+                f"argument(s), got {len(args)}", use_tok, file)
     argmap = dict(zip(macro.params or [], args))
     # virtual-position frame: tokens from the macro BODY keep their
     # definition-site coordinates plus this use-site frame prepended to the
@@ -220,25 +249,72 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0):
     body = macro.body
     while j < len(body):
         bt = body[j]
+        if bt.kind == "paste":
+            # `` token paste (Verilog-AMS LRM 10.3.3, used heavily by
+            # compact-model parameter macros: NJ``SD → NJS): join the last
+            # emitted token with the next body token post-substitution
+            j += 1
+            if not out or j >= len(body):
+                raise VAPreprocError(
+                    f"dangling `` token paste in macro `{macro.name}",
+                    use_tok, file)
+            nxt = body[j]
+            if nxt.kind == "id" and nxt.text in argmap:
+                subs = list(argmap[nxt.text])
+            else:
+                subs = [nxt]
+            prev = out.pop()
+            if subs:
+                first = subs[0]
+                out.append(Tok("id", prev.text + first.text, prev.line,
+                               prev.col, None, prev.file, prev.origin))
+                for at in subs[1:]:
+                    out.append(Tok(at.kind, at.text, at.line, at.col,
+                                   at.value, getattr(at, "file", file),
+                                   getattr(at, "origin", None)))
+            else:
+                out.append(prev)
+            j += 1
+            continue
         if bt.kind == "id" and bt.text in argmap:
-            for at in argmap[bt.text]:
+            # substitute the use-site argument tokens; macro uses INSIDE
+            # an argument expand here (the reference expands arguments'
+            # macro references at use time — recursive_macro.va passes
+            # `TYPE == `ntype ? ... as an argument)
+            ats = argmap[bt.text]
+            k2 = 0
+            while k2 < len(ats):
+                at = ats[k2]
+                if at.kind == "directive" and at.text in macros:
+                    sub, k2 = _expand_macro(macros[at.text], ats, k2 + 1,
+                                            use_tok, macros, file,
+                                            _depth + 1, _stack=_stack)
+                    out.extend(sub)
+                    continue
                 out.append(Tok(at.kind, at.text, at.line, at.col,
                                at.value, getattr(at, "file", file),
                                getattr(at, "origin", None)))
+                k2 += 1
             j += 1
             continue
         if bt.kind == "directive":
             if bt.text in macros:
                 sub, j2 = _expand_macro(macros[bt.text], body, j + 1, use_tok,
-                                        macros, file, _depth + 1)
+                                        macros, file, _depth + 1,
+                                        _stack=_stack)
                 for st2 in sub:
                     st2.origin = (frame,) + (st2.origin or ())
                 out.extend(sub)
                 j = j2
                 continue
+            # point at the macro-body token (definition site) and carry
+            # the use-site frame so the render shows the full expansion
+            # backtrace, like the reference's virtual positions
+            etok = Tok("directive", "`" + bt.text, bt.line, bt.col, None,
+                       macro.def_file, ((frame,) + (bt.origin or ())))
             raise VAPreprocError(
-                f"{file}:{use_tok.line}: undefined macro `{bt.text} "
-                f"(in expansion of `{macro.name})")
+                f"undefined macro `{bt.text} (in expansion of "
+                f"`{macro.name})", etok, macro.def_file)
         nt = Tok(bt.kind, bt.text, bt.line, bt.col, bt.value,
                  macro.def_file, ((frame,) + (bt.origin or ())))
         out.append(nt)

@@ -193,15 +193,66 @@ def test_statistics_block_monte_carlo():
     """Spectre statistics{process/mismatch{vary}} blocks drive seeded
     Monte-Carlo parameter variation (beyond the reference: its parser has
     no statistics form).  Nominal elaboration ignores them; a seeded one
-    applies the documented draws in order, reproducibly."""
+    applies process draws from the elaboration RNG and mismatch draws
+    keyed per instance, reproducibly."""
     import numpy as np
+    import zlib
     assert abs(_stats_rval(None) - 1000.0) < 1e-6
     v7a, v7b = _stats_rval(7), _stats_rval(7)
     assert v7a == v7b                       # reproducible
     rng = np.random.default_rng(7)
-    expect = 1000.0 + rng.normal(0, 100) + rng.normal(0, 10)
+    nominal = 1000.0 + rng.normal(0, 100)   # process: global draw
+    mm = np.random.default_rng(
+        [7, zlib.crc32(b"r1"), zlib.crc32(b"r0")])
+    expect = nominal + mm.normal(0, 10)     # mismatch: instance-keyed
     assert abs(v7a - expect) < 1e-6
     assert _stats_rval(8) != v7a            # seed changes the draw
+
+
+def test_statistics_mismatch_per_instance_decorrelation():
+    """Spectre mismatch semantics: each *instance* draws independently
+    (the reference's per-instance agauss sampling from spec.rng,
+    /root/reference/src/spectre_env.jl:178-187) while process draws are
+    shared — two matched resistors decorrelate under mismatch, agree
+    under process, and parameters *derived* from a mismatch-varied one
+    decorrelate too.  No approximation warning is emitted."""
+    import warnings as _w
+    from cedarsim_tpu import elaborate
+    deck = """// matched pair
+simulator lang=spectre
+parameters r0=1k rd=r0*2
+statistics {
+   process  { vary r0 dist=gauss std=100 }
+   mismatch { vary r0 dist=gauss std=10 }
+}
+r1 (a 0) resistor r=r0
+r2 (a 0) resistor r=r0
+r3 (a 0) resistor r=rd
+r4 (a 0) resistor r=rd
+"""
+    with _w.catch_warnings():
+        _w.simplefilter("error")            # any warning fails the test
+        ckt = elaborate(parse_spectre(deck), mc_seed=11)
+        ckt_same = elaborate(parse_spectre(deck), mc_seed=11)
+        ckt_proc = elaborate(parse_spectre(
+            deck.replace("mismatch { vary r0 dist=gauss std=10 }", "")),
+            mc_seed=11)
+    r = {i.name: float(i.params["r"]) for i in ckt.instances}
+    # matched direct consumers decorrelate...
+    assert r["r1"] != r["r2"]
+    # ...as do consumers of a DERIVED parameter (rd = r0*2 re-evaluates
+    # per instance with the instance's own r0 draw)
+    assert r["r3"] != r["r4"]
+    assert abs(r["r3"] - 2000.0) < 600 and abs(r["r4"] - 2000.0) < 600
+    # same seed reproduces every instance's draw exactly
+    r_same = {i.name: float(i.params["r"]) for i in ckt_same.instances}
+    assert r == r_same
+    # process-only: matched instances agree (shared draw), and that shared
+    # value is the mismatch run's per-instance mean structure
+    rp = {i.name: float(i.params["r"]) for i in ckt_proc.instances}
+    assert rp["r1"] == rp["r2"]
+    assert rp["r3"] == rp["r4"]
+    assert abs(rp["r3"] - 2 * rp["r1"]) < 1e-9
 
 
 def test_statistics_percent_and_undefined():

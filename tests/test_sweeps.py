@@ -167,9 +167,13 @@ r1 (a 0) resistor r=r0
     res = mc_statistics(nl, n, seed=11)
     assert bool(np.asarray(res.converged).all())
     vals = np.asarray(res.x)[:, 0] / 1e-3
+    import zlib
     for i in range(n):
         rng = np.random.default_rng(11 + i)
-        expect = 1000.0 + rng.normal(0, 100) + rng.normal(0, 10)
+        mm = np.random.default_rng(
+            [11 + i, zlib.crc32(b"r1"), zlib.crc32(b"r0")])
+        # process: per-lane global draw; mismatch: instance-keyed draw
+        expect = 1000.0 + rng.normal(0, 100) + mm.normal(0, 10)
         assert abs(vals[i] - expect) < 1e-4, (i, vals[i], expect)
 
 
