@@ -42,7 +42,8 @@ GATE = ((("d1", 1.00e-7), 5.0), (("d2", 1.50e-7), 5.0),
 TOL = 0.1
 
 
-def run(cells, backend, segments, sparse, tstop=2e-7):
+def run(cells, backend, segments, sparse, tstop=2e-7, models="bsim4",
+        max_steps=None):
     import jax
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -60,8 +61,9 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
 
     on_tpu = jax.default_backend() == "tpu"
     t_all = time.perf_counter()
-    comp = build(cells, models="bsim4", sparse=sparse,
+    comp = build(cells, models=models, sparse=sparse,
                  eval_dtype=jnp.float32 if on_tpu else None)
+    plan_s = time.perf_counter() - t_all
     ctx = SimSpec.make(gmin=1e-15)
     d = comp.dtype
     # mixed-precision tolerances on TPU (bench.py bsim4 leg set), f64
@@ -70,15 +72,19 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
     # (one factorization per step attempt, exact residuals after — KLU's
     # klu_factor/klu_solve discipline; measured 199 -> 77 s CPU wall on
     # this workload vs full Newton, identical step counts, gate exact)
-    topts = dict(max_steps=8192 if segments == 1 else 4096, jac_reuse=1)
+    if max_steps is None:
+        max_steps = 8192 if segments == 1 else 4096
+    topts = dict(max_steps=max_steps, jac_reuse=1)
     if on_tpu:
         topts.update(newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
                      jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
     opts = TranOptions(**topts)
     dc_o = NewtonOptions(max_step=1.0, gmin_steps=14)
 
+    t_dc = time.perf_counter()
     op = solve_dc(comp, ctx=ctx, mode="tranop", opts=dc_o)
     assert bool(np.all(np.asarray(op.converged))), "DC failed"
+    dc_s = time.perf_counter() - t_dc
     ctx_op = ctx.with_mode("tranop")
     xd0 = _consistent_xdot(comp, op.x, ctx_op, comp.params0)
     mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
@@ -126,11 +132,12 @@ def run(cells, backend, segments, sparse, tstop=2e-7):
         if abs(v - want) > TOL:
             ok = False
     return dict(
-        cells=cells, n_x=comp.n_x,
+        cells=cells, n_x=comp.n_x, models=models,
         path="sparse" if use_sparse_solver(comp) else "dense",
         backend="tpu" if on_tpu else "cpu",
         mode="f32-eval" if on_tpu else "f64",
         segments=segments, ok=ok, worst_gate_err=round(worst, 4),
+        plan_s=round(plan_s, 1), dc_s=round(dc_s, 1),
         compile_s=round(compile_s, 1), wall_s=round(wall, 2),
         accepted=nacc, rejected=nrej, newton=nnwt,
         solves_per_sec=round(nnwt / wall, 1),
@@ -143,6 +150,8 @@ def main():
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--segments", type=int, default=None)
     ap.add_argument("--sparse", default="auto")
+    ap.add_argument("--models", default="bsim4", choices=["bsim4", "lv1"])
+    ap.add_argument("--max-steps", type=int, default=None)
     args = ap.parse_args()
     segments = args.segments
     if segments is None:
@@ -152,7 +161,8 @@ def main():
         sparse = True
     elif sparse in ("False", "false", "0"):
         sparse = False
-    rec = run(args.cells, args.backend, segments, sparse)
+    rec = run(args.cells, args.backend, segments, sparse,
+              models=args.models, max_steps=args.max_steps)
     rec["date"] = time.strftime("%Y-%m-%d")
     print(json.dumps(rec))
     path = os.path.join(D, "chain_transient.json")

@@ -54,8 +54,14 @@ class TranOptions:
     atol: float = 1e-6
     trtol: float = 7.0
     #: integration method: "trap" (trapezoidal w/ BE starts), "be"
-    #: (backward Euler), or "bdf2" (variable-step BDF, order 1-2 — the
-    #: stiff-robust choice matching IDA's low orders; reference solver
+    #: (backward Euler), "bdf2" (variable-step BDF, order 1-2), or "bdf3"
+    #: (variable-ORDER BDF ladder 1→3: BE on a fresh history, BDF2 after
+    #: one accepted step, BDF3 after two — IDA's order ramp capped at 3
+    #: instead of 5, /root/reference/src/sweeps.jl:456; order resets at
+    #: breakpoints like IDA does at events.  The cubic predictor engages
+    #: one step later (needs 4 history points), raising the controller's
+    #: error-estimate order to 4 on smooth stretches — the step-count win
+    #: over bdf2; stiff-robust choice matching IDA's low orders; reference solver
     #: bench sweeps integrators, benchmarks/gf180_dff_solver_bench.jl:60-96).
     #: "auto" (default) resolves to trap for the charge formulation and
     #: bdf2 for the cap formulation: the cap-form trap recurrence
@@ -289,9 +295,12 @@ def _differential_mask(compiled, x, ctx, params):
 
 
 #: integrator-state fields that make a transient resumable: the current
-#: point, step size, and the two-point history behind the predictor/BDF2
-CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "t1", "t2", "nhist",
-                     "errp")
+#: point, step size, and the three-point history behind the predictor and
+#: the BDF2/BDF3 correctors (x3/t3 feed only bdf3's cubic predictor; other
+#: methods carry them untouched so every method shares one checkpoint
+#: layout)
+CHECKPOINT_FIELDS = ("t", "h", "x", "xdot", "x1", "x2", "x3", "t1", "t2",
+                     "t3", "nhist", "errp")
 
 
 def blank_checkpoint(x, xdot, h0):
@@ -306,7 +315,7 @@ def blank_checkpoint(x, xdot, h0):
     d = x.dtype
     z = jnp.zeros(bshape, d)
     return dict(t=z, h=jnp.full(bshape, h0, d), x=x, xdot=xdot,
-                x1=x, x2=x, t1=z, t2=z,
+                x1=x, x2=x, x3=x, t1=z, t2=z, t3=z,
                 nhist=jnp.zeros(bshape, jnp.int32),
                 errp=jnp.ones(bshape, d))
 
@@ -368,6 +377,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     method = opts.method
     if method == "auto":
         method = "bdf2" if cap_form else "trap"
+    if method not in ("trap", "be", "bdf2", "bdf3"):
+        raise ValueError(f"unknown integration method {method!r} "
+                         "(trap | be | bdf2 | bdf3)")
     # modified Newton.  jac_reuse=1 is the static per-step chord
     # (vmappable, both dense and sparse — the sparse factor/solve split is
     # SparseOps.factorize/solve_factorized, KLU's klu_factor/klu_solve
@@ -626,13 +638,20 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     state0 = dict(
         t=jnp.asarray(t0, dtype), h=jnp.asarray(h0, dtype),
         x=x0, xdot=xdot0, Qn=Q0, Qp=Q0, Sn=S0,
-        x1=x0, x2=x0, t1=jnp.asarray(t0, dtype), t2=jnp.asarray(t0, dtype),
+        x1=x0, x2=x0, x3=x0, t1=jnp.asarray(t0, dtype),
+        t2=jnp.asarray(t0, dtype), t3=jnp.asarray(t0, dtype),
         nhist=jnp.asarray(0, jnp.int32), bpi=jnp.asarray(0, jnp.int32),
         k=jnp.asarray(0, jnp.int32), ok=jnp.asarray(True),
         nrej=jnp.asarray(0, jnp.int32), nnwt=jnp.asarray(0, jnp.int32),
         rrun=jnp.asarray(0, jnp.int32), errp=jnp.asarray(1.0, dtype),
         nfr=jnp.asarray(0, jnp.int32),
     )
+    if method == "bdf3":
+        # third charge-history point (Q at x2) — bdf3-only so the other
+        # methods' loop carries (and compiled programs) are unchanged.
+        # Like Qn/Qp it is NOT checkpointed: a resume re-seeds it at the
+        # checkpoint charge and the order ladder rebuilds from there.
+        state0.update(Qpp=Q0)
     if mn_cross:
         # cached model linearization; jage starts huge so the first attempt
         # refreshes, jfail forces a same-h refresh retry after a stale-J
@@ -659,6 +678,15 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 continue  # already seeded via t0/x0/xdot0
             v = jnp.asarray(init_state[f])
             state0[f] = v.astype(jnp.int32 if f == "nhist" else dtype)
+        if n_dly == 0:
+            # corrector charge history at the RESTORED predictor points
+            # (Qp = Q0 was a seam approximation: the first resumed
+            # BDF2/BDF3 step's Qhist otherwise mixes charges evaluated at
+            # the wrong state).  Skipped with delay channels — Q at t1
+            # would need the ring rewound below t0.
+            state0["Qp"] = parts(state0["x1"], state0["t1"])[1]
+            if method == "bdf3":
+                state0["Qpp"] = parts(state0["x2"], state0["t2"])[1]
 
     t_end = tstop - 1e-12 * span
 
@@ -697,6 +725,20 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         x_lin = x + d1 * h_real
         x_quad = x_lin + d2 * h_real * (t_new - t1)
         x_pred = jnp.where(nh >= 2, x_quad, jnp.where(nh >= 1, x_lin, x))
+        if method == "bdf3":
+            # cubic Newton-polynomial predictor over (t,x)…(t3,x3): one
+            # order above the BDF3 corrector's history so the predictor-
+            # corrector difference estimates the h^4 term (IDA's order-
+            # aware estimate; the controller exponent switches with it)
+            t3, x3 = c["t3"], c["x3"]
+            d1c = jnp.where(t2 > t3,
+                            (x2 - x3) / jnp.maximum(t2 - t3, 1e-300), 0.0)
+            d2b = jnp.where(t1 > t3,
+                            (d1b - d1c) / jnp.maximum(t1 - t3, 1e-300), 0.0)
+            d3 = jnp.where(t > t3,
+                           (d2 - d2b) / jnp.maximum(t - t3, 1e-300), 0.0)
+            x_cub = x_quad + d3 * h_real * (t_new - t1) * (t_new - t2)
+            x_pred = jnp.where(nh >= 3, x_cub, x_pred)
 
         use_be = nh == 0
         one = jnp.asarray(1.0, dtype)
@@ -708,16 +750,48 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             a1 = jnp.where(hi, -(1.0 + r), -one)
             a2 = jnp.where(hi, r * r / (1.0 + r), 0.0)
             beta = one
+        elif method == "bdf3":
+            # variable-order BDF ladder: coefficients a_j = h·L_j'(τ0)
+            # from the Lagrange basis over the active nodes τ0=t_new,
+            # τ1=t, τ2=t1, τ3=t2 (order = 1 + min(nhist, 2)).  Uniform-h
+            # sanity: order 3 gives (11/6, -3, 3/2, -1/3).  Degenerate
+            # node gaps (empty history) are clamped — the order select
+            # ignores those lanes.
+            hr = h_real
+            e1 = jnp.maximum(h_real, 1e-300)            # τ0−τ1
+            e2 = jnp.maximum(t_new - t1, 1e-300)        # τ0−τ2
+            e3 = jnp.maximum(t_new - t2, 1e-300)        # τ0−τ3
+            f12 = jnp.maximum(t - t1, 1e-300)           # τ1−τ2
+            f13 = jnp.maximum(t - t2, 1e-300)           # τ1−τ3
+            f23 = jnp.maximum(t1 - t2, 1e-300)          # τ2−τ3
+            o3 = (hr * (1.0 / e1 + 1.0 / e2 + 1.0 / e3),
+                  -hr * e2 * e3 / (e1 * f12 * f13),
+                  hr * e1 * e3 / (e2 * f12 * f23),
+                  -hr * e1 * e2 / (e3 * f13 * f23))
+            o2 = (hr * (1.0 / e1 + 1.0 / e2),
+                  -hr * e2 / (e1 * f12),
+                  hr * e1 / (e2 * f12))
+            hi3, hi2 = nh >= 2, nh >= 1
+            a0 = jnp.where(hi3, o3[0], jnp.where(hi2, o2[0], one))
+            a1 = jnp.where(hi3, o3[1], jnp.where(hi2, o2[1], -one))
+            a2 = jnp.where(hi3, o3[2], jnp.where(hi2, o2[2], 0.0))
+            a3 = jnp.where(hi3, o3[3], 0.0)
+            beta = one
         elif method == "be":
             a0, a1, a2, beta = one, -one, one * 0.0, one
         else:  # trap with BE starts
             a0, a1, a2 = one, -one, one * 0.0
             beta = jnp.where(use_be, 1.0, 0.5).astype(dtype)
         Qhist = a1 * c["Qn"] + a2 * c["Qp"]
+        if method == "bdf3":
+            Qhist = Qhist + a3 * c["Qpp"]
         # cap-form ẋ recurrence coefficients (mirror the xdot_* updates)
         if method == "bdf2":
             c0 = a0
             xdh = a1 * x + a2 * x1
+        elif method == "bdf3":
+            c0 = a0
+            xdh = a1 * x + a2 * x1 + a3 * x2
         elif method == "be":
             c0 = one
             xdh = -x
@@ -858,22 +932,33 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # ratios < 1+sqrt(2), and its r-dependent error constant makes even
         # ratio-2 growth limit-cycle on oscillatory problems (measured: 70
         # rejects/accept at grow=2, 0.05 at grow=1.5) — clamp well below
-        grow = min(opts.grow, 1.5) if method == "bdf2" else opts.grow
+        if method == "bdf2":
+            grow = min(opts.grow, 1.5)
+        elif method == "bdf3":
+            # variable-step BDF3's zero-stability ratio bound is tighter
+            # than BDF2's 1+√2 (safe uniform bound ≈ 1.26-1.5 in the
+            # literature); clamp conservatively
+            grow = min(opts.grow, 1.3)
+        else:
+            grow = opts.grow
         # the controller is detached from AD: sensitivities differentiate
         # the realized discretization, not the adaptivity (a tangent flowing
         # through h via err(x) adds spurious step-sequence derivatives —
         # measurable drift in jvp-through-integrator sensitivities)
         err_ctl = jax.lax.stop_gradient(err)
+        # order+1 of the error estimate: the PC difference gauges the
+        # predictor's leading term — h^3 with the quadratic predictor,
+        # h^4 once bdf3's cubic predictor is active (nh>=3)
+        p1 = jnp.where(nh >= 3, 4.0, 3.0) if method == "bdf3" else 3.0
         if opts.controller == "pi":
             # digital PI control (Gustafsson / Hairer-Wanner PI.4.2):
             # damping by the previous step's error cuts the overshoot-
             # reject-shrink limit cycles an I-only controller falls into
-            p1 = 3.0   # order+1 of the error estimate
             errp = jnp.maximum(c["errp"], 1e-10)
             err_s = jnp.maximum(err_ctl, 1e-10)
             fac_raw = 0.9 * err_s ** (-0.7 / p1) * errp ** (0.4 / p1)
         else:
-            fac_raw = 0.9 * err_ctl ** (-1.0 / 3.0)
+            fac_raw = 0.9 * err_ctl ** (-1.0 / p1)
         fac = jnp.where(have_lte, jnp.clip(fac_raw, opts.shrink, grow), 2.0)
         h_acc = jnp.clip(h_real * fac, hmin, hmax)
         # after a breakpoint: restart small relative to the NEXT waveform
@@ -894,6 +979,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         xdot_tr = 2.0 * (xn - x) / h_real - c["xdot"]
         if method == "bdf2":
             xdot_n = (a0 * xn + a1 * x + a2 * x1) / h_real
+        elif method == "bdf3":
+            xdot_n = (a0 * xn + a1 * x + a2 * x1 + a3 * x2) / h_real
         elif method == "be":
             xdot_n = xdot_be
         else:
@@ -913,11 +1000,15 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             xdot=jnp.where(acc, xdot_n, c["xdot"]),
             Qn=jnp.where(acc, Qn_new, c["Qn"]),
             Qp=jnp.where(acc, c["Qn"], c["Qp"]),
+            **({"Qpp": jnp.where(acc, c["Qp"], c["Qpp"])}
+               if method == "bdf3" else {}),
             Sn=jnp.where(acc, Sn_new, c["Sn"]),
             x1=jnp.where(acc, x, c["x1"]),
             x2=jnp.where(acc, c["x1"], c["x2"]),
+            x3=jnp.where(acc, c["x2"], c["x3"]),
             t1=jnp.where(acc, t, c["t1"]),
             t2=jnp.where(acc, c["t1"], c["t2"]),
+            t3=jnp.where(acc, c["t2"], c["t3"]),
             nhist=jnp.where(
                 acc,
                 jnp.where(jnp.logical_or(hit_bp, forced),

@@ -16,7 +16,7 @@ import pytest
 from cedarsim_tpu import (Circuit, Resistor, Capacitor, Inductor, VSource,
                           VSourcePULSE, compile_circuit, tran, TranOptions)
 
-METHODS = ["be", "trap", "bdf2"]
+METHODS = ["be", "trap", "bdf2", "bdf3"]
 
 
 def _rc():
@@ -41,7 +41,7 @@ def test_rc_step_closed_form(method):
         assert abs(got - want) < tol, (method, t, got, want)
 
 
-@pytest.mark.parametrize("method", ["trap", "bdf2"])
+@pytest.mark.parametrize("method", ["trap", "bdf2", "bdf3"])
 def test_rlc_ringing_amplitude(method):
     """Underdamped series RLC (Q ~ 20): second-order methods must track the
     decay envelope — excessive numerical damping (BE-like) fails this."""
@@ -100,7 +100,7 @@ def test_accept_slack_cuts_rejections_keeps_accuracy():
     assert rej[1.6] < rej[1.0], rej
 
 
-@pytest.mark.parametrize("method", ["be", "bdf2"])
+@pytest.mark.parametrize("method", ["be", "bdf2", "bdf3"])
 def test_stiff_two_time_constants(method):
     """tau_fast = 1 us, tau_slow = 10 ms over a 30 ms window: stiff-stable
     methods must take steps >> tau_fast without instability."""
@@ -150,9 +150,13 @@ def test_solver_bench_table_dff():
         rows[method] = (sol.n_accepted, sol.n_rejected, sol.n_newton)
     # bdf2 must not need dramatically more steps than trap
     assert rows["bdf2"][0] < 4 * rows["trap"][0], rows
+    # the variable-order ladder's point: bdf3 accepts FEWER steps than
+    # bdf2 on the smooth stretches between clock edges (measured 1230 vs
+    # 1534 on this workload, CPU f64) — the VERDICT r2 #9 win
+    assert rows["bdf3"][0] < rows["bdf2"][0], rows
 
 
-@pytest.mark.parametrize("method", ["trap", "bdf2"])
+@pytest.mark.parametrize("method", ["trap", "bdf2", "bdf3"])
 def test_butterworth_transient_vs_inverse_laplace(method):
     """3rd-order Butterworth ladder step response vs the exact inverse
     Laplace (reference test/transients.jl:96-180): H(s)=1/(s^3+2s^2+2s+1),
