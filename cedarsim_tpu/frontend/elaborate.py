@@ -930,7 +930,16 @@ class Elaborator:
         1113-1149); names the core does not implement are collected into one
         warning instead of failing the card."""
         from cedarsim_tpu.models import bsim4_class
-        cls = bsim4_class()
+        # RDSMOD selects a compile-time model variant (internal diffusion
+        # nodes only exist for rdsMod=1 cards), so it must resolve here
+        rdsmod = 0
+        if "rdsmod" in mdl.params:
+            rdsmod = int(self.vres(mdl.params["rdsmod"], env, el.loc))
+            if rdsmod not in (0, 1):
+                self.warn(f"bsim4 model {el.model!r}: RDSMOD={rdsmod} not "
+                          "supported (0/1); using 0", el.loc)
+                rdsmod = 0
+        cls = bsim4_class(rdsmod)
         p = {"TYPE": 1.0 if polarity == "nmos" else -1.0}
         ignored = []
         for k, v in mdl.params.items():

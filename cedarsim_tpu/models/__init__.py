@@ -14,9 +14,15 @@ import os
 _CACHE: dict = {}
 
 
-def bsim4_class():
-    """Compile (once per process) and return the BSIM4 DeviceModel class."""
-    return _load("bsim4")
+def bsim4_class(rdsmod: int = 0):
+    """Compile (once per process per variant) and return the BSIM4
+    DeviceModel class.  ``rdsmod=1`` compiles the external-S/D-resistance
+    variant (internal diffusion nodes di/si, selected by the
+    BSIM4_RDSMOD1 preprocessor define) so rdsMod=0 circuits pay zero
+    extra unknowns."""
+    if rdsmod not in (0, 1):
+        raise ValueError(f"bsim4: RDSMOD must be 0 or 1, got {rdsmod}")
+    return _load("bsim4", ("BSIM4_RDSMOD1",) if rdsmod else ())
 
 
 def vbic_class():
@@ -26,11 +32,12 @@ def vbic_class():
     return _load("vbic")
 
 
-def _load(name):
-    if name not in _CACHE:
+def _load(name, defines=()):
+    key = (name, tuple(defines))
+    if key not in _CACHE:
         from cedarsim_tpu.va.codegen import load_va
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             name + ".va")
         with open(path) as f:
-            _CACHE[name] = load_va(f.read(), path)[name]
-    return _CACHE[name]
+            _CACHE[key] = load_va(f.read(), path, defines=defines)[name]
+    return _CACHE[key]

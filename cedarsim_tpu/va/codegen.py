@@ -1966,10 +1966,12 @@ class _State:
         return fenv[fn.name]
 
 
-def load_va(text: str, file="<va>", include_paths=(), **make_kwargs):
+def load_va(text: str, file="<va>", include_paths=(), defines=(),
+            **make_kwargs):
     """Parse + compile VA source → dict module-name → DeviceModel subclass
     (the TPU equivalent of ``load_VA_model``,
-    /root/reference/src/ModelLoader.jl:20).  Extra keyword args pass
+    /root/reference/src/ModelLoader.jl:20).  ``defines`` predefines empty
+    macros (compile-time model variants); extra keyword args pass
     through to ``make_device`` (delay_mode=, transition_mode=, ...)."""
-    mods = parse_va(text, file, include_paths)
+    mods = parse_va(text, file, include_paths, defines=defines)
     return {m.name: make_device(m, **make_kwargs) for m in mods}

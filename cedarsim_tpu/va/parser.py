@@ -535,7 +535,12 @@ def _parse_attr(text):
     return out
 
 
-def parse_va(text: str, file="<va>", include_paths=()):
-    """Preprocess + parse Verilog-A source → list of Modules."""
-    toks = preprocess(text, file, include_paths)
+def parse_va(text: str, file="<va>", include_paths=(), defines=()):
+    """Preprocess + parse Verilog-A source → list of Modules.
+
+    ``defines``: iterable of macro names predefined empty (the ``-D`` role)
+    — used e.g. to select compile-time model variants (`ifdef blocks)."""
+    from cedarsim_tpu.va.preproc import Macro
+    macros = {n: Macro(n, None, []) for n in defines}
+    toks = preprocess(text, file, include_paths, defines=macros)
     return VAParser(toks, file).parse_modules()

@@ -36,8 +36,8 @@ NCARD = dict(
 )
 
 
-def make_eval(card=None, temp_c=27.0, **inst):
-    cls = bsim4_class()
+def make_eval(card=None, temp_c=27.0, rdsmod=0, **inst):
+    cls = bsim4_class(rdsmod)
     p = cls.prepare({**NCARD, **(card or {}),
                      "W": 1e-6, "L": 0.18e-6, "AS": 0.5e-12, "AD": 0.5e-12,
                      "PS": 3e-6, "PD": 3e-6, **inst})
@@ -257,3 +257,153 @@ def test_inverter_transient_level54():
     v_hi = float(sol.interp("out", 0.15e-9))   # input low -> out high
     v_lo = float(sol.interp("out", 1.0e-9))    # input high -> out low
     assert v_hi > 1.7 and v_lo < 0.1
+
+
+# --------------------------------------------------------------------------
+# round-3 fidelity extensions: mobMod 1/2, rdsMod 1, temperature slopes
+# (BSIM4.8 manual ch. 5 mobility, ch. 8 asymmetric S/D resistance)
+
+
+def test_mobmod1_equals_mobmod0_without_body_term():
+    # with UC=0 the additive (mobMod 0) and multiplicative (mobMod 1)
+    # body-bias factorizations coincide identically
+    _, _, _, ev0 = make_eval(dict(MOBMOD=0.0, UC=0.0))
+    _, _, _, ev1 = make_eval(dict(MOBMOD=1.0, UC=0.0))
+    for vd, vg, vb in [(0.05, 1.2, 0.0), (1.2, 1.8, 0.0), (1.0, 0.8, -0.5)]:
+        assert id_at(ev0, vd, vg, 0.0, vb) == pytest.approx(
+            id_at(ev1, vd, vg, 0.0, vb), rel=1e-12)
+
+
+def test_mobmod1_body_term_multiplicative():
+    _, _, _, ev0 = make_eval(dict(MOBMOD=0.0))
+    _, _, _, ev1 = make_eval(dict(MOBMOD=1.0))
+    # vbseff = 0 exactly at vbs = 0: modes coincide even with UC != 0
+    assert id_at(ev0, 1.2, 1.5) == pytest.approx(
+        id_at(ev1, 1.2, 1.5), rel=1e-12)
+    # reverse body bias: (UA*T0+UB*T0^2)*UC*vbs (mode 1) differs from
+    # UC*vbs*T0 (mode 0)
+    i0 = id_at(ev0, 1.2, 1.5, 0.0, -0.9)
+    i1 = id_at(ev1, 1.2, 1.5, 0.0, -0.9)
+    assert abs(i0 - i1) > 1e-5 * abs(i0)
+    assert i0 > 0 and i1 > 0
+
+
+def test_mobmod2_reduces_to_mobmod0_at_eu1():
+    # EU=1, UB=0, UC=0, and no small-geometry Vth corrections: mobMod 2's
+    # (Vgsteff + 2*(VTH0-VFB-PHIs))/TOXE equals mobMod 0's T0 exactly
+    card = dict(UB=0.0, UC=0.0, EU=1.0, DVT0=0.0, DVT0W=0.0, ETA0=0.0,
+                ETAB=0.0, K3=0.0, K3B=0.0, LPE0=0.0, LPEB=0.0,
+                KT1=0.0, KT2=0.0)
+    _, _, _, ev0 = make_eval({**card, "MOBMOD": 0.0}, L=10e-6, W=10e-6)
+    _, _, _, ev2 = make_eval({**card, "MOBMOD": 2.0}, L=10e-6, W=10e-6)
+    for vd, vg in [(0.05, 1.2), (1.5, 1.8)]:
+        assert id_at(ev2, vd, vg) == pytest.approx(id_at(ev0, vd, vg),
+                                                   rel=1e-9)
+    # EU > 1 strengthens the degradation -> lower current
+    _, _, _, ev2b = make_eval({**card, "MOBMOD": 2.0, "EU": 1.67},
+                              L=10e-6, W=10e-6)
+    assert id_at(ev2b, 1.5, 1.8) < id_at(ev2, 1.5, 1.8)
+
+
+RDS_NETLIST = """* rdsmod equivalence: common source, deep linear region
+.model nch nmos level=54 rdsmod={RDSMOD} toxe=4.1e-9 ndep=3.5e17 vth0=0.47
++ k1=0.55 u0=320 ua=1.2e-9 ub=2e-18 vsat=9e4 pclm=1.2 voff=-0.09
++ nfactor=1.2 xj=1.6e-7 wr=1.0 prwg=0 prwb=0 {RPAR}
+vdd d 0 0.05
+vg g 0 1.8
+mn d g 0 0 nch w=10u l=1u
+.end
+"""
+
+
+def _rds_solve(rdsmod, rpar):
+    from cedarsim_tpu import parse_spice, elaborate, compile_circuit
+    from cedarsim_tpu.analysis.dc import solve_dc
+    nl = parse_spice(RDS_NETLIST.format(RDSMOD=rdsmod, RPAR=rpar),
+                     file=f"rds{rdsmod}.cir")
+    comp = compile_circuit(elaborate(nl))
+    res = solve_dc(comp, ctx=SimSpec.make(gmin=1e-13))
+    assert bool(res.converged)
+    return comp, res
+
+
+def test_rdsmod1_adds_internal_nodes_and_matches_lumped_rds():
+    # rdsMod=1 allocates two diffusion nodes per FET; with constant
+    # per-side resistances RDW=RSW=R the deep-linear current matches
+    # rdsMod=0's lumped RDSW=2R approximation
+    c0, r0 = _rds_solve(0, "rdsw=400")
+    c1, r1 = _rds_solve(1, "rdw=200 rsw=200 prwb=0")
+    assert c1.n_x == c0.n_x + 2
+    i0 = -float(r0["vdd.I"])
+    i1 = -float(r1["vdd.I"])
+    assert i0 > 1e-5                      # on, linear region
+    assert i1 == pytest.approx(i0, rel=0.02)
+    # more external resistance -> less current (sanity direction)
+    _, r2 = _rds_solve(1, "rdw=2000 rsw=2000")
+    assert -float(r2["vdd.I"]) < i1 * 0.75
+
+
+def test_rdsmod1_gate_bias_modulation():
+    # PRWG > 0: higher gate overdrive lowers the access resistance, so the
+    # rdsMod=1 current at fixed vds grows faster than the PRWG=0 variant
+    from cedarsim_tpu import parse_spice, elaborate, compile_circuit
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    from cedarsim_tpu.analysis.dc import solve_dc
+    nl = parse_spice(RDS_NETLIST.format(
+        RDSMOD=1, RPAR="rdw=3000 rsw=3000 prwg=2.0"), file="rdsg.cir")
+    comp = ensure_dynamic(compile_circuit(elaborate(nl)), ["vg.dc"])
+    ctx = SimSpec.make(gmin=1e-13)
+    cur = []
+    for vg in (1.0, 1.8):
+        res = solve_dc(comp, ctx=ctx,
+                       params=comp.set_param(comp.params0, "vg.dc", vg))
+        assert bool(res.converged)
+        cur.append(-float(res["vdd.I"]))
+    assert cur[1] > cur[0] > 0
+
+
+def test_temperature_slope_params():
+    # isolate the round-3 slopes: zero the classic temp params
+    base = dict(KT1=0.0, KT2=0.0, UTE=0.0, UA1=0.0, UB1=0.0, UC1=0.0,
+                AT=0.0, PRT=0.0)
+    _, _, _, ev_ref = make_eval(base, temp_c=125.0)
+    # TVOFF > 0 raises Voff at hot -> lower subthreshold current
+    _, _, _, ev_tvoff = make_eval({**base, "TVOFF": 0.05}, temp_c=125.0)
+    assert id_at(ev_tvoff, 1.0, 0.2) < id_at(ev_ref, 1.0, 0.2)
+    # inert at T = TNOM
+    _, _, _, a = make_eval(base, temp_c=27.0)
+    _, _, _, b = make_eval({**base, "TVOFF": 0.05, "TETA0": 0.01,
+                            "TNFACTOR": 0.3, "TVOFFCV": 0.05}, temp_c=27.0)
+    assert id_at(a, 1.0, 0.2) == pytest.approx(id_at(b, 1.0, 0.2),
+                                               rel=1e-12)
+    # TETA0 strengthens DIBL at hot: subthreshold Id at high vds rises
+    _, _, _, ev_eta = make_eval({**base, "ETA0": 0.02}, temp_c=125.0)
+    _, _, _, ev_teta = make_eval({**base, "ETA0": 0.02, "TETA0": 0.05},
+                                 temp_c=125.0)
+    assert id_at(ev_teta, 1.5, 0.2) > id_at(ev_eta, 1.5, 0.2)
+    # TNFACTOR > 0 degrades the subthreshold slope at hot
+    _, _, _, ev_tnf = make_eval({**base, "TNFACTOR": 1.0}, temp_c=125.0)
+    r_ref = id_at(ev_ref, 1.0, 0.25) / id_at(ev_ref, 1.0, 0.10)
+    r_tnf = id_at(ev_tnf, 1.0, 0.25) / id_at(ev_tnf, 1.0, 0.10)
+    assert r_tnf < r_ref
+
+
+def test_rdsmod1_gummel_symmetry():
+    # the external-resistance network must not break Id(vds) antisymmetry
+    cls, pj, ctx, _ = make_eval(dict(RDW=200.0, RSW=200.0, PRWG=0.0,
+                                     PRWB=0.0), rdsmod=1)
+    vg = 0.8
+
+    def idr(vd, vs):
+        # internal nodes at their ideal zero-resistance-drop positions is
+        # wrong for symmetry checks; solve the 2-node subnetwork instead
+        # by brute bisection is overkill -- evaluate with di=vd, si=vs and
+        # check the INTERNAL channel current antisymmetry
+        lv = jnp.array([vd, vg, vs, 0.0, vd, vs], jnp.float64)
+        s, _ = cls.eval(lv, pj, ctx, jnp.zeros(cls.n_noise))
+        return float(s[4])   # KCL at di == channel current entering di
+
+    for v in (1e-3, 1e-2, 0.1):
+        ip = idr(+v / 2, -v / 2)
+        im = idr(-v / 2, +v / 2)
+        assert abs(ip + im) < 1e-9 * abs(ip)
