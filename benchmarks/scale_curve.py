@@ -1,0 +1,168 @@
+"""Compile-time and solve-time vs circuit size (the >1k-unknown scaling
+story, round-3 VERDICT item 4).
+
+The reference leans on KLU precisely because real circuits are 1e3-1e5
+unknowns; nothing there publishes a compile-vs-n curve (Julia compile
+latency is its known weakness, /root/reference/README-CedarSim.md:28).
+Here we measure, per chain size: elaboration+planning (host), transient
+XLA trace+compile (cold, process-fresh persistent-cache-off is NOT
+enforced — the curve reports what a user sees), DC solve, and a short
+golden-gated transient window.
+
+    python benchmarks/scale_curve.py --backend cpu --sizes 90,180,320
+    python benchmarks/scale_curve.py --backend tpu --sizes 90,180,384,512
+
+Writes benchmarks/scale_curve_{backend}.json (one row per size, backend
+field on every row).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+D = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(D))
+sys.path.insert(0, os.path.join(D, "gf180_dff"))
+
+
+def run_one(cells, backend, tstop, fresh_cache):
+    """One size, one process (so XLA compile is genuinely cold per size)."""
+    import jax
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if fresh_cache:
+        jax.config.update("jax_compilation_cache_dir", "")
+    import jax.numpy as jnp
+    import numpy as np
+    from chain import build
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import solve_dc, NewtonOptions
+    from cedarsim_tpu.analysis.tran import (TranOptions, tran_core,
+                                            _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+    from cedarsim_tpu.core.compile import use_sparse_solver
+
+    on_tpu = jax.default_backend() == "tpu"
+    rec = {"cells": cells, "backend": "tpu" if on_tpu else "cpu",
+           "models": "lv1", "mode": "f32-eval" if on_tpu else "f64"}
+
+    t0 = time.perf_counter()
+    comp = build(cells, sparse=True,
+                 eval_dtype=jnp.float32 if on_tpu else None)
+    rec["n_x"] = comp.n_x
+    rec["plan_s"] = round(time.perf_counter() - t0, 2)
+    rec["path"] = "sparse" if use_sparse_solver(comp) else "dense"
+
+    ctx = SimSpec.make(gmin=1e-15)
+    dc_o = NewtonOptions(max_step=1.0, gmin_steps=14)
+    t0 = time.perf_counter()
+    op = solve_dc(comp, ctx=ctx, mode="tranop", opts=dc_o,
+                  artifact_cache=False)
+    jax.block_until_ready(op.x)
+    rec["dc_compile_plus_solve_s"] = round(time.perf_counter() - t0, 2)
+    rec["dc_converged"] = bool(np.all(np.asarray(op.converged)))
+    t0 = time.perf_counter()
+    op = solve_dc(comp, ctx=ctx, mode="tranop", opts=dc_o,
+                  artifact_cache=False)
+    jax.block_until_ready(op.x)
+    rec["dc_solve_s"] = round(time.perf_counter() - t0, 3)
+
+    # transient window [0, tstop]: cold wall includes trace+XLA compile
+    d = comp.dtype
+    topts = dict(max_steps=4096, jac_reuse=1)
+    if on_tpu:
+        topts.update(newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                     jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
+    opts = TranOptions(**topts)
+    ctx_op = ctx.with_mode("tranop")
+    xd0 = _consistent_xdot(comp, op.x, ctx_op, comp.params0)
+    mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
+    bps = comp.breakpoints(tstop)
+    st0 = blank_checkpoint(op.x, xd0, 2e-13)
+    fn = jax.jit(lambda x, xd, ist: tran_core(
+        comp, comp.params0, ctx, x, xd, jnp.asarray(0.0, d),
+        jnp.asarray(tstop, d), jnp.asarray(bps, d),
+        jnp.asarray(2e-13, d), opts, mask, init_state=ist))
+    t0 = time.perf_counter()
+    rb = fn(op.x, xd0, st0)
+    jax.block_until_ready(rb[1])
+    rec["tran_cold_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    rb = fn(op.x, xd0, st0)
+    jax.block_until_ready(rb[1])
+    wall = time.perf_counter() - t0
+    rec["tran_warm_s"] = round(wall, 2)
+    rec["tran_compile_s"] = round(rec["tran_cold_s"] - wall, 2)
+
+    ts = np.asarray(rb[0])
+    xs = np.asarray(rb[1])
+    rec["finished"] = bool(np.asarray(rb[4]))
+    nacc = int(np.asarray(rb[3])) - 1
+    rec["accepted"] = nacc
+    rec["newton"] = int(np.asarray(rb[6]))
+    rec["steps_per_sec"] = round(nacc / wall, 1)
+
+    # golden gate: the d0 pulse (high 45-95 ns) is latched by cell 1 at the
+    # 70 ns falling clock edge -> d1 high at 95 ns; d2 still low.  Rails
+    # must be exact on every probed node.
+    ok = rec["finished"] and rec["dc_converged"]
+    worst = 0.0
+    for node, t_probe, want in (("d1", 0.95e-7, 5.0), ("d2", 0.95e-7, 0.0)):
+        if t_probe <= tstop:
+            v = float(np.interp(t_probe, ts,
+                                xs[:, comp.node_names.index(node)]))
+            worst = max(worst, abs(v - want))
+    rec["worst_gate_err"] = round(worst, 4)
+    rec["ok"] = bool(ok and worst < 0.1)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default=None)
+    ap.add_argument("--backend", choices=["cpu", "tpu"], default="cpu")
+    ap.add_argument("--tstop", type=float, default=1e-7)
+    ap.add_argument("--one", type=int, default=None,
+                    help="internal: run a single size in THIS process")
+    args = ap.parse_args()
+    if args.one is not None:
+        rec = run_one(args.one, args.backend, args.tstop, False)
+        print("ROW " + json.dumps(rec), flush=True)
+        return 0
+    sizes = [int(s) for s in
+             (args.sizes or ("90,180,320" if args.backend == "cpu"
+                             else "90,180,384,512")).split(",")]
+    rows = []
+    for n in sizes:
+        # per-size subprocess: genuinely cold trace/compile each time
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--backend", args.backend, "--tstop", str(args.tstop),
+               "--one", str(n)]
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=3600)
+        row = None
+        for line in p.stdout.splitlines():
+            if line.startswith("ROW "):
+                row = json.loads(line[4:])
+        if row is None:
+            row = {"cells": n, "backend": args.backend,
+                   "error": (p.stderr or p.stdout)[-300:]}
+        rows.append(row)
+        print(row, flush=True)
+    out = {"rows": rows, "backend": args.backend,
+           "tstop": args.tstop,
+           "note": "lv1 DFF chain, sparse path, per-size fresh process "
+                   "(cold XLA compile); tran window golden-gated on the "
+                   "first latch edge"}
+    with open(os.path.join(D, f"scale_curve_{args.backend}.json"),
+              "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -699,7 +699,20 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         """One step attempt; on accept writes slot kc of the chunk buffers."""
         ts_b, xs_b, xd_b, kc = bufs
         t, h, x = c["t"], c["h"], c["x"]
-        next_bp = bps[jnp.minimum(c["bpi"], nb - 1)]
+        # a consumed schedule (bpi past the end, or the slot already at/
+        # behind t) must stop clipping: pinning next_bp at the last entry
+        # made next_bp - t == 0 once the final breakpoint was hit, and the
+        # stretch-onto-bp branch below then collapsed h_use to exactly 0 —
+        # Newton at h=0 is NaN and the step loop aborts at hmin with the
+        # span unfinished (seen on schedules whose last breakpoint lies
+        # below tstop; the public tran()/window paths pad with tstop and
+        # never hit it)
+        next_bp = jnp.where(
+            jnp.logical_or(c["bpi"] >= nb,
+                           bps[jnp.minimum(c["bpi"], nb - 1)]
+                           <= t + 1e-12 * span),
+            jnp.asarray(jnp.inf, dtype),
+            bps[jnp.minimum(c["bpi"], nb - 1)])
         h_use = jnp.minimum(jnp.minimum(h, hmax),
                             jnp.maximum(next_bp - t, hmin))
         if n_ring:
@@ -962,8 +975,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         fac = jnp.where(have_lte, jnp.clip(fac_raw, opts.shrink, grow), 2.0)
         h_acc = jnp.clip(h_real * fac, hmin, hmax)
         # after a breakpoint: restart small relative to the NEXT waveform
-        # interval (an unchecked large first step can leap an entire ramp)
-        next_int = bps[jnp.minimum(c["bpi"] + 1, nb - 1)] - t_new
+        # interval (an unchecked large first step can leap an entire ramp).
+        # Past the final breakpoint the "interval" is the remaining span —
+        # the consumed-schedule slot would give 0 and pin the restart at
+        # hmin (dozens of growth-capped steps to recover)
+        next_int = jnp.where(
+            c["bpi"] + 1 >= nb, tstop - t_new,
+            bps[jnp.minimum(c["bpi"] + 1, nb - 1)] - t_new)
         h_bp = jnp.maximum(
             jnp.minimum(h_acc * opts.bp_restart,
                         0.05 * jnp.maximum(next_int, hmin)), hmin)

@@ -216,3 +216,52 @@ def test_jac_reuse_modified_newton_nonlinear():
     peak = max(float(sols[8].interp("vout", t))
                for t in np.linspace(2e-6, 4e-6, 21))
     assert 2.0 < peak < 2.9, peak
+
+
+def test_consumed_breakpoint_schedule_finishes():
+    """Regression: a schedule whose LAST breakpoint lies below tstop used to
+    pin next_bp at that entry after it was hit; next_bp - t == 0 collapsed
+    h_use to exactly 0 via the stretch-onto-breakpoint branch, Newton went
+    NaN at h=0, and the loop aborted at hmin with the span unfinished
+    (found driving tran_core with a raw comp.breakpoints() list on the lv1
+    DFF chain; the public tran() pads schedules with tstop and never saw
+    it).  Also pins the post-final-breakpoint restart: next_int must be
+    the remaining span, not the consumed slot's 0 (which restarted h at
+    hmin and cost dozens of growth-capped steps)."""
+    import jax
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import solve_dc
+    from cedarsim_tpu.analysis.tran import (tran_core, _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+
+    c = _rc()
+    ctx = SimSpec.make()
+    op = solve_dc(c, ctx=ctx, mode="tranop", artifact_cache=False)
+    ctx_op = ctx.with_mode("tranop")
+    xd0 = _consistent_xdot(c, op.x, ctx_op, c.params0)
+    mask = _differential_mask(c, op.x, ctx_op, c.params0)
+    d = c.dtype
+    tstop = 5e-6
+    # trailing breakpoint well below tstop, NOT padded with tstop
+    bps = jnp.asarray([1e-9, 2e-6], d)
+    opts = TranOptions(max_steps=4096)
+    rb = jax.jit(lambda x, xd, ist: tran_core(
+        c, c.params0, ctx, x, xd, jnp.asarray(0.0, d),
+        jnp.asarray(tstop, d), bps, jnp.asarray(2e-13, d), opts, mask,
+        init_state=ist))(op.x, xd0, blank_checkpoint(op.x, xd0, 2e-13))
+    ts = np.asarray(rb[0])
+    nacc = int(np.asarray(rb[3]))
+    assert bool(np.asarray(rb[4])), "span unfinished (h collapsed at the " \
+        "consumed final breakpoint)"
+    # physics still right at a probe past the final breakpoint
+    xs = np.asarray(rb[1])
+    got = float(np.interp(3e-6, ts[:nacc],
+                          xs[:nacc, c.node_names.index("vout")]))
+    want = 1.0 - math.exp(-(3e-6 - 1e-9) / 1e-6)
+    assert abs(got - want) < 0.005
+    # the post-breakpoint restart must not strand h at hmin: the 2us->5us
+    # tail of a smooth exponential needs few steps
+    tail = int(np.sum(ts[:nacc] > 2e-6))
+    assert tail < 200, f"h stranded near hmin after the final bp ({tail})"
