@@ -223,11 +223,13 @@ def _run_circuit(circuit, temp=None, tran_opts=None):
             ran_any = True
     if not ran_any:
         out["op"] = solve_dc(compiled, params=run_params, ctx=ctx)
+    # .measure evaluates against whichever analyses ran (tran/ac/dc —
+    # the reference parses MEAS forms under every analysis)
+    from cedarsim_tpu.analysis.measure import evaluate_all, fourier
+    meas = evaluate_all(out, circuit)
+    if meas:
+        out["measures"] = meas
     if "tran" in out:
-        from cedarsim_tpu.analysis.measure import evaluate_all, fourier
-        meas = evaluate_all(out["tran"], circuit)
-        if meas:
-            out["measures"] = meas
         for cmd, args, kw in circuit.directives:
             if cmd == "four" and args:
                 freq = args[0]
