@@ -551,3 +551,43 @@ R2 out 0 1k
     # a tran measure without a transient reports failure, not a crash
     assert m2["never"] is None
     assert "no transient ran" in m2.errors["never"]
+
+
+def test_alter_offset_exact_pathological():
+    """The offset-exact tokenizer must not edit parameter-shaped text
+    inside quoted expressions, braces, or comments (the round-2 regex
+    implementation's documented failure mode), and must preserve every
+    other byte verbatim."""
+    from cedarsim_tpu.frontend.alter import alter, AlterError
+
+    src = ("* comment mentioning w=99 stays\n"
+           "r1 a b r='x=1 ? 2 : 3' x=2 $ trailing x=5 note\n"
+           "r2 b c r={x=7} w=3\n"
+           "+ l=4\n"
+           ".subckt sub p q\n"
+           "r3 p q r=10 // spectre note r=77\n"
+           ".ends\n")
+    out = alter(src, x=9)
+    # only the two real top-level assignments changed
+    assert "r='x=1 ? 2 : 3' x=9 $ trailing x=5 note" in out
+    assert "r={x=7} w=3" in out          # brace content untouched
+    assert "w=99 stays" in out           # comment untouched
+    assert out.count("x=9") == 1 or out.count("x=9") == 2
+    # w only matches the real assignment, not the comment
+    out2 = alter(src, w=8)
+    assert "w=8" in out2 and "w=99 stays" in out2
+    # continuation-line params are part of the same statement scope
+    out3 = alter(src, scoped={"r2.l": 6})
+    assert "+ l=6" in out3
+    # scope narrowing: subckt body only
+    out4 = alter(src, scoped={"sub.r": 20})
+    assert "r3 p q r=20" in out4
+    assert "r='x=1 ? 2 : 3'" in out4     # outer statement untouched
+    # comment content after // untouched
+    assert "r=77" in out4
+    # byte-exactness: replacing x with the same text is a no-op
+    assert alter(src, x=2) == src
+    with pytest.raises(AlterError):
+        alter(src, nonexistent=1)
+    with pytest.raises(AlterError):
+        alter(src, scoped={"sub.x": 1})  # x is not assigned inside sub
