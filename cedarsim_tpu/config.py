@@ -94,3 +94,13 @@ T_ZERO_C = 273.15
 #: later trace sites (core/compile.cached_model_eval).  Cuts VA re-trace
 #: cost; the emitted jaxpr (and so XLA compile + numerics) is identical.
 trace_cache = True
+
+#: Emit each cached model-eval subgraph as a nested jit CALL (a pjit
+#: primitive per site sharing one computation) instead of inlining the
+#: replayed jaxpr equations at every site.  Measured on the BSIM4 DFF
+#: transient (CPU, 2026-08-19): trace 14.6 -> 9.2 s, but XLA compile
+#: UNCHANGED (55 s — XLA inlines the calls before optimizing) and the
+#: compiled program ran 1.8x SLOWER (3.1 -> 5.6 s, call overhead in the
+#: hot while_loop).  Off by default; kept as the measured negative result
+#: and for trace-bound experimentation.
+call_wrap = False

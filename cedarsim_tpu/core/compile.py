@@ -119,15 +119,25 @@ def _cached_trace(tag, model, merged, ctx_e, arrays, build):
             d2 = dict(zip(dyn_keys, full[n_arr + n_ctx:]))
             return build(model, {**stat, **d2}, c2, *full[:n_arr])
 
-        closed, shape = jax.make_jaxpr(fn, return_shape=True)(
-            *[jax.api_util.shaped_abstractify(a)
-              for a, t in zip(args, traced) if t])
-        out_def = jax.tree.structure(shape)
-        entry = (closed, out_def)
+        if getattr(config, "call_wrap", False):
+            # the jit object is shared by every later call site with this
+            # signature, so XLA sees ONE named computation called
+            # repeatedly (a pjit call per site) instead of an inlined copy
+            # per site — jit's own aval cache does the once-per-signature
+            # tracing
+            entry = ("jit", jax.jit(fn))
+        else:
+            closed, shape = jax.make_jaxpr(fn, return_shape=True)(
+                *[jax.api_util.shaped_abstractify(a)
+                  for a, t in zip(args, traced) if t])
+            entry = ("jaxpr", (closed, jax.tree.structure(shape)))
         _EVAL_TRACE_CACHE[key] = entry
-    closed, out_def = entry
-    flat = jax.core.eval_jaxpr(closed.jaxpr, closed.consts,
-                               *[a for a, t in zip(args, traced) if t])
+    kind, payload = entry
+    live = [a for a, t in zip(args, traced) if t]
+    if kind == "jit":
+        return payload(*live)
+    closed, out_def = payload
+    flat = jax.core.eval_jaxpr(closed.jaxpr, closed.consts, *live)
     return jax.tree.unflatten(out_def, flat)
 
 
