@@ -153,8 +153,12 @@ def main():
             if line.startswith("ROW "):
                 row = json.loads(line[4:])
         if row is None:
+            err = (p.stderr or p.stdout)
+            logp = os.path.join(D, f"scale_curve_err_{args.backend}_{n}.log")
+            with open(logp, "w") as f:
+                f.write(err)
             row = {"cells": n, "backend": args.backend,
-                   "error": (p.stderr or p.stdout)[-300:]}
+                   "error": err[-1500:], "error_log": logp}
         rows.append(row)
         print(row, flush=True)
     out = {"rows": rows, "backend": args.backend,
