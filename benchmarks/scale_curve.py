@@ -28,8 +28,15 @@ sys.path.insert(0, os.path.dirname(D))
 sys.path.insert(0, os.path.join(D, "gf180_dff"))
 
 
-def run_one(cells, backend, tstop, fresh_cache):
-    """One size, one process (so XLA compile is genuinely cold per size)."""
+def run_one(cells, backend, tstop, fresh_cache, segments=1):
+    """One size, one process (so XLA compile is genuinely cold per size).
+
+    ``segments``: chain the transient through k checkpoint-resumed window
+    executions instead of one device call — bounds per-execution device
+    time (the tunneled single chip kills long executions with
+    ``UNAVAILABLE: TPU device error``; measured 2026-08-19: the 180-cell
+    one-shot window faults while DC + factor/solve on the same circuit
+    pass)."""
     import jax
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -43,7 +50,8 @@ def run_one(cells, backend, tstop, fresh_cache):
     from cedarsim_tpu.analysis.tran import (TranOptions, tran_core,
                                             _consistent_xdot,
                                             _differential_mask,
-                                            blank_checkpoint)
+                                            blank_checkpoint,
+                                            window_schedules)
     from cedarsim_tpu.core.compile import use_sparse_solver
 
     on_tpu = jax.default_backend() == "tpu"
@@ -54,8 +62,13 @@ def run_one(cells, backend, tstop, fresh_cache):
     comp = build(cells, sparse=True,
                  eval_dtype=jnp.float32 if on_tpu else None)
     rec["n_x"] = comp.n_x
-    rec["plan_s"] = round(time.perf_counter() - t0, 2)
     rec["path"] = "sparse" if use_sparse_solver(comp) else "dense"
+    if rec["path"] == "sparse":
+        # build the LU plan eagerly (host-side) so its cost lands in
+        # plan_s, not inside the first DC trace
+        from cedarsim_tpu.core.sparse_ops import get_sparse_ops
+        get_sparse_ops(comp)
+    rec["plan_s"] = round(time.perf_counter() - t0, 2)
 
     ctx = SimSpec.make(gmin=1e-15)
     # default Newton options: the damped recipe tuned for BSIM4 chains
@@ -75,9 +88,11 @@ def run_one(cells, backend, tstop, fresh_cache):
     jax.block_until_ready(op.x)
     rec["dc_solve_s"] = round(time.perf_counter() - t0, 3)
 
-    # transient window [0, tstop]: cold wall includes trace+XLA compile
+    # transient window [0, tstop]: cold wall includes trace+XLA compile.
+    # Segmented: one compiled program serves every window; checkpoint
+    # state chains device-to-device (bench.py's discipline).
     d = comp.dtype
-    topts = dict(max_steps=4096, jac_reuse=1)
+    topts = dict(max_steps=max(512, 4096 // segments), jac_reuse=1)
     if on_tpu:
         topts.update(newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
                      jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
@@ -86,28 +101,45 @@ def run_one(cells, backend, tstop, fresh_cache):
     xd0 = _consistent_xdot(comp, op.x, ctx_op, comp.params0)
     mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
     bps = comp.breakpoints(tstop)
-    st0 = blank_checkpoint(op.x, xd0, 2e-13)
-    fn = jax.jit(lambda x, xd, ist: tran_core(
-        comp, comp.params0, ctx, x, xd, jnp.asarray(0.0, d),
-        jnp.asarray(tstop, d), jnp.asarray(bps, d),
+    edges = np.linspace(0.0, tstop, segments + 1)
+    win_bps = window_schedules(bps, edges)
+    rec["segments"] = segments
+    fn = jax.jit(lambda x, xd, ist, a, b, w: tran_core(
+        comp, comp.params0, ctx, x, xd, a, b, w,
         jnp.asarray(2e-13, d), opts, mask, init_state=ist))
+
+    def run_all():
+        state = blank_checkpoint(op.x, xd0, 2e-13)
+        rbs = []
+        for k in range(segments):
+            rb = fn(state["x"], state["xdot"], state,
+                    jnp.asarray(edges[k], d), jnp.asarray(edges[k + 1], d),
+                    jnp.asarray(win_bps[k], d))
+            rbs.append(rb)
+            state = rb[7]
+        jax.block_until_ready(state["x"])
+        return rbs
+
     t0 = time.perf_counter()
-    rb = fn(op.x, xd0, st0)
-    jax.block_until_ready(rb[1])
+    rbs = run_all()
     rec["tran_cold_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    rb = fn(op.x, xd0, st0)
-    jax.block_until_ready(rb[1])
+    rbs = run_all()
     wall = time.perf_counter() - t0
     rec["tran_warm_s"] = round(wall, 2)
     rec["tran_compile_s"] = round(rec["tran_cold_s"] - wall, 2)
 
-    ts = np.asarray(rb[0])
-    xs = np.asarray(rb[1])
-    rec["finished"] = bool(np.asarray(rb[4]))
-    nacc = int(np.asarray(rb[3])) - 1
+    ts_parts, xs_parts = [], []
+    for rb in rbs:
+        nk = int(np.asarray(rb[3]))
+        ts_parts.append(np.asarray(rb[0])[:nk])
+        xs_parts.append(np.asarray(rb[1])[:nk])
+    ts = np.concatenate(ts_parts)
+    xs = np.concatenate(xs_parts, axis=0)
+    rec["finished"] = all(bool(np.asarray(rb[4])) for rb in rbs)
+    nacc = sum(int(np.asarray(rb[3])) - 1 for rb in rbs)
     rec["accepted"] = nacc
-    rec["newton"] = int(np.asarray(rb[6]))
+    rec["newton"] = sum(int(np.asarray(rb[6])) for rb in rbs)
     rec["steps_per_sec"] = round(nacc / wall, 1)
 
     # golden gate: the d0 pulse (high 45-95 ns) is latched by cell 1 at the
@@ -132,9 +164,16 @@ def main():
     ap.add_argument("--tstop", type=float, default=1e-7)
     ap.add_argument("--one", type=int, default=None,
                     help="internal: run a single size in THIS process")
+    ap.add_argument("--segments", type=int, default=None,
+                    help="checkpoint-chained window count (default: "
+                         "enough to keep per-execution device time "
+                         "bounded on TPU, 1 on CPU)")
     args = ap.parse_args()
     if args.one is not None:
-        rec = run_one(args.one, args.backend, args.tstop, False)
+        segs = args.segments
+        if segs is None:
+            segs = 1 if args.backend == "cpu" else max(1, args.one // 45)
+        rec = run_one(args.one, args.backend, args.tstop, False, segs)
         print("ROW " + json.dumps(rec), flush=True)
         return 0
     sizes = [int(s) for s in

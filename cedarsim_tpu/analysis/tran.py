@@ -358,6 +358,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     hmax = span * opts.hmax_frac
     hmin = span * opts.hmin_frac
     nb = bps.shape[0]  # padded with [tstop, inf...]
+    if nb == 0:
+        # direct callers may pass an empty schedule (no source breakpoint
+        # below tstop); indexing a size-0 array is a trace-time error, so
+        # substitute the same [tstop, inf] padding the public tran() uses
+        bps = jnp.stack([jnp.asarray(tstop, dtype),
+                         jnp.asarray(jnp.inf, dtype)])
+        nb = 2
 
     ctx_t = ctx.with_mode(Modes.TRAN)
 

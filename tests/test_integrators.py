@@ -265,3 +265,41 @@ def test_consumed_breakpoint_schedule_finishes():
     # tail of a smooth exponential needs few steps
     tail = int(np.sum(ts[:nacc] > 2e-6))
     assert tail < 200, f"h stranded near hmin after the final bp ({tail})"
+
+
+def test_empty_breakpoint_schedule():
+    """Regression: a size-0 breakpoint schedule (no source breakpoint below
+    tstop) raised a trace-time IndexError at ``bps[nb - 1]`` with nb == 0.
+    Direct tran_core callers hit it when comp.breakpoints(tstop) returns
+    nothing (found at tstop below the first PULSE edge on the lv1 chain);
+    the public tran() pads with [tstop, inf] and never saw it."""
+    import jax
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import solve_dc
+    from cedarsim_tpu.analysis.tran import (tran_core, _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+
+    c = _rc()
+    ctx = SimSpec.make()
+    op = solve_dc(c, ctx=ctx, mode="tranop", artifact_cache=False)
+    ctx_op = ctx.with_mode("tranop")
+    xd0 = _consistent_xdot(c, op.x, ctx_op, c.params0)
+    mask = _differential_mask(c, op.x, ctx_op, c.params0)
+    d = c.dtype
+    tstop = 3e-6
+    bps = jnp.zeros((0,), d)
+    opts = TranOptions(max_steps=2048)
+    rb = jax.jit(lambda x, xd, ist: tran_core(
+        c, c.params0, ctx, x, xd, jnp.asarray(0.0, d),
+        jnp.asarray(tstop, d), bps, jnp.asarray(2e-13, d), opts, mask,
+        init_state=ist))(op.x, xd0, blank_checkpoint(op.x, xd0, 2e-13))
+    assert bool(np.asarray(rb[4])), "span unfinished with empty schedule"
+    ts = np.asarray(rb[0])
+    xs = np.asarray(rb[1])
+    nacc = int(np.asarray(rb[3]))
+    got = float(np.interp(2e-6, ts[:nacc],
+                          xs[:nacc, c.node_names.index("vout")]))
+    want = 1.0 - math.exp(-(2e-6 - 1e-9) / 1e-6)
+    assert abs(got - want) < 0.005
