@@ -42,11 +42,11 @@ class SparseOps:
         rows = np.concatenate(rows)
         cols = np.concatenate(cols)
         keep = (rows < n) & (cols < n)
-        rows, cols = rows[keep].astype(np.int64), cols[keep].astype(np.int64)
 
         weights = None
         if weights_probe:
-            weights = self._numeric_weights(rows, cols)
+            weights = self._numeric_weights(keep)
+        rows, cols = rows[keep].astype(np.int64), cols[keep].astype(np.int64)
 
         self.plan = sparse_lu.build_plan(n, rows, cols, weights=weights)
         p = self.plan
@@ -77,28 +77,60 @@ class SparseOps:
             [posmap[(i, i)] for i in range(nv)], np.int32)
         self.nnz_f = p.nnz_f
 
-    def _numeric_weights(self, rows, cols):
+    def _numeric_weights(self, keep):
         """Representative |G|+|C| magnitudes over a couple of bias points to
-        guide the static pivot matching (runs on CPU, host-side, once)."""
+        guide the static pivot matching (runs eagerly on the host CPU,
+        once).  Probes PER-GROUP local jacobians raveled in the exact
+        structural-pattern order built above — O(nnz) memory instead of the
+        dense [n, n] scatter (287 MB at 4k unknowns, 18 GB at 32k), no XLA
+        compile (eager vmap dispatch is O(model primitives), not O(n)), and
+        no interaction with an ambient trace when the plan is built lazily
+        from inside a jitted solver.  ``keep`` is the ground-row/col filter
+        applied to the pattern; the trailing nv diagonal entries enter with
+        the floor weight only (build_plan accumulates duplicates)."""
         compiled = self.compiled
         from cedarsim_tpu.core.context import SimSpec
         ctx = SimSpec.make(mode="dcop")
+        ctx_e = compiled._ctx_eval(ctx)
         cpu = jax.devices("cpu")[0]
-
-        def probe(x):
-            G, C = compiled.jacobians(jnp.asarray(x), ctx)
-            return jnp.abs(G) + jnp.abs(C)
-
         n = compiled.n_x
+        nv = compiled.n_nodes + compiled.n_internal
         rng = np.random.default_rng(0)
-        # the plan may be built lazily from inside a traced solver —
-        # ensure_compile_time_eval keeps this probe a concrete host-side
-        # computation either way
+        parts = []
         with jax.ensure_compile_time_eval(), jax.default_device(cpu):
-            W = np.zeros((n, n))
-            for x in (np.zeros(n), 0.5 + 0.1 * rng.standard_normal(n)):
-                W += np.asarray(jax.jit(probe, backend="cpu")(x))
-        w = W[rows, cols]
+            probes = [np.zeros(n + 1),
+                      np.concatenate([0.5 + 0.1 * rng.standard_normal(n),
+                                      [0.0]])]
+            for key in compiled.group_order:
+                g = compiled.groups[key]
+                gp = compiled.params0[key]
+                sp = g.static_params
+                pv = {k: jax.device_put(
+                          compiled._cast_eval(jnp.asarray(v)), cpu)
+                      for k, v in gp.items() if k != "$mult"}
+                ne = (g.model.n_noise + getattr(g.model, "n_delay", 0)
+                      + getattr(g.model, "n_latch", 0))
+                e0 = jnp.zeros(ne, compiled.eval_dtype)
+
+                def local_jac(l, p, _g=g, _sp=sp, _e0=e0):
+                    Js, Jq = jax.jacfwd(
+                        lambda ll: _g.model.eval(ll, {**_sp, **p}, ctx_e,
+                                                 _e0))(l)
+                    return jnp.abs(Js) + jnp.abs(Jq)
+
+                vjac = jax.jit(jax.vmap(local_jac))
+                W = 0.0
+                for x_pad in probes:
+                    lv = jax.device_put(
+                        compiled._cast_eval(jnp.asarray(x_pad[g.var_idx])),
+                        cpu)
+                    Jl = vjac(lv, pv)                  # [ni, nr, nc]
+                    W = W + np.asarray(Jl, np.float64)
+                # NaN-producing probe points (e.g. off-bias compact models)
+                # must not poison the matching — treat as unknown magnitude
+                parts.append(np.nan_to_num(W, nan=0.0, posinf=0.0).ravel())
+        parts.append(np.zeros(nv))
+        w = np.concatenate(parts)[np.asarray(keep)]
         # entries can be numerically zero at both probes yet active at other
         # biases; give them a small floor so they stay matchable
         return w + 1e-30
