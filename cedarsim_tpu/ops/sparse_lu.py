@@ -221,13 +221,20 @@ def _structural_matching(n, rows, cols, weights=None):
     return match_row  # row r of A goes with col match_row[r]
 
 
-def build_plan(n, rows, cols, perm=None, weights=None) -> SparsePlan:
+def build_plan(n, rows, cols, perm=None, weights=None,
+               order="auto") -> SparsePlan:
     """Symbolic factorization. ``rows``/``cols``: the exact structural
     pattern of A (duplicates allowed).  Include diagonal entries only where
     they are numerically present (gmin shunts / integrator terms) — a forced
     full diagonal would let the pivot matching sit on numerically-zero
     positions (V-source branch rows).  ``weights``: representative |A[r,c]|
-    per input entry to guide the static pivot matching."""
+    per input entry to guide the static pivot matching.
+
+    ``order``: fill-reducing ordering — "md" (minimum degree: best fill,
+    long elimination path; the CPU/KLU-style choice), "nd" (nested
+    dissection: O(log n)-depth elimination tree so the leveled on-device
+    sweeps dispatch far fewer sequential steps; the TPU choice), or "auto"
+    (nd when the default JAX backend is a TPU, else md)."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     key0 = rows * n + cols
@@ -255,13 +262,30 @@ def build_plan(n, rows, cols, perm=None, weights=None) -> SparsePlan:
 
     # fill-reducing ordering on symmetrized matched pattern
     if perm is None:
-        from cedarsim_tpu.ops.sparse import md_order
+        from cedarsim_tpu.ops.sparse import md_order, nd_order
         sym_r = np.concatenate([m_rows, m_cols])
         sym_c = np.concatenate([m_cols, m_rows])
         kk = sym_r * n + sym_c
         kk, fi = np.unique(kk, return_index=True)
-        perm = md_order(n, sym_r[fi].astype(np.int32),
-                        sym_c[fi].astype(np.int32))
+        if order == "auto":
+            import os
+            env = os.environ.get("CEDARSIM_SPARSE_ORDER")
+            if env in ("md", "nd"):
+                order = env
+            else:
+                # nd pays a ~1.4x fill premium for an O(log n) level count
+                # — a win only where levels dominate (TPU dispatch latency)
+                # and n is large enough that they do (59 vs 907 levels at
+                # 1992 unknowns; at 276 unknowns nd is worse on both axes)
+                try:
+                    import jax
+                    order = ("nd" if n >= 600
+                             and jax.default_backend() == "tpu" else "md")
+                except Exception:  # pragma: no cover
+                    order = "md"
+        fn = nd_order if order == "nd" else md_order
+        perm = fn(n, sym_r[fi].astype(np.int32),
+                  sym_c[fi].astype(np.int32))
     perm = np.asarray(perm, np.int64)
     iperm = np.empty(n, np.int64)
     iperm[perm] = np.arange(n)

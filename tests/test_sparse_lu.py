@@ -155,3 +155,35 @@ def test_plan_reports_levels():
     plan = sparse_lu.build_plan(n, rows, cols)
     assert plan.n_levels < n   # leveling actually parallelizes
     assert plan.nnz_f >= plan.nnz
+
+
+def test_nd_order_cuts_level_depth():
+    """Nested dissection must produce a valid permutation and an
+    O(log n)-depth elimination tree on a path graph (the chain-circuit
+    shape where min-degree yields a path: n_levels ~ n).  TPU solves pay
+    one dispatch per level, so depth is the latency metric."""
+    import numpy as np
+    from cedarsim_tpu.ops.sparse import nd_order
+    from cedarsim_tpu.ops import sparse_lu
+    n = 256
+    r = np.arange(n - 1)
+    c = np.arange(1, n)
+    rows = np.concatenate([r, c, np.arange(n)]).astype(np.int64)
+    cols = np.concatenate([c, r, np.arange(n)]).astype(np.int64)
+    perm = nd_order(n, rows.astype(np.int32), cols.astype(np.int32))
+    assert sorted(perm.tolist()) == list(range(n))
+    p_nd = sparse_lu.build_plan(n, rows, cols, order="nd")
+    p_md = sparse_lu.build_plan(n, rows, cols, order="md")
+    assert p_nd.n_levels < p_md.n_levels / 4, (p_nd.n_levels, p_md.n_levels)
+    # numerics on the nd plan: solve a diagonally dominant system exactly
+    A = np.zeros((n, n))
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(n - 1) * 0.3
+    A[r, c] = v
+    A[c, r] = rng.standard_normal(n - 1) * 0.3
+    A[np.arange(n), np.arange(n)] = 2.0 + rng.random(n)
+    b = rng.standard_normal(n)
+    import jax.numpy as jnp
+    vals = sparse_lu.vals_from_dense(p_nd, jnp.asarray(A))
+    x = sparse_lu.solve(p_nd, vals, jnp.asarray(b))
+    assert float(np.max(np.abs(A @ np.asarray(x) - b))) < 1e-9
