@@ -54,10 +54,13 @@ class TranOptions:
     atol: float = 1e-6
     trtol: float = 7.0
     #: integration method: "trap" (trapezoidal w/ BE starts), "be"
-    #: (backward Euler), "bdf2" (variable-step BDF, order 1-2), or "bdf3"
+    #: (backward Euler), "bdf2" (variable-step BDF, order 1-2), "bdf3"
     #: (variable-ORDER BDF ladder 1→3: BE on a fresh history, BDF2 after
-    #: one accepted step, BDF3 after two — IDA's order ramp capped at 3
-    #: instead of 5, /root/reference/src/sweeps.jl:456; order resets at
+    #: one accepted step, BDF3 after two — IDA's order ramp capped at 3),
+    #: or "bdf5" (the full IDA-parity ladder 1→5,
+    #: /root/reference/src/sweeps.jl:456; generic variable-step Lagrange
+    #: coefficients, quartic predictor from 5 history points, growth clamp
+    #: 1.2 for high-order zero stability); order resets at
     #: breakpoints like IDA does at events.  The cubic predictor engages
     #: one step later (needs 4 history points), raising the controller's
     #: error-estimate order to 4 on smooth stretches — the step-count win
@@ -384,9 +387,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     method = opts.method
     if method == "auto":
         method = "bdf2" if cap_form else "trap"
-    if method not in ("trap", "be", "bdf2", "bdf3"):
+    if method not in ("trap", "be", "bdf2", "bdf3", "bdf5"):
         raise ValueError(f"unknown integration method {method!r} "
-                         "(trap | be | bdf2 | bdf3)")
+                         "(trap | be | bdf2 | bdf3 | bdf5)")
     # modified Newton.  jac_reuse=1 is the static per-step chord
     # (vmappable, both dense and sparse — the sparse factor/solve split is
     # SparseOps.factorize/solve_factorized, KLU's klu_factor/klu_solve
@@ -659,6 +662,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # Like Qn/Qp it is NOT checkpointed: a resume re-seeds it at the
         # checkpoint charge and the order ladder rebuilds from there.
         state0.update(Qpp=Q0)
+    elif method == "bdf5":
+        # orders 4-5 need a 5th history point (x4/t4) and the deeper
+        # charge history; none of it is checkpointed — a resume clamps
+        # nhist to the checkpointed depth (≤3) and the ladder rebuilds
+        state0.update(Qpp=Q0, Qppp=Q0, Qpppp=Q0,
+                      x4=x0, t4=jnp.asarray(t0, dtype))
     if mn_cross:
         # cached model linearization; jage starts huge so the first attempt
         # refreshes, jfail forces a same-h refresh retry after a stale-J
@@ -694,6 +703,18 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             state0["Qp"] = parts(state0["x1"], state0["t1"])[1]
             if method == "bdf3":
                 state0["Qpp"] = parts(state0["x2"], state0["t2"])[1]
+            elif method == "bdf5":
+                state0["Qpp"] = parts(state0["x2"], state0["t2"])[1]
+                Q3 = parts(state0["x3"], state0["t3"])[1]
+                state0["Qppp"] = Q3
+                state0["Qpppp"] = Q3
+        if method == "bdf5":
+            # the checkpoint has no 5th history point: seed x4/t4 at x3/t3
+            # and clamp the ladder so order ≤ 4 until real history refills
+            state0["x4"] = state0["x3"]
+            state0["t4"] = state0["t3"]
+            state0["nhist"] = jnp.minimum(
+                state0["nhist"], jnp.asarray(3, jnp.int32))
 
     t_end = tstop - 1e-12 * span
 
@@ -745,7 +766,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         x_lin = x + d1 * h_real
         x_quad = x_lin + d2 * h_real * (t_new - t1)
         x_pred = jnp.where(nh >= 2, x_quad, jnp.where(nh >= 1, x_lin, x))
-        if method == "bdf3":
+        if method in ("bdf3", "bdf5"):
             # cubic Newton-polynomial predictor over (t,x)…(t3,x3): one
             # order above the BDF3 corrector's history so the predictor-
             # corrector difference estimates the h^4 term (IDA's order-
@@ -759,6 +780,22 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                            (d2 - d2b) / jnp.maximum(t - t3, 1e-300), 0.0)
             x_cub = x_quad + d3 * h_real * (t_new - t1) * (t_new - t2)
             x_pred = jnp.where(nh >= 3, x_cub, x_pred)
+        if method == "bdf5":
+            # quartic continuation of the divided-difference table through
+            # (t4, x4); at top order (5) the predictor stays quartic and
+            # the PC difference gauges the h^5 term — conservative
+            t4, x4 = c["t4"], c["x4"]
+            d1d = jnp.where(t3 > t4,
+                            (x3 - x4) / jnp.maximum(t3 - t4, 1e-300), 0.0)
+            d2c = jnp.where(t2 > t4,
+                            (d1c - d1d) / jnp.maximum(t2 - t4, 1e-300), 0.0)
+            d3b = jnp.where(t1 > t4,
+                            (d2b - d2c) / jnp.maximum(t1 - t4, 1e-300), 0.0)
+            d4 = jnp.where(t > t4,
+                           (d3 - d3b) / jnp.maximum(t - t4, 1e-300), 0.0)
+            x_quart = x_cub + (d4 * h_real * (t_new - t1) * (t_new - t2)
+                               * (t_new - t3))
+            x_pred = jnp.where(nh >= 4, x_quart, x_pred)
 
         use_be = nh == 0
         one = jnp.asarray(1.0, dtype)
@@ -797,6 +834,51 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             a2 = jnp.where(hi3, o3[2], jnp.where(hi2, o2[2], 0.0))
             a3 = jnp.where(hi3, o3[3], 0.0)
             beta = one
+        elif method == "bdf5":
+            # full IDA-parity ladder (orders 1-5): coefficients a_j =
+            # h·L_j'(τ0) from the Lagrange basis over the active nodes
+            # τ0=t_new, τ1=t, τ2=t1, τ3=t2, τ4=t3, τ5=t4; active order
+            # k = 1 + min(nhist, 4).  Uniform-h sanity (order 5):
+            # (137/60, -5, 5, -10/3, 5/4, -1/5) — pinned by
+            # tests/test_integrators.py::test_bdf5_uniform_alphas.
+            ts_n = (t_new, t, t1, t2, c["t3"], c["t4"])
+
+            def lag(k):
+                out = []
+                for j in range(k + 1):
+                    if j == 0:
+                        s = 0.0
+                        for m in range(1, k + 1):
+                            s = s + 1.0 / jnp.maximum(ts_n[0] - ts_n[m],
+                                                      1e-300)
+                        out.append(h_real * s)
+                        continue
+                    num = h_real
+                    for m in range(1, k + 1):
+                        if m != j:
+                            num = num * jnp.maximum(ts_n[0] - ts_n[m],
+                                                    1e-300)
+                    den = -jnp.maximum(ts_n[0] - ts_n[j], 1e-300)
+                    for m in range(1, k + 1):
+                        if m != j:
+                            dd = ts_n[j] - ts_n[m]
+                            dd = jnp.where(m > j,
+                                           jnp.maximum(dd, 1e-300),
+                                           jnp.minimum(dd, -1e-300))
+                            den = den * dd
+                    out.append(num / den)
+                return out + [one * 0.0] * (5 - k)
+
+            A = [lag(k) for k in (1, 2, 3, 4, 5)]
+
+            def pick(j):
+                v = A[0][j]
+                for ki in (2, 3, 4, 5):
+                    v = jnp.where(nh >= ki - 1, A[ki - 1][j], v)
+                return v
+
+            a0, a1, a2, a3, a4, a5 = (pick(j) for j in range(6))
+            beta = one
         elif method == "be":
             a0, a1, a2, beta = one, -one, one * 0.0, one
         else:  # trap with BE starts
@@ -805,6 +887,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         Qhist = a1 * c["Qn"] + a2 * c["Qp"]
         if method == "bdf3":
             Qhist = Qhist + a3 * c["Qpp"]
+        elif method == "bdf5":
+            Qhist = (Qhist + a3 * c["Qpp"] + a4 * c["Qppp"]
+                     + a5 * c["Qpppp"])
         # cap-form ẋ recurrence coefficients (mirror the xdot_* updates)
         if method == "bdf2":
             c0 = a0
@@ -812,6 +897,10 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         elif method == "bdf3":
             c0 = a0
             xdh = a1 * x + a2 * x1 + a3 * x2
+        elif method == "bdf5":
+            c0 = a0
+            xdh = (a1 * x + a2 * x1 + a3 * x2 + a4 * c["x3"]
+                   + a5 * c["x4"])
         elif method == "be":
             c0 = one
             xdh = -x
@@ -957,8 +1046,18 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         elif method == "bdf3":
             # variable-step BDF3's zero-stability ratio bound is tighter
             # than BDF2's 1+√2 (safe uniform bound ≈ 1.26-1.5 in the
-            # literature); clamp conservatively
-            grow = min(opts.grow, 1.3)
+            # literature).  The clamp binds per ACTIVE order: after a
+            # breakpoint the ladder restarts at order 1-2 where the looser
+            # ratio is safe, so the h ramp out of the reset isn't throttled
+            # by the top order's bound (growth-limited smooth stretches
+            # otherwise cost MORE steps at higher order, measured)
+            grow = jnp.where(nh >= 2, min(opts.grow, 1.3),
+                             min(opts.grow, 1.5))
+        elif method == "bdf5":
+            # orders 4-5 tolerate even less step-ratio variation
+            grow = jnp.where(nh >= 3, min(opts.grow, 1.2),
+                             jnp.where(nh >= 2, min(opts.grow, 1.3),
+                                       min(opts.grow, 1.5)))
         else:
             grow = opts.grow
         # the controller is detached from AD: sensitivities differentiate
@@ -969,7 +1068,13 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # order+1 of the error estimate: the PC difference gauges the
         # predictor's leading term — h^3 with the quadratic predictor,
         # h^4 once bdf3's cubic predictor is active (nh>=3)
-        p1 = jnp.where(nh >= 3, 4.0, 3.0) if method == "bdf3" else 3.0
+        if method == "bdf3":
+            p1 = jnp.where(nh >= 3, 4.0, 3.0)
+        elif method == "bdf5":
+            # quartic predictor active from nh>=4: PC difference gauges h^5
+            p1 = jnp.where(nh >= 4, 5.0, jnp.where(nh >= 3, 4.0, 3.0))
+        else:
+            p1 = 3.0
         if opts.controller == "pi":
             # digital PI control (Gustafsson / Hairer-Wanner PI.4.2):
             # damping by the previous step's error cuts the overshoot-
@@ -1006,6 +1111,9 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             xdot_n = (a0 * xn + a1 * x + a2 * x1) / h_real
         elif method == "bdf3":
             xdot_n = (a0 * xn + a1 * x + a2 * x1 + a3 * x2) / h_real
+        elif method == "bdf5":
+            xdot_n = (a0 * xn + a1 * x + a2 * x1 + a3 * x2
+                      + a4 * c["x3"] + a5 * c["x4"]) / h_real
         elif method == "be":
             xdot_n = xdot_be
         else:
@@ -1027,6 +1135,12 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
             Qp=jnp.where(acc, c["Qn"], c["Qp"]),
             **({"Qpp": jnp.where(acc, c["Qp"], c["Qpp"])}
                if method == "bdf3" else {}),
+            **({"Qpp": jnp.where(acc, c["Qp"], c["Qpp"]),
+                "Qppp": jnp.where(acc, c["Qpp"], c["Qppp"]),
+                "Qpppp": jnp.where(acc, c["Qppp"], c["Qpppp"]),
+                "x4": jnp.where(acc, c["x3"], c["x4"]),
+                "t4": jnp.where(acc, c["t3"], c["t4"])}
+               if method == "bdf5" else {}),
             Sn=jnp.where(acc, Sn_new, c["Sn"]),
             x1=jnp.where(acc, x, c["x1"]),
             x2=jnp.where(acc, c["x1"], c["x2"]),
@@ -1038,7 +1152,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 acc,
                 jnp.where(jnp.logical_or(hit_bp, forced),
                           jnp.asarray(0, jnp.int32),
-                          jnp.minimum(nh + 1, jnp.asarray(3, jnp.int32))),
+                          jnp.minimum(nh + 1, jnp.asarray(
+                              5 if method == "bdf5" else 3, jnp.int32))),
                 nh).astype(jnp.int32),
             rrun=jnp.where(acc, jnp.asarray(0, jnp.int32),
                            c["rrun"] + 1).astype(jnp.int32),
