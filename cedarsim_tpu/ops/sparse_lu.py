@@ -273,16 +273,14 @@ def build_plan(n, rows, cols, perm=None, weights=None,
             if env in ("md", "nd"):
                 order = env
             else:
-                # nd pays a ~1.4x fill premium for an O(log n) level count
-                # — a win only where levels dominate (TPU dispatch latency)
-                # and n is large enough that they do (59 vs 907 levels at
-                # 1992 unknowns; at 276 unknowns nd is worse on both axes)
-                try:
-                    import jax
-                    order = ("nd" if n >= 600
-                             and jax.default_backend() == "tpu" else "md")
-                except Exception:  # pragma: no cover
-                    order = "md"
+                # md everywhere: nd's O(log n) level count does NOT pay on
+                # the real chip — the packed fori_loop already amortizes
+                # level dispatch on-device, so per-solve cost follows FILL,
+                # and nd's ~1.26x fill premium loses (measured 2026-08-19,
+                # 1992 unknowns, TPU v5e: md 35.9 ms/solve at 380 levels vs
+                # nd 52.7 ms at 46 levels; benchmarks/compile_latency.md).
+                # nd stays available for genuinely dispatch-bound setups.
+                order = "md"
         fn = nd_order if order == "nd" else md_order
         perm = fn(n, sym_r[fi].astype(np.int32),
                   sym_c[fi].astype(np.int32))
