@@ -129,6 +129,46 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
     rec["tran_warm_s"] = round(wall, 2)
     rec["tran_compile_s"] = round(rec["tran_cold_s"] - wall, 2)
 
+    # batched lanes: the TPU scale-throughput lever — the leveled LU's
+    # sequential sweeps amortize across vmapped lanes (measured 35.9 ->
+    # 1.73 ms/lane at nb=16, 1992 unknowns), so throughput at scale comes
+    # from lanes, not lower per-solve latency
+    nb = 8 if on_tpu else 0
+    if nb:
+        fnb = jax.jit(jax.vmap(
+            lambda x, xd, ist, a, b, w: tran_core(
+                comp, comp.params0, ctx, x, xd, a, b, w,
+                jnp.asarray(2e-13, d), opts, mask, init_state=ist),
+            in_axes=(0, 0, 0, None, None, None)))
+        xb = jnp.repeat(op.x[None], nb, 0)
+        xdb = jnp.repeat(xd0[None], nb, 0)
+
+        def run_all_b():
+            st = blank_checkpoint(xb, xdb, 2e-13)
+            rbs = []
+            for k in range(segments):
+                rb = fnb(st["x"], st["xdot"], st,
+                         jnp.asarray(edges[k], d),
+                         jnp.asarray(edges[k + 1], d),
+                         jnp.asarray(win_bps[k], d))
+                rbs.append(rb)
+                st = rb[7]
+            jax.block_until_ready(st["x"])
+            return rbs
+
+        t0 = time.perf_counter()
+        rbsb = run_all_b()
+        rec[f"batched{nb}_cold_s"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        rbsb = run_all_b()
+        wb = time.perf_counter() - t0
+        naccb = sum(int(np.sum(np.asarray(rb[3]) - 1)) for rb in rbsb)
+        rec[f"batched{nb}_finished"] = bool(
+            all(bool(np.all(np.asarray(rb[4]))) for rb in rbsb))
+        rec[f"batched{nb}_steps_per_sec_per_lane"] = round(naccb / wb / nb,
+                                                           1)
+        rec[f"batched{nb}_steps_per_sec_total"] = round(naccb / wb, 1)
+
     ts_parts, xs_parts = [], []
     for rb in rbs:
         nk = int(np.asarray(rb[3]))
