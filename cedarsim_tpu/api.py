@@ -170,6 +170,17 @@ def _run_circuit(circuit, temp=None, tran_opts=None):
                     okw["hmax_frac"] = min(0.04, 5.0 * d["tstep"] / span)
                 if d["uic"]:
                     okw["uic"] = True
+                # ngspice `.options method=gear|trap maxord=N`: gear is
+                # BDF — maxord 2 (the ngspice default) maps to the bdf2
+                # ladder, 3 to bdf3, 4+ to the order-5 ladder
+                o = getattr(circuit, "options", {}) or {}
+                m = str(o.get("method", "")).lower()
+                if m in ("trap", "trapezoidal"):
+                    okw["method"] = "trap"
+                elif m == "gear":
+                    mo = int(o.get("maxord", 2))
+                    okw["method"] = ("bdf2" if mo <= 2
+                                     else "bdf3" if mo == 3 else "bdf5")
                 opts = TranOptions(**okw)
             out["tran"] = tran(compiled, (0.0, d["tstop"]), params=run_params,
                                ctx=ctx, opts=opts)

@@ -345,8 +345,20 @@ class Elaborator:
             return
         if st.cmd == "option":
             for k, v in st.kwargs.items():
-                self.ckt.options[k] = self.vres(v, env, st.loc) \
-                    if not isinstance(v, (int, float)) else float(v)
+                if isinstance(v, (int, float)):
+                    self.ckt.options[k] = float(v)
+                    continue
+                try:
+                    self.ckt.options[k] = self.vres(v, env, st.loc)
+                except ElabError:
+                    # word-valued options (ngspice: method=gear|trap) keep
+                    # the raw identifier; anything non-word still errors
+                    if isinstance(v, tuple) and len(v) == 2 \
+                            and v[0] in ("w", "ref") \
+                            and isinstance(v[1], str):
+                        self.ckt.options[k] = v[1].lower()
+                    else:
+                        raise
             return
         if st.cmd == "temp":
             if st.args:

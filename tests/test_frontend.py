@@ -591,3 +591,26 @@ def test_alter_offset_exact_pathological():
         alter(src, nonexistent=1)
     with pytest.raises(AlterError):
         alter(src, scoped={"sub.x": 1})  # x is not assigned inside sub
+
+
+def test_option_method_mapping():
+    """ngspice `.options method=gear|trap maxord=N` selects the integrator
+    (gear = BDF: maxord<=2 -> bdf2 ladder, 3 -> bdf3, 4+ -> the order-5
+    ladder); word-valued options elaborate as raw identifiers."""
+    import math
+    for meth, maxord in (("trap", None), ("gear", 3), ("gear", 5)):
+        opt = f".options method={meth}" + (f" maxord={maxord}" if maxord
+                                           else "")
+        res = simulate(f"""* option method test
+{opt}
+v1 in 0 PULSE(0 1 0 1n 1n 1 2)
+r1 in out 1k
+c1 out 0 1n
+.tran 10n 5u
+""")
+        sol = res["tran"]
+        got = float(sol.interp("out", 2e-6))
+        want = 1 - math.exp(-(2e-6 - 1e-9) / 1e-6)
+        assert abs(got - want) < 5e-3, (meth, maxord, got, want)
+    assert res["circuit"].options["method"] == "gear"
+    assert res["circuit"].options["maxord"] == 5.0
