@@ -62,10 +62,16 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
     comp = build(cells, sparse=True,
                  eval_dtype=jnp.float32 if on_tpu else None)
     rec["n_x"] = comp.n_x
+    rec["build_s"] = round(time.perf_counter() - t0, 2)
     rec["path"] = "sparse" if use_sparse_solver(comp) else "dense"
+    t0 = time.perf_counter()
     if rec["path"] == "sparse":
         # build the LU plan eagerly (host-side) so its cost lands in
-        # plan_s, not inside the first DC trace
+        # plan_s, not inside the first DC trace.  NOTE: observed 76-706 s
+        # run-to-run variance for the SAME size on the tunneled chip —
+        # tunnel latency amplified through the many small host<->device
+        # transfers of circuit construction/probing, not a code path
+        # difference (7 s host-local, measured).
         from cedarsim_tpu.core.sparse_ops import get_sparse_ops
         get_sparse_ops(comp)
     rec["plan_s"] = round(time.perf_counter() - t0, 2)

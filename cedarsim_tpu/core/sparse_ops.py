@@ -90,23 +90,28 @@ class SparseOps:
         the floor weight only (build_plan accumulates duplicates)."""
         compiled = self.compiled
         from cedarsim_tpu.core.context import SimSpec
-        ctx = SimSpec.make(mode="dcop")
-        ctx_e = compiled._ctx_eval(ctx)
         cpu = jax.devices("cpu")[0]
         n = compiled.n_x
         nv = compiled.n_nodes + compiled.n_internal
         rng = np.random.default_rng(0)
         parts = []
         with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+            # ctx built inside the CPU-device scope: its scalar leaves must
+            # not land on (or round-trip through) the tunneled TPU
+            ctx = SimSpec.make(mode="dcop")
+            ctx_e = compiled._ctx_eval(ctx)
             probes = [np.zeros(n + 1),
                       np.concatenate([0.5 + 0.1 * rng.standard_normal(n),
                                       [0.0]])]
+            ed = np.dtype(compiled.eval_dtype)
             for key in compiled.group_order:
                 g = compiled.groups[key]
                 gp = compiled.params0[key]
                 sp = g.static_params
-                pv = {k: jax.device_put(
-                          compiled._cast_eval(jnp.asarray(v)), cpu)
+                # inputs prepared in numpy and committed to the host CPU:
+                # a degraded remote-TPU tunnel must not be in this path
+                # (observed 76-706 s plan variance from small transfers)
+                pv = {k: jax.device_put(np.asarray(v).astype(ed), cpu)
                       for k, v in gp.items() if k != "$mult"}
                 ne = (g.model.n_noise + getattr(g.model, "n_delay", 0)
                       + getattr(g.model, "n_latch", 0))
@@ -122,8 +127,7 @@ class SparseOps:
                 W = 0.0
                 for x_pad in probes:
                     lv = jax.device_put(
-                        compiled._cast_eval(jnp.asarray(x_pad[g.var_idx])),
-                        cpu)
+                        np.asarray(x_pad[g.var_idx]).astype(ed), cpu)
                     Jl = vjac(lv, pv)                  # [ni, nr, nc]
                     W = W + np.asarray(Jl, np.float64)
                 # NaN-producing probe points (e.g. off-bias compact models)
