@@ -34,6 +34,7 @@ class Loc:
     file: str
     line: int
     src: str = ""
+    span: tuple = None   # (lo, hi) byte range into SpiceNetlist.source
 
 
 @dataclasses.dataclass
@@ -104,6 +105,19 @@ class SpiceNetlist:
     title: str
     statements: list
     path: str = "<string>"
+    source: str = None   # lexed text (title line blanked; spans index it)
+
+    def source_of(self, stmt) -> str:
+        """Exact original bytes of ``stmt`` (continuation lines and inline
+        comments included) — the reference red-tree ``String(node)`` role
+        (SpectreNetlistParser.jl/src/RedTree.jl:89-102).  Spans index
+        ``self.source``; raises for statements without one (synthetic or
+        pre-span ASTs)."""
+        loc = getattr(stmt, "loc", None)
+        if self.source is None or loc is None or loc.span is None:
+            raise ValueError("statement has no source span")
+        lo, hi = loc.span
+        return self.source[lo:hi]
 
 
 @dataclasses.dataclass
@@ -140,12 +154,20 @@ def visit_errors(netlist, visit=None):
 
 # --------------------------------------------------------------------- lexer
 
-def logical_lines(text: str, file="<netlist>"):
+def logical_lines(text: str, file="<netlist>", spans=False):
     """Yield (lineno, line) after joining '+' continuations and stripping
     comments.  Comment rules: '*' in column 0; '$' and ';' start an inline
-    comment; '//' also accepted (ngspice)."""
+    comment; '//' also accepted (ngspice).
+
+    ``spans=True`` yields (lineno, line, (lo, hi)) where text[lo:hi] is the
+    statement's exact original bytes, continuations included — the lossless
+    handle behind ``SpiceNetlist.source_of`` (the reference's red-tree
+    ``String(node)`` role, SpectreNetlistParser.jl/src/RedTree.jl:89-102)."""
     out = []
-    for i, raw in enumerate(text.splitlines(), start=1):
+    off = 0
+    for i, raw in enumerate(text.splitlines(True), start=1):
+        lo, hi = off, off + len(raw.rstrip("\r\n"))
+        off += len(raw)
         line = raw.rstrip()
         if not line.strip():
             continue
@@ -164,10 +186,14 @@ def logical_lines(text: str, file="<netlist>"):
                 raise SpiceParseError("continuation with no previous line",
                                       file, i, raw)
             out[-1][1].append(line.lstrip()[1:])
+            out[-1][2][1] = hi
         else:
-            out.append([i, [line]])
-    for lineno, parts in out:
-        yield lineno, " ".join(parts)
+            out.append([i, [line], [lo, hi]])
+    for lineno, parts, sp in out:
+        if spans:
+            yield lineno, " ".join(parts), (sp[0], sp[1])
+        else:
+            yield lineno, " ".join(parts)
 
 
 _CARD_TOK = re.compile(r"""\s*(?:
@@ -240,22 +266,24 @@ class SpiceParser:
                 # keep a blank placeholder so line numbers stay 1-based
                 # against the original file
                 text = "\n".join([""] + raw[1:])
-        self.lines = list(logical_lines(text, file))
+        self.lines = list(logical_lines(text, file, spans=True))
+        self.source = text
         self.i = 0
 
     def parse(self) -> SpiceNetlist:
         stmts = self._parse_block(end_tokens=(".end",))
-        return SpiceNetlist(self.title, stmts, self.file)
+        return SpiceNetlist(self.title, stmts, self.file,
+                            source=self.source)
 
     def _parse_block(self, end_tokens):
         stmts = []
         while self.i < len(self.lines):
-            lineno, line = self.lines[self.i]
+            lineno, line, span = self.lines[self.i]
             head = line.split()[0].lower()
             if head in end_tokens:
                 return stmts
             self.i += 1
-            loc = Loc(self.file, lineno, line)
+            loc = Loc(self.file, lineno, line, span=span)
             if self.errors == "collect":
                 try:
                     s = self._parse_statement(head, line, loc)
@@ -390,7 +418,7 @@ class SpiceParser:
                     vals.append(n2)
             # consume lines until .enddata collecting numbers
             while self.i < len(self.lines):
-                lineno2, line2 = self.lines[self.i]
+                lineno2, line2 = self.lines[self.i][:2]
                 head2 = line2.split()[0].lower()
                 if head2 in (".enddata", ".endd"):
                     self.i += 1
@@ -534,12 +562,12 @@ class SpiceParser:
         body = self._parse_block(end_tokens=(".elseif", ".else", ".endif"))
         branches.append((cond, body))
         while self.i < len(self.lines):
-            lineno, line = self.lines[self.i]
+            lineno, line, span2 = self.lines[self.i]
             head = line.split()[0].lower()
             self.i += 1
             if head == ".endif":
                 break
-            loc2 = Loc(self.file, lineno, line)
+            loc2 = Loc(self.file, lineno, line, span=span2)
             if head == ".elseif":
                 cond_src = line.split(None, 1)[1]
                 cond2 = parse_expr(cond_src.strip("()' "), self.dialect)

@@ -614,3 +614,30 @@ c1 out 0 1n
         assert abs(got - want) < 5e-3, (meth, maxord, got, want)
     assert res["circuit"].options["method"] == "gear"
     assert res["circuit"].options["maxord"] == 5.0
+
+
+def test_source_of_byte_exact():
+    """SpiceNetlist.source_of(stmt) re-emits the statement's exact
+    original bytes — continuations and inline comments included (the
+    reference red-tree String(node) role, RedTree.jl:89-102)."""
+    from cedarsim_tpu.frontend.parser import parse_spice
+    src = """* title
+.param rr=1k  $ with a comment
+R1 a b {rr}
+X1 a b sub w=1u
++ l=2u   ; tail comment
+C1 b 0 1n
+.end
+"""
+    nl = parse_spice(src)
+    got = [nl.source_of(st) for st in nl.statements]
+    assert got == [
+        ".param rr=1k  $ with a comment",
+        "R1 a b {rr}",
+        "X1 a b sub w=1u\n+ l=2u   ; tail comment",
+        "C1 b 0 1n",
+    ]
+    # spans index netlist.source: reconstruct and check byte identity
+    for st in nl.statements:
+        lo, hi = st.loc.span
+        assert nl.source[lo:hi] == nl.source_of(st)
