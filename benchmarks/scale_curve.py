@@ -135,6 +135,13 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
     rec["tran_warm_s"] = round(wall, 2)
     rec["tran_compile_s"] = round(rec["tran_cold_s"] - wall, 2)
 
+    # golden gate on the solo run FIRST, and emit a complete row before
+    # the batched leg: an UNAVAILABLE (per-execution deadline) in the
+    # batched windows poisons the process TPU client, and the parent
+    # keeps the LAST complete row (bench.py's kill-tolerant discipline)
+    _finish_row(rec, rbs, comp, tstop)
+    print("ROW " + json.dumps(rec), flush=True)
+
     # batched lanes: the TPU scale-throughput lever — the leveled LU's
     # sequential sweeps amortize across vmapped lanes (measured 35.9 ->
     # 1.73 ms/lane at nb=16, 1992 unknowns), so throughput at scale comes
@@ -175,6 +182,15 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
                                                            1)
         rec[f"batched{nb}_steps_per_sec_total"] = round(naccb / wb, 1)
 
+    return rec
+
+
+def _finish_row(rec, rbs, comp, tstop):
+    """Fill acceptance counts + the golden gate from the solo windows:
+    the d0 pulse (high 45-95 ns) is latched by cell 1 at the 70 ns falling
+    clock edge -> d1 high at 95 ns; d2 still low.  Rails must be exact on
+    every probed node."""
+    import numpy as np
     ts_parts, xs_parts = [], []
     for rb in rbs:
         nk = int(np.asarray(rb[3]))
@@ -186,11 +202,7 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
     nacc = sum(int(np.asarray(rb[3])) - 1 for rb in rbs)
     rec["accepted"] = nacc
     rec["newton"] = sum(int(np.asarray(rb[6])) for rb in rbs)
-    rec["steps_per_sec"] = round(nacc / wall, 1)
-
-    # golden gate: the d0 pulse (high 45-95 ns) is latched by cell 1 at the
-    # 70 ns falling clock edge -> d1 high at 95 ns; d2 still low.  Rails
-    # must be exact on every probed node.
+    rec["steps_per_sec"] = round(nacc / rec["tran_warm_s"], 1)
     ok = rec["finished"] and rec["dc_converged"]
     worst = 0.0
     for node, t_probe, want in (("d1", 0.95e-7, 5.0), ("d2", 0.95e-7, 0.0)):
@@ -200,7 +212,6 @@ def run_one(cells, backend, tstop, fresh_cache, segments=1):
             worst = max(worst, abs(v - want))
     rec["worst_gate_err"] = round(worst, 4)
     rec["ok"] = bool(ok and worst < 0.1)
-    return rec
 
 
 def main():
