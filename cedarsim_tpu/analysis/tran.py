@@ -191,6 +191,13 @@ class TranOptions:
     #: its oldest sample.  Size it so td spans at most ~delay_history
     #: accepted steps.
     delay_history: int = 512
+    #: output projection (SPICE .save at the engine level): a tuple of
+    #: state indices to store in the waveform buffers, or None for all.
+    #: A 10k-lane vmapped sweep storing every unknown is terabytes of
+    #: HBM; storing only the probed nodes is O(lanes·steps·len(store)).
+    #: The checkpoint/final state always carries the FULL x, so resume
+    #: and chained windows are unaffected.
+    store_vars: tuple = None
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -360,6 +367,17 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     span = tstop - t0
     hmax = span * opts.hmax_frac
     hmin = span * opts.hmin_frac
+    if opts.store_vars is None:
+        n_store = n
+
+        def _proj(v):
+            return v
+    else:
+        _sv = jnp.asarray(np.asarray(opts.store_vars, np.int32))
+        n_store = _sv.shape[0]
+
+        def _proj(v):
+            return v[_sv]
     nb = bps.shape[0]  # padded with [tstop, inf...]
     if nb == 0:
         # direct callers may pass an empty schedule (no source breakpoint
@@ -1123,8 +1141,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
         acc = accept
         ts_b = ts_b.at[kc].set(jnp.where(acc, t_new, ts_b[kc]))
-        xs_b = xs_b.at[kc].set(jnp.where(acc, xn, xs_b[kc]))
-        xd_b = xd_b.at[kc].set(jnp.where(acc, xdot_n, xd_b[kc]))
+        xs_b = xs_b.at[kc].set(jnp.where(acc, _proj(xn), xs_b[kc]))
+        xd_b = xd_b.at[kc].set(jnp.where(acc, _proj(xdot_n), xd_b[kc]))
         c = dict(c)
         c.update(
             t=jnp.where(acc, t_new, t),
@@ -1213,8 +1231,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
     def chunk(state, _):
         ts_b = jnp.full((CH,), tstop, dtype)   # pad with tstop for interp
-        xs_b = jnp.zeros((CH, n), dtype)
-        xd_b = jnp.zeros((CH, n), dtype)
+        xs_b = jnp.zeros((CH, n_store), dtype)
+        xd_b = jnp.zeros((CH, n_store), dtype)
         kc0 = jnp.asarray(0, jnp.int32)
 
         def cond(carry):
@@ -1231,19 +1249,19 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         # interps monotonically (the tran() wrapper compacts on host, but
         # vmapped consumers read these buffers directly)
         written = (jnp.arange(CH) < kc)[:, None]
-        xs_b = jnp.where(written, xs_b, state["x"])
-        xd_b = jnp.where(written, xd_b, state["xdot"])
+        xs_b = jnp.where(written, xs_b, _proj(state["x"]))
+        xd_b = jnp.where(written, xd_b, _proj(state["xdot"]))
         return state, (ts_b, xs_b, xd_b, kc)
 
     state, (ts_c, xs_c, xd_c, kc_c) = jax.lax.scan(
         chunk, state0, None, length=n_chunks)
     ts_all = ts_c.reshape(-1)
-    xs_all = xs_c.reshape(-1, n)
-    xd_all = xd_c.reshape(-1, n)
+    xs_all = xs_c.reshape(-1, n_store)
+    xd_all = xd_c.reshape(-1, n_store)
     # prepend the initial point
     ts_all = jnp.concatenate([jnp.asarray([t0], dtype), ts_all])
-    xs_all = jnp.concatenate([x0[None], xs_all])
-    xd_all = jnp.concatenate([xdot0[None], xd_all])
+    xs_all = jnp.concatenate([_proj(x0)[None], xs_all])
+    xd_all = jnp.concatenate([_proj(xdot0)[None], xd_all])
     finished = jnp.logical_and(state["ok"], state["t"] >= t_end)
     final = {f: state[f] for f in ckpt_fields}
     return (ts_all, xs_all, xd_all, state["k"] + 1, finished,

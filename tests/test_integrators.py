@@ -371,3 +371,39 @@ def test_bdf5_step_count_reduction():
             assert abs(got - want) < 0.02, (method, t, got, want)
         counts[method] = sol.n_accepted
     assert counts["bdf5"] < 0.85 * counts["bdf2"], counts
+
+
+def test_store_vars_projection():
+    """TranOptions.store_vars projects the waveform buffers to the probed
+    columns (SPICE .save at the engine level — what makes 10k-lane vmapped
+    sweeps fit in HBM) while the checkpoint state keeps the FULL x."""
+    import jax
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import solve_dc
+    from cedarsim_tpu.analysis.tran import (tran_core, _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+
+    c = _rc()
+    iv = c.node_names.index("vout")
+    ctx = SimSpec.make()
+    ctx_op = ctx.with_mode("tranop")
+    op = solve_dc(c, ctx=ctx, mode="tranop", artifact_cache=False)
+    xd0 = _consistent_xdot(c, op.x, ctx_op, c.params0)
+    mask = _differential_mask(c, op.x, ctx_op, c.params0)
+    d = c.dtype
+    tstop = 5e-6
+    bps = jnp.asarray(c.breakpoints(tstop), d)
+    opts = TranOptions(max_steps=2048, store_vars=(iv,))
+    rb = jax.jit(lambda x, xd, ist: tran_core(
+        c, c.params0, ctx, x, xd, jnp.asarray(0.0, d),
+        jnp.asarray(tstop, d), bps, jnp.asarray(2e-13, d), opts, mask,
+        init_state=ist))(op.x, xd0, blank_checkpoint(op.x, xd0, 2e-13))
+    ts, xs = np.asarray(rb[0]), np.asarray(rb[1])
+    assert xs.shape[1] == 1
+    assert bool(np.asarray(rb[4]))
+    got = float(np.interp(2e-6, ts, xs[:, 0]))
+    want = 1.0 - math.exp(-(2e-6 - 1e-9) / 1e-6)
+    assert abs(got - want) < 5e-3
+    assert np.asarray(rb[7]["x"]).shape == (c.n_x,)
