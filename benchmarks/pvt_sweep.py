@@ -121,12 +121,168 @@ def run(points, backend):
                 date=time.strftime("%Y-%m-%d"))
 
 
+def run_chunked(points, backend, chunk=None, segments=2):
+    """High-throughput mode for the 10k-point north star (BASELINE.md):
+    the W x VDD grid streams through ONE compiled vmapped windowed program
+    in chunk-sized dispatches.  Three levers make 10k points tractable on
+    a single chip: (1) ``TranOptions.store_vars`` keeps only the probed Q
+    column (full waveforms at 10k lanes would be TBs of HBM), (2) windows
+    are checkpoint-chained so no device execution outlives the tunnel's
+    ~60 s deadline, (3) chunks keep the lockstep step-union loss bounded
+    (throughput peaks near nb=512 on the chip, bench.py 2026-08-19)."""
+    import jax
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from cedarsim_tpu import parse_spice, elaborate, compile_circuit, SimSpec
+    from cedarsim_tpu.core.compile import ensure_dynamic
+    from cedarsim_tpu.analysis.dc import (solve_dc, dc_core,
+                                          default_newton_options)
+    from cedarsim_tpu.analysis.tran import (TranOptions, tran_core,
+                                            _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint,
+                                            window_schedules)
+    import dataclasses as _dc
+
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "tpu" and not on_tpu:
+        sys.exit("--backend tpu requested but TPU did not initialize")
+    if chunk is None:
+        chunk = 512 if on_tpu else 16
+    t0 = time.perf_counter()
+    with open(os.path.join(DFF, "dff_tb_bsim4.cir")) as f:
+        nl = parse_spice(f.read(), file="dff_tb_bsim4.cir")
+    comp = compile_circuit(elaborate(nl, include_paths=[DFF]),
+                           eval_dtype=jnp.float32 if on_tpu else None)
+    comp = ensure_dynamic(comp, ["vvdd.dc", "w"])
+    ctx = SimSpec.make(gmin=1e-15)
+    ctx_op = ctx.with_mode("tranop")
+    key = [k for k in comp.group_order if "bsim4" in k.lower()][0]
+    iq = comp.node_names.index("q")
+
+    nv = max(2, int(round(points ** 0.5)))
+    nw = max(2, -(-points // nv))
+    vdds = np.repeat(np.linspace(4.75, 5.25, nv), nw)[:points]
+    wscs = np.tile(np.linspace(0.97, 1.03, nw), nv)[:points]
+    # pad to a whole number of chunks with nominal lanes (gated but not
+    # counted)
+    n_pad = (-points) % chunk
+    vdds = np.concatenate([vdds, np.full(n_pad, 5.0)])
+    wscs = np.concatenate([wscs, np.ones(n_pad)])
+
+    op = solve_dc(comp, ctx=ctx, mode="tranop")
+    assert bool(np.asarray(op.converged)), "nominal op failed"
+    nopts = default_newton_options(comp)
+    light = _dc.replace(nopts, gmin_steps=2, src_steps=2, restarts=0,
+                        gmin_start=1e-6)
+    opc = min(64, chunk)
+    fop = jax.jit(jax.vmap(lambda p, x: dc_core(comp, p, ctx_op, x, light),
+                           in_axes=(0, 0)))
+    tstop = 7e-7
+    bps = comp.breakpoints(tstop)
+    edges = np.linspace(0.0, tstop, segments + 1)
+    win = window_schedules(bps, edges)
+    topts = dict(max_steps=8192 // segments, jac_reuse=1,
+                 store_vars=(iq,))
+    if on_tpu:
+        topts.update(newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                     jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
+    opts = TranOptions(**topts)
+    mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
+    d = comp.dtype
+    ftr = jax.jit(jax.vmap(
+        lambda p, x, xd, ist, a, b, w: tran_core(
+            comp, p, ctx, x, xd, a, b, w, jnp.asarray(7e-13, d), opts,
+            mask, init_state=ist),
+        in_axes=(0, 0, 0, 0, None, None, None)))
+    fxd = jax.jit(jax.vmap(
+        lambda x, p: _consistent_xdot(comp, x, ctx_op, p)))
+
+    def chunk_params(k0):
+        trees = []
+        for j in range(k0, k0 + chunk):
+            pj = comp.set_param(comp.params0, "vvdd.dc", float(vdds[j]))
+            grp = dict(pj[key])
+            grp["W"] = grp["W"] * float(wscs[j])
+            pj = dict(pj)
+            pj[key] = grp
+            trees.append(pj)
+        return jax.tree.map(lambda *ls: jnp.stack(ls), *trees)
+
+    def run_chunk(pb):
+        xs, conv = [], []
+        x0rep = jnp.repeat(op.x[None], opc, 0)
+        for k0 in range(0, chunk, opc):
+            r = fop(jax.tree.map(lambda a: a[k0:k0 + opc], pb), x0rep)
+            xs.append(r.x)
+            conv.append(np.asarray(r.converged))
+        x0b = jnp.concatenate(xs, 0)
+        if not bool(np.concatenate(conv).all()):
+            return None, None
+        xdb = fxd(x0b, pb)
+        st = blank_checkpoint(x0b, xdb, 7e-13)
+        rbs = []
+        for k in range(segments):
+            rb = ftr(pb, st["x"], st["xdot"], st, jnp.asarray(edges[k], d),
+                     jnp.asarray(edges[k + 1], d), jnp.asarray(win[k], d))
+            rbs.append(rb)
+            st = rb[7]
+        jax.block_until_ready(st["x"])
+        return rbs, st
+
+    pb0 = chunk_params(0)
+    rbs, _ = run_chunk(pb0)          # compile everything once
+    setup_s = time.perf_counter() - t0
+    assert rbs is not None, "warm-up chunk op failed"
+
+    t0 = time.perf_counter()
+    ok = True
+    worst = 0.0
+    n_newton = 0
+    for k0 in range(0, len(vdds), chunk):
+        pb = pb0 if k0 == 0 else chunk_params(k0)
+        rbs, _ = run_chunk(pb)
+        if rbs is None:
+            ok = False
+            continue
+        # gate: q at the end of the window must sit on the lane's rail
+        ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
+        qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
+                            axis=1)
+        fin = np.asarray(rbs[-1][4])
+        n_newton += int(sum(np.asarray(rb[6]).sum() for rb in rbs))
+        for lane in range(chunk):
+            j = k0 + lane
+            q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
+            err = abs(q - vdds[j])
+            if j < points:
+                worst = max(worst, err)
+                if err > 0.1 or not bool(fin[lane]):
+                    ok = False
+    wall = time.perf_counter() - t0
+    return dict(points=points, backend="tpu" if on_tpu else "cpu",
+                mode="f32-eval" if on_tpu else "f64", chunk=chunk,
+                segments=segments, store="q-only",
+                ok=bool(ok), worst_rail_err=round(worst, 4),
+                setup_s=round(setup_s, 1), wall_s=round(wall, 2),
+                points_per_sec=round(points / wall, 2),
+                newton=n_newton, kind="chunked",
+                date=time.strftime("%Y-%m-%d"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=32)
     ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--chunked", action="store_true",
+                    help="high-throughput chunked mode (10k-point north "
+                         "star): q-only storage, windowed, chunk dispatches")
+    ap.add_argument("--chunk", type=int, default=None)
     a = ap.parse_args()
-    rec = run(a.points, a.backend)
+    rec = (run_chunked(a.points, a.backend, a.chunk) if a.chunked
+           else run(a.points, a.backend))
     print(json.dumps(rec))
     path = os.path.join(D, "pvt_sweep.json")
     rows = []
