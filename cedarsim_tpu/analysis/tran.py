@@ -1304,6 +1304,12 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
         else:
             opts = TranOptions()
     params = compiled.params0 if params is None else params
+    if opts.store_vars is not None:
+        raise ValueError(
+            "TranOptions.store_vars projects the waveform buffers and "
+            "breaks TranSolution's name->column mapping — it is for "
+            "direct tran_core drivers (vmapped sweeps); use the full "
+            "buffers (store_vars=None) with tran()")
     if ctx is None:
         from cedarsim_tpu.core.compile import default_ctx
         ctx = default_ctx(compiled)
