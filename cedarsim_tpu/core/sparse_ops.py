@@ -46,6 +46,9 @@ class SparseOps:
         weights = None
         if weights_probe:
             weights = self._numeric_weights(keep)
+        #: pattern-order probe weights (None when probing is off) — kept
+        #: for introspection/tests of the pivot-matching inputs
+        self.probe_weights = weights
         rows, cols = rows[keep].astype(np.int64), cols[keep].astype(np.int64)
 
         self.plan = sparse_lu.build_plan(n, rows, cols, weights=weights)
@@ -130,6 +133,15 @@ class SparseOps:
                         np.asarray(x_pad[g.var_idx]).astype(ed), cpu)
                     Jl = vjac(lv, pv)                  # [ni, nr, nc]
                     W = W + np.asarray(Jl, np.float64)
+                # the real assembly scales KCL rows by the $mult instance
+                # multiplier (res_jacs_sparse / compile.py) — without it a
+                # device with m>>1 probes m× weaker than its actual matrix
+                # entries and the pivot matching can prefer numerically
+                # weaker pivots on m=-heavy netlists (ADVICE r3)
+                mult = np.asarray(gp["$mult"], np.float64)
+                kcl = np.asarray(g.kcl_mask, bool)
+                W = W * np.where(kcl[None, :, None], mult[:, None, None],
+                                 1.0)
                 # NaN-producing probe points (e.g. off-bias compact models)
                 # must not poison the matching — treat as unknown magnitude
                 parts.append(np.nan_to_num(W, nan=0.0, posinf=0.0).ravel())

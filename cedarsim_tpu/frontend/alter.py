@@ -57,12 +57,16 @@ def _scan_assignments(text: str):
         if not toks:
             return
         first = text[toks[0][0]:toks[0][1]].lower()
-        scope_now = tuple(scopes)
         if first in (".subckt", "subckt") and len(toks) > 1:
+            # push BEFORE capturing scope_now: default-parameter
+            # assignments on the header line itself (``.subckt inv a b
+            # wn=2u``) belong to the subckt's scope, so
+            # scoped={'inv.wn': ...} reaches them
             scopes.append(text[toks[1][0]:toks[1][1]].lower())
         elif first in (".ends", "ends", ".eom"):
             if scopes:
                 scopes.pop()
+        scope_now = tuple(scopes)
         k = 0
         while k + 2 < len(toks):
             if (toks[k][2] == "w" and toks[k + 1][2] == "="

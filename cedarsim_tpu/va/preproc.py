@@ -199,6 +199,13 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0,
             f"recursive expansion of macro `{macro.name} (the macro's "
             "expansion uses the macro itself; check for spelling mistakes "
             "or definition ordering)", use_tok, file)
+    # argument tokens come from the USE site, not the macro body: they
+    # expand against the stack as it stood at the call (so `M(`M(x)) is a
+    # legal nested call, not self-recursion — ADVICE r3), while body-driven
+    # expansion carries this macro's name (so a body that reaches itself
+    # through an argument of ANOTHER macro, e.g. `define A `B(`A), is
+    # still caught)
+    arg_stack = _stack
     _stack = _stack + (macro.name,)
     if _depth > 100:
         raise VAPreprocError(f"macro expansion nested too deeply "
@@ -288,7 +295,7 @@ def _expand_macro(macro: Macro, toks, i, use_tok, macros, file, _depth=0,
                 if at.kind == "directive" and at.text in macros:
                     sub, k2 = _expand_macro(macros[at.text], ats, k2 + 1,
                                             use_tok, macros, file,
-                                            _depth + 1, _stack=_stack)
+                                            _depth + 1, _stack=arg_stack)
                     out.extend(sub)
                     continue
                 out.append(Tok(at.kind, at.text, at.line, at.col,

@@ -239,6 +239,26 @@ C1 out 0 1u
     assert np.isclose(m["trise"], 1e-3, rtol=2e-2)
 
 
+def test_measure_deriv():
+    # DERIV AT / DERIV WHEN against the RC charge closed form:
+    # dv/dt = (1/tau)·e^{-(t-t0)/tau} with tau=1ms, step at t0=1ms
+    code = """* deriv meas
+V1 in 0 PULSE(0 1 1m 1u 1u 20m 40m)
+R1 in out 1k
+C1 out 0 1u
+.tran 0.05m 6m
+.meas tran slope_at DERIV v(out) AT=2m
+.meas tran slope_when DERIV v(out) WHEN v(out)=0.5 rise=1
+"""
+    res = simulate(code)
+    m = res["measures"]
+    tau = 1e-3
+    want_at = np.exp(-1.0) / tau           # t - t0 = 1 tau
+    assert np.isclose(m["slope_at"], want_at, rtol=2e-2), m
+    # at v=0.5: dv/dt = (1-v)/tau = 0.5/tau
+    assert np.isclose(m["slope_when"], 0.5 / tau, rtol=2e-2), m
+
+
 def test_coupled_inductors():
     # ideal transformer-ish: k=0.999, turns ratio sqrt(L2/L1)=2; AC gain ~2
     from cedarsim_tpu import compile_circuit, acdec, load_spice
@@ -427,6 +447,35 @@ RL c 0 rr=50
         alter(src, scoped={"blockC.rr": 1})
     with _pytest.raises(AlterError):
         alter(src, scoped={"blockA.zz": 1})
+
+
+def test_alter_scoped_subckt_header_default():
+    # SPICE subckt default params live on the .subckt header line itself —
+    # scoped substitution must reach them (the header belongs to the
+    # subckt's own scope, like the reference's offset-range substitution,
+    # spectre.jl:1773-1829).  Regression: ADVICE r3 medium.
+    from cedarsim_tpu.frontend.alter import alter
+    src = ("* hdr\n"
+           ".subckt inv a y wn=2u wp=4u\n"
+           "M1 y a 0 0 nmos w=wn\n"
+           ".ends\n"
+           "X1 in out inv\n"
+           ".end\n")
+    out = alter(src, scoped={"inv.wn": "5u"})
+    assert "wn=5u" in out and "wp=4u" in out
+    # nested: header default of an inner subckt is scoped to the inner name
+    src2 = ("* n\n"
+            ".subckt outer a b\n"
+            ".subckt inner c d rr=10\n"
+            "R1 c d rr\n"
+            ".ends\n"
+            "X1 a b inner\n"
+            ".ends\n"
+            ".end\n")
+    out2 = alter(src2, scoped={"inner.rr": 33})
+    assert "rr=33" in out2
+    out3 = alter(src2, scoped={"outer.rr": 44})  # inner ⊂ outer scope chain
+    assert "rr=44" in out3
 
 
 def test_parser_error_recovery_multi_error():

@@ -267,6 +267,50 @@ def test_consumed_breakpoint_schedule_finishes():
     assert tail < 200, f"h stranded near hmin after the final bp ({tail})"
 
 
+def test_ulp_close_breakpoints_dont_stall_schedule():
+    """Regression (ADVICE r3): two distinct breakpoints closer than
+    1e-12·span — np.unique removes only EXACT duplicates, and multi-source
+    PWL corners can differ by ulps — used to leave bpi pinned on the stale
+    second entry (the consumed-schedule guard maps it to inf, and inf can
+    never fire hit_bp to advance bpi), silently skipping every remaining
+    breakpoint.  bpi now advances past all consumed entries via
+    searchsorted, so the step controller still lands exactly on the later
+    breakpoints."""
+    import jax
+    import jax.numpy as jnp
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import solve_dc
+    from cedarsim_tpu.analysis.tran import (tran_core, _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+
+    c = _rc()
+    ctx = SimSpec.make()
+    op = solve_dc(c, ctx=ctx, mode="tranop", artifact_cache=False)
+    ctx_op = ctx.with_mode("tranop")
+    xd0 = _consistent_xdot(c, op.x, ctx_op, c.params0)
+    mask = _differential_mask(c, op.x, ctx_op, c.params0)
+    d = c.dtype
+    tstop = 5e-6
+    t1 = 1e-6
+    # second entry differs from the first by ~1 ulp — far below the
+    # 1e-12·span consumed-slot threshold — then a real later breakpoint
+    bps = jnp.asarray([t1, np.nextafter(t1, np.inf), 3e-6, tstop], d)
+    opts = TranOptions(max_steps=4096)
+    rb = jax.jit(lambda x, xd, ist: tran_core(
+        c, c.params0, ctx, x, xd, jnp.asarray(0.0, d),
+        jnp.asarray(tstop, d), bps, jnp.asarray(2e-13, d), opts, mask,
+        init_state=ist))(op.x, xd0, blank_checkpoint(op.x, xd0, 2e-13))
+    assert bool(np.asarray(rb[4])), "span unfinished"
+    ts = np.asarray(rb[0])
+    nacc = int(np.asarray(rb[3]))
+    acc = ts[:nacc]
+    # accepted steps must land ON both distinct breakpoint times
+    for bp in (t1, 3e-6):
+        assert np.min(np.abs(acc - bp)) <= 1e-12 * tstop, \
+            f"no accepted step landed on breakpoint {bp}"
+
+
 def test_empty_breakpoint_schedule():
     """Regression: a size-0 breakpoint schedule (no source breakpoint below
     tstop) raised a trace-time IndexError at ``bps[nb - 1]`` with nb == 0.
@@ -407,3 +451,40 @@ def test_store_vars_projection():
     want = 1.0 - math.exp(-(2e-6 - 1e-9) / 1e-6)
     assert abs(got - want) < 5e-3
     assert np.asarray(rb[7]["x"]).shape == (c.n_x,)
+
+
+def test_store_vars_public_tran_and_netlist_save():
+    """The public ``tran()`` accepts store_vars by NAME (VERDICT r3 missing
+    #6) — the solution maps names to projected columns, unsaved observables
+    raise a clear KeyError, checkpoint/resume keep the full state — and a
+    netlist ``.save v(q)`` card flows through simulate() into the same
+    projection."""
+    import pytest
+    from cedarsim_tpu import tran, simulate
+    c = _rc()
+    sol = tran(c, (0.0, 5e-6), opts=TranOptions(max_steps=2048,
+                                                store_vars=("vout",)))
+    assert sol.converged and sol.xs.shape[1] == 1
+    want = 1.0 - math.exp(-(2e-6 - 1e-9) / 1e-6)
+    assert abs(float(sol.interp("vout", 2e-6)) - want) < 5e-3
+    with pytest.raises(KeyError, match="not stored"):
+        sol["vin"]
+    # checkpoint carries the FULL state: resume continues with full physics
+    assert sol.checkpoint["x"].shape == (c.n_x,)
+    sol2 = tran(c, (0.0, 8e-6), resume=sol.checkpoint,
+                opts=TranOptions(max_steps=2048))
+    assert sol2.converged
+    # netlist .save card -> projected solution via the public simulate()
+    res = simulate("""* save card
+V1 in 0 PWL(0 0 1u 2.0 9u 2.0)
+R1 in q 1k
+R2 q 0 1k
+.save v(q)
+.tran 0.1u 3u
+.end
+""")
+    tr = res["tran"]
+    assert tr.xs.shape[1] == 1 and tr.store_map == {"q": 0}
+    assert abs(float(np.interp(2.5e-6, tr.ts, tr["q"])) - 1.0) < 2e-3
+    with pytest.raises(ValueError, match="not a storable net"):
+        tran(c, (0.0, 1e-6), opts=TranOptions(store_vars=("nope",)))

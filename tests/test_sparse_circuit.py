@@ -110,6 +110,69 @@ def test_bsim4_chain_40cell_sparse_transient():
     assert abs(float(sol.interp("d2", 1.99e-7))) < 0.1
 
 
+def test_sparse_plan_builds_lazily_under_ambient_trace():
+    """Regression (VERDICT r3 weak #3): the 384-cell scale-curve leg died
+    with TracerArrayConversionError inside SparseOps._numeric_weights when
+    the LU plan was built lazily at trace time (dc_core/tran_core call
+    get_sparse_ops while jit is tracing).  The probe must stay a concrete
+    host-side computation — numpy input prep, eager CPU dispatch — with an
+    ambient jit AND vmap trace active and traced params flowing through
+    the solver itself."""
+    import jax
+    import jax.numpy as jnp
+    from chain import build
+    from cedarsim_tpu import SimSpec
+    from cedarsim_tpu.analysis.dc import dc_core, default_newton_options
+
+    c = build(6, sparse=True)
+    assert "_sparse_ops" not in c.__dict__      # plan NOT prebuilt
+    ctx = SimSpec.make(gmin=1e-15).with_mode("tranop")
+    opts = default_newton_options(c)
+    nb = 3
+    pb = jax.tree.map(lambda a: jnp.repeat(a[None], nb, 0), c.params0)
+    x0 = jnp.zeros((nb, c.n_x), c.dtype)
+    # the plan is constructed INSIDE this trace
+    r = jax.jit(jax.vmap(lambda p, x: dc_core(c, p, ctx, x, opts)))(pb, x0)
+    assert "_sparse_ops" in c.__dict__          # built during tracing
+    assert bool(np.all(np.asarray(r.converged)))
+    # physics: matches the dense answer
+    cd = build(6, sparse=False)
+    from cedarsim_tpu import solve_dc
+    rd = solve_dc(cd, ctx=SimSpec.make(gmin=1e-15), mode="tranop")
+    assert np.abs(np.asarray(r.x[0]) - np.asarray(rd.x)).max() < 1e-8
+
+
+def test_numeric_weights_include_mult():
+    """The pivot-weight probe must scale KCL rows by the $mult instance
+    multiplier exactly like the real assembly (res_jacs_sparse) — an m=8
+    resistor's matrix entries are 8x the m=1 entries, and the static pivot
+    matching should see them that way (ADVICE r3)."""
+    from cedarsim_tpu import parse_spice, elaborate
+    from cedarsim_tpu.core.compile import compile_circuit
+    from cedarsim_tpu.core.sparse_ops import SparseOps
+
+    def weights_for(m):
+        nl = parse_spice(f"""* mult probe
+V1 a 0 1
+R1 a b 1k m={m}
+R2 b 0 1k
+.end
+""")
+        comp = compile_circuit(elaborate(nl), sparse=True)
+        return SparseOps(comp), comp
+
+    s1, c1 = weights_for(1)
+    s8, c8 = weights_for(8)
+    w1 = np.asarray(s1.probe_weights)
+    w8 = np.asarray(s8.probe_weights)
+    assert w1.shape == w8.shape
+    # entries touched by the m= device scale by 8; the rest (V1 branch
+    # rows, R2 rows, diagonal floor) stay equal
+    ratio = w8 / w1
+    assert ratio.max() > 7.9 and ratio.max() < 8.1, ratio
+    assert np.all(ratio >= 0.99), ratio
+
+
 def test_breakpoint_near_duplicates_merge():
     """The same edge time computed through different float paths (45n+50n
     vs 20n+25n+50n) lands 1 ULP apart; the step controller then attempts

@@ -400,6 +400,30 @@ def test_va_error_rendering_golden(case):
     assert rendered == want, case
 
 
+def test_va_macro_nested_same_name_in_argument():
+    """`M(`M(x)) is a legal nested CALL (the inner use is an argument from
+    the use site), not self-recursion of the definition — argument tokens
+    expand against the call-site stack (ADVICE r3).  True recursion through
+    an argument of another macro (`define A `B(`A)) must still be caught
+    as recursion, not a depth blowup."""
+    import pytest
+    from cedarsim_tpu.va.preproc import preprocess, VAPreprocError
+
+    src = ("`define TWICE(x) ((x)+(x))\n"
+           "module m(p); electrical p; analog V(p) <+ "
+           "`TWICE(`TWICE(2.0)); endmodule\n")
+    toks = preprocess(src, "t.va", ())
+    text = " ".join(t.text for t in toks if t.kind != "eof")
+    assert text.count("2.0") == 4, text    # ((…)+(…)) of ((2.0)+(2.0))
+
+    rec = ("`define A `B(`A)\n"
+           "`define B(x) (x)\n"
+           "module m(p); electrical p; analog V(p) <+ `A; endmodule\n")
+    with pytest.raises(VAPreprocError) as ei:
+        preprocess(rec, "t.va", ())
+    assert "recursive expansion" in str(ei.value)
+
+
 def test_va_error_backtrace_contents():
     """Semantic pins on the hard diagnostics (not just golden bytes): the
     expansion chain renders use site + definition site, and recursion is
