@@ -178,6 +178,12 @@ class Elaborator:
             cands.append(os.path.join(base, path))
         for ip in self.include_paths:
             cands.append(os.path.join(ip, path))
+        # in-tree vendored model sources last (.hdl "bsimcmg.va" just
+        # works) — the analog of the reference's jlpkg:// package-model
+        # resolution (/root/reference/src/spectre.jl:1276-1311)
+        from cedarsim_tpu.models import MODEL_SEARCH_PATHS
+        for ip in MODEL_SEARCH_PATHS:
+            cands.append(os.path.join(ip, path))
         for cand in cands:
             if os.path.isfile(cand):
                 return cand
@@ -416,8 +422,26 @@ class Elaborator:
         if st.cmd in ("meas", "measure"):
             self.ckt.directives.append(("meas", [st.loc.src], {}))
             return
-        if st.cmd in ("print", "plot", "save", "probe", "width",
-                      "end", "backanno", "temp"):
+        if st.cmd in ("save", "probe"):
+            # waveform projection (ngspice .save/.probe): record the probe
+            # targets; api.simulate turns them into TranOptions.store_vars.
+            # The card lexer splits "v(q)" into ["v", "q"], so a bare
+            # v/i token prefixes its target.
+            targets = []
+            toks = [a for a in st.args if isinstance(a, str)]
+            i = 0
+            while i < len(toks):
+                t = toks[i].lower()
+                if t in ("v", "i") and i + 1 < len(toks):
+                    tgt = toks[i + 1].lower()
+                    targets.append(tgt if t == "v" else tgt + ".i")
+                    i += 2
+                    continue
+                targets.append(t)
+                i += 1
+            self.ckt.directives.append(("save", targets, {}))
+            return
+        if st.cmd in ("print", "plot", "width", "end", "backanno", "temp"):
             return  # stored/no-op for now
         self.warn(f"unhandled directive .{st.cmd}", st.loc)
 

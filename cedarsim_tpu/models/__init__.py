@@ -11,6 +11,18 @@ from __future__ import annotations
 
 import os
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+#: vendored CMC BSIM-CMG 107 sources (third-party, see its README.md) —
+#: netlists reach them with ``.hdl "bsimcmg.va"``: the elaborator's file
+#: resolution falls back to the in-tree model directories, the analog of
+#: the reference's jlpkg:// package-model resolution
+#: (/root/reference/src/spectre.jl:1276-1311)
+BSIMCMG107_DIR = os.path.join(_HERE, "bsimcmg107")
+
+#: implicit include-path tail searched by the elaborator for model files
+MODEL_SEARCH_PATHS = (_HERE, BSIMCMG107_DIR)
+
 _CACHE: dict = {}
 
 

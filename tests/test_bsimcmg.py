@@ -1,6 +1,7 @@
-"""BSIM-CMG 107 integration tests (CMC FinFET standard model, vendored by the
-reference at VerilogAParser.jl/cmc_models/bsimcmg107 — reference parses it in
-its precompile workload and tests, test/bsimcmg/).
+"""BSIM-CMG 107 integration tests (CMC FinFET standard model, vendored
+in-tree at cedarsim_tpu/models/bsimcmg107/ exactly as the reference vendors
+it at VerilogAParser.jl/cmc_models/bsimcmg107 — reference parses it in its
+precompile workload and tests, test/bsimcmg/).
 
 Slow (model compile ~1-4 min on CPU): gated behind CEDARSIM_RUN_SLOW=1.
 The fast test only checks parse + device construction + prepare.
@@ -11,11 +12,9 @@ import os
 import numpy as np
 import pytest
 
-CMG_PATH = ("/root/reference/VerilogAParser.jl/cmc_models/bsimcmg107/"
-            "bsimcmg.va")
+from cedarsim_tpu.models import BSIMCMG107_DIR
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isfile(CMG_PATH), reason="BSIM-CMG source not available")
+CMG_PATH = os.path.join(BSIMCMG107_DIR, "bsimcmg.va")
 
 
 def _load():
@@ -36,6 +35,18 @@ def test_cmg_parses_and_compiles():
     assert p["DEVTYPE"] == 1.0
     # defaults referencing other params resolved
     assert len(p) > 1500
+
+
+def test_hdl_resolves_in_tree_model_sources():
+    """``.hdl "bsimcmg.va"`` with NO include paths must resolve to the
+    vendored in-tree copy (the elaborator's model-search-path fallback —
+    the analog of the reference's jlpkg:// package-model resolution,
+    spectre.jl:1276-1311).  No runtime dependency on /root/reference."""
+    from cedarsim_tpu.frontend.elaborate import Elaborator
+    el = Elaborator()
+    p = el._resolve_file("bsimcmg.va", None)
+    assert os.path.realpath(p) == os.path.realpath(CMG_PATH)
+    assert "/root/reference" not in os.path.realpath(p)
 
 
 def test_cmg_common_source_dc():
