@@ -169,6 +169,34 @@ def evaluate_measure(sol, line: str, xs=None, sig=None):
         if op == "integ":
             return name, float(_trapezoid(y, t))
 
+    m = re.match(r"^\s*deriv\s+(\S+)", rest, re.I)
+    if m:
+        # DERIV <sig> AT=<t> | DERIV <sig> WHEN <sig2>=<val> [RISE/FALL/
+        # CROSS=n] — ngspice/HSPICE MEAS DERIV (reference MEAS forms,
+        # /root/reference/SpectreNetlistParser.jl/src/SPICE/parse/forms.jl).
+        # d/dt on the (nonuniform) accepted-step axis via np.gradient's
+        # second-order differences.
+        y = sig(m.group(1))
+        dy = np.gradient(y, xs)
+        if "at" in kw:
+            return name, float(np.interp(_num(kw["at"]), xs, dy))
+        mw = re.search(r"when\s+(\S+)\s*=\s*(\S+)", rest, re.I)
+        if mw:
+            y2 = sig(mw.group(1))
+            val = _num(mw.group(2))
+            kind, nth = "cross", 1
+            for k in ("rise", "fall", "cross"):
+                if k in kw:
+                    kind = k
+                    nth = (int(_num(kw[k])) if kw[k].lower() != "last"
+                           else -1)
+            cr = _crossings(xs, y2, val, kind)
+            if not cr:
+                raise MeasureError(f"{name}: no {kind} crossing of {val}")
+            return name, float(np.interp(cr[nth - 1 if nth > 0 else -1],
+                                         xs, dy))
+        raise MeasureError(f"{name}: DERIV needs AT= or WHEN: {line!r}")
+
     m = re.match(r"^\s*when\s+(\S+)\s*=\s*(\S+)", rest, re.I)
     if m:
         y = sig(m.group(1))

@@ -181,6 +181,22 @@ def _run_circuit(circuit, temp=None, tran_opts=None):
                     mo = int(o.get("maxord", 2))
                     okw["method"] = ("bdf2" if mo <= 2
                                      else "bdf3" if mo == 3 else "bdf5")
+                # .save/.probe cards project the stored waveforms
+                # (ngspice semantics: only saved vectors are kept —
+                # O(steps·len(save)) memory instead of O(steps·n_x));
+                # "all" or a current probe (.save i(v1), not a state
+                # column) keeps the full buffers
+                saved = []
+                full = False
+                for c2, a2, _ in circuit.directives:
+                    if c2 == "save":
+                        for t in a2:
+                            if t == "all" or t.endswith(".i"):
+                                full = True
+                            else:
+                                saved.append(t)
+                if saved and not full:
+                    okw["store_vars"] = tuple(dict.fromkeys(saved))
                 opts = TranOptions(**okw)
             out["tran"] = tran(compiled, (0.0, d["tstop"]), params=run_params,
                                ctx=ctx, opts=opts)
