@@ -1,24 +1,36 @@
-"""Pallas TPU kernel: batched dense LU solve (f32). EXPERIMENTAL.
+"""Pallas TPU kernels: batched dense LU solve (f32).
 
-One grid cell per batch element; the matrix tile lives in VMEM for the whole
-factorization+solve, so the sequential elimination runs without HBM traffic
-or per-op dispatch.  This is the mixed-precision path's factor kernel
-(f32 factorization + f64 residual/iterative refinement = inexact Newton);
-the f64 path stays on the pure-JAX LU in ops/linalg.py (Mosaic has no f64).
+Two kernels:
 
-Status: numerically validated in Pallas interpret mode (exact vs
-jnp.linalg.solve, incl. pivoting cases).  The Mosaic build in this
-environment (libtpu 0.0.34 via the axon AOT helper) fails to legalize the
-combined kernel ("failed to legalize operation 'func.return'") even though
-each constituent pattern (value-carried fori loops, masked-reduction row
-swaps, pivot selection) compiles in isolation — tracked for the next round /
-newer Mosaic.  Not yet wired into the solvers.
+* ``lu_solve_batched_f32`` — one grid cell per batch element, partial
+  pivoting; the matrix tile lives in VMEM for the whole factorization+
+  solve.  TPU grid cells execute SEQUENTIALLY on the core, so this shape
+  leaves the 8x128 VPU mostly idle per step — correct, but a latency
+  kernel, not a throughput one.
+* ``lu_solve_batched_sublane_f32`` — the TPU-native layout: the BATCH
+  rides the sublane axis (A as [n, TB, n] slabs, b/x as [n, TB]), so every
+  elimination step is a fully-vectorized rank-1 update across TB cells at
+  once and the per-step work saturates the VPU.  No pivoting; small
+  pivots are GESP-boosted to ±tau (the static-pivot recipe the sparse path
+  uses, ops/sparse_lu.py) — callers equilibrate and/or iterate-refine.
+
+This is the mixed-precision path's factor kernel (f32 factorization + f64
+residual certification = inexact Newton); the f64 path stays on the
+pure-JAX LU in ops/linalg.py (Mosaic has no f64).
+
+Mosaic legalization (round-4 root cause): with global x64 enabled, the two
+sequential value-carried fori_loops get outlined into one function whose
+return mixes the i32 (1,1) counters with the loops' i64 induction vars —
+``failed to legalize 'func.return' (i32, i64, i64)``.  Each loop compiled
+alone, which is why round 3 tracked this as a combined-kernel mystery.
+Tracing the pallas_call under ``jax.enable_x64(False)`` makes induction
+vars i32 and the kernel legalizes; inputs/outputs are f32 either way, so
+callers see identical types.
 
 Kernel-writing notes baked in below: all constants must be f32 (global x64
 makes bare literals f64, which Mosaic cannot convert), loop counters ride
-the carry as (1,1) i32 (fori induction vars are i64 under x64), everything
-stays 2D, and row/element selection is by masked reduction, not dynamic
-gathers.
+the carry as (1,1) i32, everything stays 2D, and row/element selection is
+by masked reduction, not dynamic gathers.
 """
 
 from __future__ import annotations
@@ -123,18 +135,149 @@ def lu_solve_batched_f32(A, b, interpret=False):
     bf = bf.at[:, 0, :n].set(b.astype(jnp.float32))
 
     kern = functools.partial(_lu_solve_kernel, n=n)
-    out = pl.pallas_call(
-        kern,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, np_, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8, L), jnp.float32),
-        interpret=interpret,
-    )(Af, bf)
+    # trace under x64=off: fori induction vars become i32, which is what
+    # lets Mosaic legalize the two-loop kernel (see module docstring)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, np_, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, L), jnp.float32),
+            interpret=interpret,
+        )(Af, bf)
     return out[:, 0, :n]
+
+
+def _lu_sublane_kernel(a_ref, b_ref, out_ref, *, n: int):
+    """GESP (no-pivot, boosted) factor+solve for TB batch cells at once.
+
+    Layout: a_ref (np_, TB, L) = A[row, cell, col] — the batch in the
+    SUBLANE axis of every (TB, L) slab, so each elimination step is one
+    vectorized rank-1 update across all TB cells; b/out (np_r, TB) hold
+    b[row, cell].  All selection is by masked reduction (no gathers), all
+    constants f32, counters (1,1) i32."""
+    A = a_ref[:]                            # (np_, TB, L)
+    b = b_ref[:]                            # (np_r, TB)
+    np_, TB, L = A.shape
+    np_r = b.shape[0]
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1, 1), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (np_r, 1), 0)
+    Z = jnp.float32(0.0)
+    TAU = jnp.float32(1e-20)
+
+    def fact_body(_, carry):
+        A, b, k = carry
+        k3 = k.reshape(1, 1, 1)
+        k2 = k.reshape(1, 1)
+        rowk = jnp.sum(jnp.where(rows3 == k3, A, Z), axis=0)      # (TB, L)
+        colk = jnp.sum(jnp.where(lanes2[None] == k3, A, Z),
+                       axis=2)                                     # (np_, TB)
+        piv = jnp.sum(jnp.where(lanes2 == k2, rowk, Z),
+                      axis=1, keepdims=True).reshape(1, TB)        # (1, TB)
+        piv = jnp.where(jnp.abs(piv) < TAU,
+                        jnp.where(piv < Z, -TAU, TAU), piv)
+        mult = jnp.where(rows3[:, :, 0] > k2, colk / piv, Z)       # (np_, TB)
+        rk_hi = jnp.where(lanes2 > k2, rowk, Z)                    # (TB, L)
+        A = A - mult[:, :, None] * rk_hi[None]
+        bk = jnp.sum(jnp.where(rows2 == k2, b, Z),
+                     axis=0, keepdims=True)                        # (1, TB)
+        b = b - jnp.where(rows2 > k2, mult[:np_r], Z) * bk
+        return A, b, k + jnp.ones((1, 1), jnp.int32)
+
+    A, b, _ = jax.lax.fori_loop(
+        0, n, fact_body, (A, b, jnp.zeros((1, 1), jnp.int32)))
+
+    # back-substitution: x kept in BOTH layouts — x2 (np_r, TB) for the
+    # output write, xT (TB, L) lane-indexed for the row-dot reduction
+    def back_body(_, carry):
+        x2, xT, i = carry
+        i3 = i.reshape(1, 1, 1)
+        i2 = i.reshape(1, 1)
+        rowi = jnp.sum(jnp.where(rows3 == i3, A, Z), axis=0)      # (TB, L)
+        sacc = jnp.sum(jnp.where(lanes2 > i2, rowi * xT, Z),
+                       axis=1, keepdims=True).reshape(1, TB)       # (1, TB)
+        bi = jnp.sum(jnp.where(rows2 == i2, b, Z),
+                     axis=0, keepdims=True)                        # (1, TB)
+        aii = jnp.sum(jnp.where(lanes2 == i2, rowi, Z),
+                      axis=1, keepdims=True).reshape(1, TB)
+        aii = jnp.where(jnp.abs(aii) < TAU,
+                        jnp.where(aii < Z, -TAU, TAU), aii)
+        xi = (bi - sacc) / aii                                     # (1, TB)
+        x2 = jnp.where(rows2 == i2, xi, x2)
+        xT = jnp.where(lanes2 == i2, xi.reshape(TB, 1), xT)
+        return x2, xT, i - jnp.ones((1, 1), jnp.int32)
+
+    x2, _, _ = jax.lax.fori_loop(
+        0, n, back_body,
+        (jnp.zeros((np_r, TB), jnp.float32),
+         jnp.zeros((TB, L), jnp.float32),
+         jnp.full((1, 1), n - 1, jnp.int32)))
+    out_ref[:] = x2
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def lu_solve_batched_sublane_f32(A, b, tile_b: int = 128, interpret=False):
+    """Solve A[i] x[i] = b[i] for a batch of small dense systems in f32,
+    batch in the sublane axis (the TPU-throughput layout — one vectorized
+    elimination serves tile_b cells per step).  GESP: no pivoting, tiny
+    pivots boosted; equilibrate / iterate-refine outside for ill-scaled
+    systems.  A: [B, n, n], b: [B, n] -> [B, n].
+
+    ``tile_b`` must be a multiple of 128: the batch axis is the LAST axis
+    of the b/x slabs (lane-aligned), and the middle (sublane) axis of A."""
+    B, n, _ = A.shape
+    L = _round_up(max(n, 128), 128)
+    np_ = _round_up(max(n, 8), 8)
+    # batch-tile selection: the b/x slabs put the batch in the LANE axis,
+    # so TB must be a multiple of 128 — or equal to the whole (padded)
+    # batch, which Mosaic also accepts.  The A slab (np_, TB, L) must fit
+    # VMEM with double-buffering headroom (~6 MB budget of the 16 MB).
+    budget = 6 * 1024 * 1024
+    slab = np_ * L * 4
+    TB = max(128, _round_up(tile_b, 128))
+    while TB > 128 and TB * slab > budget:
+        TB -= 128
+    if TB * slab > budget:
+        # one 128-wide tile doesn't fit: single whole-batch block if that
+        # fits, else this kernel shape is out of VMEM range
+        TB = _round_up(B, 8)
+        if TB * slab > budget:
+            raise ValueError(
+                f"lu_solve_batched_sublane_f32: n={n} B={B} exceeds the "
+                f"VMEM slab budget ({TB * slab} > {budget}); use "
+                "lu_solve_batched_f32 or the sparse path")
+    Bp = _round_up(B, TB)
+    # [row, cell, col] layout, identity-padded rows so the loop is harmless
+    Af = jnp.zeros((np_, Bp, L), jnp.float32)
+    Af = Af.at[:n, :B, :n].set(
+        jnp.swapaxes(A.astype(jnp.float32), 0, 1))
+    idx = jnp.arange(n, np_)
+    Af = Af.at[idx, :, idx].set(1.0)
+    bf = jnp.zeros((np_, Bp), jnp.float32)
+    bf = bf.at[:n, :B].set(b.astype(jnp.float32).T)
+
+    kern = functools.partial(_lu_sublane_kernel, n=n)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(Bp // TB,),
+            in_specs=[
+                pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((np_, TB), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, Bp), jnp.float32),
+            interpret=interpret,
+        )(Af, bf)
+    return out[:n, :B].T
