@@ -978,26 +978,80 @@ class Elaborator:
         cls = bsim4_class(rdsmod)
         p = {"TYPE": 1.0 if polarity == "nmos" else -1.0}
         ignored = []
+        bin_corr = {}          # base param -> {'l': LP, 'w': WP, 'p': PP}
+
+        def take(k, v):
+            kl = k.lower()
+            actual = cls.param_lower.get(kl)
+            if actual is not None:
+                p[actual] = v
+                return
+            # L/W/P binning corrections (real binned libraries: every
+            # binnable parameter P carries lP/wP/pP geometry-dependence
+            # coefficients; the reference's BSIM4.jl implements these
+            # natively and test/binning/bins.cir leans on them — dropping
+            # lvth0 alone mis-biases Vth by >100 mV on that lib).  Full
+            # core names take precedence above (lw/wl/pclm are real
+            # geometry/model params, not corrections of w/l/clm).
+            if kl[:1] in ("l", "w", "p"):
+                base = cls.param_lower.get(kl[1:])
+                if base is not None:
+                    bin_corr.setdefault(base, {})[kl[0]] = float(v)
+                    return
+            ignored.append(k)
+
         for k, v in mdl.params.items():
             if k in ("level", "version", "type"):
                 continue
-            actual = cls.param_lower.get(k.lower())
-            if actual is None:
-                ignored.append(k)
-                continue
-            p[actual] = self.vres(v, env, el.loc)
+            take(k, self.vres(v, env, el.loc))
         for k, v in kw.items():
-            actual = cls.param_lower.get(k.lower())
-            if actual is None:
-                ignored.append(k)
-                continue
-            p[actual] = v
+            take(k, v)
+        if bin_corr:
+            self._apply_bsim4_binning(cls, p, bin_corr)
         if ignored:
             self.warn(f"bsim4 model {el.model!r}: ignoring unsupported "
                       f"parameter(s) {sorted(set(ignored))}", el.loc)
         while len(nets) < 4:
             nets.append(nets[-1])
         self.ckt.add(cls, name, nets[:4], p, m=m)
+
+    @staticmethod
+    def _apply_bsim4_binning(cls, p, bin_corr):
+        """Denormalize L/W/P binning corrections into effective card
+        values: P_eff = P + LP/Lb + WP/Wb + PP/(Lb·Wb), with Lb/Wb the
+        BSIM4 binning geometry (Leff = L + XL − 2·dL, Weff = W/NF + XW −
+        2·dW, dL/dW from LINT/LL/LW/LWL and WINT/WL/WW/WWL) expressed in
+        meters (binunit=2) or microns (binunit=1).  SPICE binning
+        semantics (BSIM4 manual §11 / ngspice b4geo; reference behavior
+        via BSIM4.jl on test/binning/bins.cir)."""
+        import numpy as _np
+        resolved = cls.prepare(p)
+
+        def g(name, d=0.0):
+            v = resolved.get(name, d)
+            return float(_np.asarray(v))
+
+        # BINUNIT is a declared model parameter (bsim4.va) — read it from
+        # the resolved card, not the raw loop (where it is consumed as a
+        # normal parameter): 1 = microns (BSIM4 default), 2 = meters
+        binunit = g("BINUNIT", 1.0)
+        L = g("L", 5e-6)
+        W = g("W", 5e-6)
+        NF = max(g("NF", 1.0), 1.0)
+        lln, lwn = g("LLN", 1.0), g("LWN", 1.0)
+        wln, wwn = g("WLN", 1.0), g("WWN", 1.0)
+        dL = (g("LINT") + g("LL") / L ** lln + g("LW") / W ** lwn
+              + g("LWL") / (L ** lln * W ** lwn))
+        dW = (g("WINT") + g("WL") / L ** wln + g("WW") / W ** wwn
+              + g("WWL") / (L ** wln * W ** wwn))
+        Lb = L + g("XL") - 2.0 * dL
+        Wb = W / NF + g("XW") - 2.0 * dW
+        if int(binunit) == 1:
+            Lb, Wb = Lb / 1e-6, Wb / 1e-6
+        for base, c in bin_corr.items():
+            base_v = float(_np.asarray(p.get(base, resolved.get(base, 0.0))))
+            p[base] = (base_v + c.get("l", 0.0) / Lb + c.get("w", 0.0) / Wb
+                       + c.get("p", 0.0) / (Lb * Wb))
 
     def _do_statistics(self, st: P.Control, scope):
         """Spectre ``statistics { process/mismatch { vary ... } }`` — apply
