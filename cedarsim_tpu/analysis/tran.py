@@ -198,6 +198,15 @@ class TranOptions:
     #: The checkpoint/final state always carries the FULL x, so resume
     #: and chained windows are unaffected.
     store_vars: tuple = None
+    #: dense linear-solver backend: "jax" (default — exact-f64 pure-JAX LU
+    #: everywhere) or "mixed" (route the dense factor/solve through the
+    #: custom_vmap pair ops/linalg.chord_factor/chord_backsolve: unbatched
+    #: solves stay exact f64, while vmapped sweeps on TPU drop to the f32
+    #: Pallas sublane GESP kernel with f64 iterative refinement — measured
+    #: 7.9x per-solve at the DFF shape, benchmarks/pallas_lu_bench.json).
+    #: Opt-in because custom_vmap has no AD rules: sensitivity/pss jvp
+    #: through the integrator requires "jax".
+    dense_lu: str = "jax"
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -411,7 +420,8 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
         lin_solve = sops.solve
         c_apply = sops.matvec
     else:
-        lin_solve = linalg.solve
+        lin_solve = (linalg.chord_solve_once if opts.dense_lu == "mixed"
+                     else linalg.solve)
         c_apply = lambda C, v: C @ v
     cap_form = (opts.formulation == "cap"
                 or (opts.formulation == "auto"
@@ -985,6 +995,11 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
                 def chord_solve(b, _fct=fct, _J=J):
                     return sops.solve_factorized(_fct, _J, b)
+            elif opts.dense_lu == "mixed":
+                fct = linalg.chord_factor(J)
+
+                def chord_solve(b, _fct=fct, _J=J):
+                    return linalg.chord_backsolve(*_fct, _J, b)
             else:
                 LUf, perm, rsc = _factor(J)
 

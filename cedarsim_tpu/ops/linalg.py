@@ -105,3 +105,124 @@ def solve_batched(A, b):
     for _ in range(A.ndim - 2):
         f = jax.vmap(f)
     return f(A, b)
+
+
+# --------------------------------------------------------------------------
+# Mixed-precision batched dense solve (Pallas sublane kernels + f64
+# iterative refinement).
+#
+# The batched transient path vmaps the whole Newton/chord solver over sweep
+# lanes, so per-lane code sees [n, n] Jacobians and the batch only exists at
+# the vmap level.  ``custom_vmap`` is the seam that lets the BATCHED lowering
+# route to the Pallas sublane LU (ops/pallas_lu.py — batch rides the sublane
+# axis; measured 7.9x over the vmapped pure-JAX f64 LU at the DFF shape,
+# benchmarks/pallas_lu_bench.json) while the unbatched trace keeps today's
+# exact-f64 behavior bit-for-bit.
+#
+# Accuracy contract: factors are f32 GESP (equilibrated, boosted pivots);
+# every solve runs ``_REFINE`` f64 refinement passes against the TRUE
+# Jacobian, recovering ~7 digits/pass for mildly-conditioned equilibrated
+# MNA systems.  The Newton loop's own f64 residual certify remains the
+# correctness gate above this — a weak direction costs iterations, never
+# silent wrong answers.
+#
+# Opt-in (TranOptions.dense_lu = "mixed"): custom_vmap has no AD rules, and
+# sensitivity/pss analyses jvp straight through the integrator.
+# --------------------------------------------------------------------------
+
+_MIXED_INTERPRET = False     # tests: route the pallas path in interpret mode
+
+
+def _mixed_pallas_ok(dtype, n, B):
+    from cedarsim_tpu.ops import pallas_lu
+    if not _MIXED_INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+        return False
+    return pallas_lu.sublane_tiles(B, n) is not None
+
+
+_REFINE = 2
+
+
+def _equilibrate(J):
+    r = jnp.max(jnp.abs(J), axis=-1)
+    r = jnp.where(r == 0, jnp.ones_like(r), r)
+    return r
+
+
+@jax.custom_batching.custom_vmap
+def chord_factor(J):
+    """Row-equilibrated LU for the chord-Newton factor-once/solve-many
+    split: returns (LU, perm, rowscale) consumed by :func:`chord_backsolve`.
+    Unbatched (and under every transform other than vmap): the exact-f64
+    pure-JAX LU.  Under vmap on TPU: f32 Pallas sublane GESP factors
+    (perm = identity), refined at solve time."""
+    r = _equilibrate(J)
+    LU, perm = lu_factor(J / r[:, None])
+    return LU, perm, r
+
+
+@chord_factor.def_vmap
+def _chord_factor_vmap(axis_size, in_batched, J):
+    (jb,) = in_batched
+    if not jb:
+        J = jnp.broadcast_to(J, (axis_size,) + J.shape)
+    B, n, _ = J.shape
+    r = _equilibrate(J)
+    Js = J / r[..., None]
+    if _mixed_pallas_ok(J.dtype, n, B):
+        from cedarsim_tpu.ops import pallas_lu
+        LU = pallas_lu.lu_factor_batched_sublane_f32(
+            Js.astype(jnp.float32),
+            interpret=_MIXED_INTERPRET).astype(J.dtype)
+        perm = jnp.broadcast_to(jnp.arange(n), (B, n))
+    else:
+        LU, perm = jax.vmap(lu_factor)(Js)
+    return (LU, perm, r), (True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def chord_backsolve(LU, perm, r, J, b):
+    """Solve with factors from :func:`chord_factor`.  ``J`` is the
+    unfactored Jacobian — the mixed-precision batched path refines against
+    it in f64; the exact-f64 unbatched path ignores it."""
+    del J
+    return lu_solve(LU, perm, b / r)
+
+
+@chord_backsolve.def_vmap
+def _chord_backsolve_vmap(axis_size, in_batched, LU, perm, r, J, b):
+    args = [LU, perm, r, J, b]
+    for i, (a, ab) in enumerate(zip(args, in_batched)):
+        if not ab:
+            args[i] = jnp.broadcast_to(a, (axis_size,) + a.shape)
+    LU, perm, r, J, b = args
+    B, n = b.shape
+    if _mixed_pallas_ok(J.dtype, n, B):
+        from cedarsim_tpu.ops import pallas_lu
+        LU32 = LU.astype(jnp.float32)
+
+        def subst(v):
+            return pallas_lu.lu_subst_batched_sublane_f32(
+                LU32, (v / r).astype(jnp.float32),
+                interpret=_MIXED_INTERPRET).astype(J.dtype)
+
+        x = subst(b)
+        for _ in range(_REFINE):
+            # f64 matvec as elementwise mul + reduce: TPU f64 is emulated
+            # for elementwise ops; a true f64 dot is not available
+            resid = b - jnp.sum(J * x[:, None, :], axis=-1)
+            x = x + subst(resid)
+        out = x
+    else:
+        out = jax.vmap(lambda lu, p, rr, bb: lu_solve(lu, p, bb / rr))(
+            LU, perm, r, b)
+    return out, True
+
+
+def chord_solve_once(J, b):
+    """One-shot factor+solve through the chord pair — the full-Newton
+    ``lin_solve`` shape for the mixed path."""
+    LU, perm, r = chord_factor(J)
+    return chord_backsolve(LU, perm, r, J, b)

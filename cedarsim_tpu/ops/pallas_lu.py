@@ -223,6 +223,46 @@ def _lu_sublane_kernel(a_ref, b_ref, out_ref, *, n: int):
     out_ref[:] = x2
 
 
+def sublane_tiles(B: int, n: int, tile_b: int = 128):
+    """Padded dims + VMEM-budgeted batch tile for the sublane kernels:
+    returns (np_, L, TB, Bp) or None when no feasible tiling exists.
+
+    TB must be a multiple of 128 (the b/x slabs put the batch in the LANE
+    axis) — or the whole padded batch, which Mosaic also accepts.  The A
+    slab (np_, TB, L) must fit VMEM with double-buffering headroom (~6 MB
+    of the 16 MB)."""
+    L = _round_up(max(n, 128), 128)
+    np_ = _round_up(max(n, 8), 8)
+    budget = 6 * 1024 * 1024
+    slab = np_ * L * 4
+    TB = max(128, _round_up(tile_b, 128))
+    while TB > 128 and TB * slab > budget:
+        TB -= 128
+    if TB * slab > budget:
+        TB = _round_up(B, 8)
+        if TB * slab > budget:
+            return None
+    return np_, L, TB, _round_up(B, TB)
+
+
+def _pack_A(A, np_, L, Bp):
+    """[B, n, n] -> [np_, Bp, L] slabs (row, cell, col), identity-padded
+    rows so the elimination loop is harmless on padding."""
+    B, n, _ = A.shape
+    Af = jnp.zeros((np_, Bp, L), jnp.float32)
+    Af = Af.at[:n, :B, :n].set(jnp.swapaxes(A.astype(jnp.float32), 0, 1))
+    idx = jnp.arange(n, np_)
+    Af = Af.at[idx, :, idx].set(1.0)
+    return Af
+
+
+def _pack_b(v, np_, Bp):
+    """[B, n] -> [np_, Bp]."""
+    B, n = v.shape
+    vf = jnp.zeros((np_, Bp), jnp.float32)
+    return vf.at[:n, :B].set(v.astype(jnp.float32).T)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
 def lu_solve_batched_sublane_f32(A, b, tile_b: int = 128, interpret=False):
     """Solve A[i] x[i] = b[i] for a batch of small dense systems in f32,
@@ -234,37 +274,178 @@ def lu_solve_batched_sublane_f32(A, b, tile_b: int = 128, interpret=False):
     ``tile_b`` must be a multiple of 128: the batch axis is the LAST axis
     of the b/x slabs (lane-aligned), and the middle (sublane) axis of A."""
     B, n, _ = A.shape
-    L = _round_up(max(n, 128), 128)
-    np_ = _round_up(max(n, 8), 8)
-    # batch-tile selection: the b/x slabs put the batch in the LANE axis,
-    # so TB must be a multiple of 128 — or equal to the whole (padded)
-    # batch, which Mosaic also accepts.  The A slab (np_, TB, L) must fit
-    # VMEM with double-buffering headroom (~6 MB budget of the 16 MB).
-    budget = 6 * 1024 * 1024
-    slab = np_ * L * 4
-    TB = max(128, _round_up(tile_b, 128))
-    while TB > 128 and TB * slab > budget:
-        TB -= 128
-    if TB * slab > budget:
-        # one 128-wide tile doesn't fit: single whole-batch block if that
-        # fits, else this kernel shape is out of VMEM range
-        TB = _round_up(B, 8)
-        if TB * slab > budget:
-            raise ValueError(
-                f"lu_solve_batched_sublane_f32: n={n} B={B} exceeds the "
-                f"VMEM slab budget ({TB * slab} > {budget}); use "
-                "lu_solve_batched_f32 or the sparse path")
-    Bp = _round_up(B, TB)
-    # [row, cell, col] layout, identity-padded rows so the loop is harmless
-    Af = jnp.zeros((np_, Bp, L), jnp.float32)
-    Af = Af.at[:n, :B, :n].set(
-        jnp.swapaxes(A.astype(jnp.float32), 0, 1))
-    idx = jnp.arange(n, np_)
-    Af = Af.at[idx, :, idx].set(1.0)
-    bf = jnp.zeros((np_, Bp), jnp.float32)
-    bf = bf.at[:n, :B].set(b.astype(jnp.float32).T)
+    tiles = sublane_tiles(B, n, tile_b)
+    if tiles is None:
+        raise ValueError(
+            f"lu_solve_batched_sublane_f32: n={n} B={B} exceeds the "
+            "VMEM slab budget; use lu_solve_batched_f32 or the sparse path")
+    np_, L, TB, Bp = tiles
+    Af = _pack_A(A, np_, L, Bp)
+    bf = _pack_b(b, np_, Bp)
 
     kern = functools.partial(_lu_sublane_kernel, n=n)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(Bp // TB,),
+            in_specs=[
+                pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((np_, TB), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((np_, TB), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, Bp), jnp.float32),
+            interpret=interpret,
+        )(Af, bf)
+    return out[:n, :B].T
+
+
+def _lu_factor_sublane_kernel(a_ref, out_ref, *, n: int):
+    """GESP factor-only for TB batch cells at once: writes the packed LU
+    (unit-L multipliers below the diagonal, boosted-pivot U on/above) back
+    in the same slab layout — the factor half of the chord (modified)
+    Newton factor-once/solve-many split."""
+    A = a_ref[:]                            # (np_, TB, L)
+    np_, TB, L = A.shape
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1, 1), 0)
+    lanes3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    Z = jnp.float32(0.0)
+    TAU = jnp.float32(1e-20)
+
+    def fact_body(_, carry):
+        A, k = carry
+        k3 = k.reshape(1, 1, 1)
+        k2 = k.reshape(1, 1)
+        rowk = jnp.sum(jnp.where(rows3 == k3, A, Z), axis=0)      # (TB, L)
+        colk = jnp.sum(jnp.where(lanes3 == k3, A, Z), axis=2)     # (np_, TB)
+        piv = jnp.sum(jnp.where(lanes2 == k2, rowk, Z),
+                      axis=1, keepdims=True).reshape(1, TB)        # (1, TB)
+        piv = jnp.where(jnp.abs(piv) < TAU,
+                        jnp.where(piv < Z, -TAU, TAU), piv)
+        mult = jnp.where(rows3[:, :, 0] > k2, colk / piv, Z)       # (np_, TB)
+        rk_hi = jnp.where(lanes2 > k2, rowk, Z)                    # (TB, L)
+        A = A - mult[:, :, None] * rk_hi[None]
+        # pack: multipliers into column k below the diagonal, the boosted
+        # pivot onto the diagonal (so the substitution kernel never
+        # re-derives the boost)
+        colmask = lanes3 == k3                                     # (1,1,L)
+        A = jnp.where(jnp.logical_and(colmask, rows3 > k3),
+                      mult[:, :, None], A)
+        A = jnp.where(jnp.logical_and(colmask, rows3 == k3),
+                      piv.reshape(1, TB, 1), A)
+        return A, k + jnp.ones((1, 1), jnp.int32)
+
+    A, _ = jax.lax.fori_loop(
+        0, n, fact_body, (A, jnp.zeros((1, 1), jnp.int32)))
+    out_ref[:] = A
+
+
+def _lu_subst_sublane_kernel(lu_ref, b_ref, out_ref, *, n: int):
+    """Forward+back substitution with packed LU slabs from the factor
+    kernel: y = L⁻¹b (unit diagonal), x = U⁻¹y.  Same dual-layout trick as
+    the combined kernel: the running solution lives in both (np_r, TB)
+    row-indexed and (TB, L) lane-indexed forms."""
+    A = lu_ref[:]                           # (np_, TB, L) packed LU
+    b = b_ref[:]                            # (np_r, TB)
+    np_, TB, L = A.shape
+    np_r = b.shape[0]
+    rows3 = jax.lax.broadcasted_iota(jnp.int32, (np_, 1, 1), 0)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (np_r, 1), 0)
+    Z = jnp.float32(0.0)
+
+    def fwd_body(_, carry):
+        y2, yT, i = carry
+        i3 = i.reshape(1, 1, 1)
+        i2 = i.reshape(1, 1)
+        rowi = jnp.sum(jnp.where(rows3 == i3, A, Z), axis=0)      # (TB, L)
+        sacc = jnp.sum(jnp.where(lanes2 < i2, rowi * yT, Z),
+                       axis=1, keepdims=True).reshape(1, TB)       # (1, TB)
+        bi = jnp.sum(jnp.where(rows2 == i2, b, Z),
+                     axis=0, keepdims=True)                        # (1, TB)
+        yi = bi - sacc                                             # (1, TB)
+        y2 = jnp.where(rows2 == i2, yi, y2)
+        yT = jnp.where(lanes2 == i2, yi.reshape(TB, 1), yT)
+        return y2, yT, i + jnp.ones((1, 1), jnp.int32)
+
+    y2, yT, _ = jax.lax.fori_loop(
+        0, n, fwd_body,
+        (jnp.zeros((np_r, TB), jnp.float32),
+         jnp.zeros((TB, L), jnp.float32),
+         jnp.zeros((1, 1), jnp.int32)))
+
+    def back_body(_, carry):
+        x2, xT, i = carry
+        i3 = i.reshape(1, 1, 1)
+        i2 = i.reshape(1, 1)
+        rowi = jnp.sum(jnp.where(rows3 == i3, A, Z), axis=0)      # (TB, L)
+        sacc = jnp.sum(jnp.where(lanes2 > i2, rowi * xT, Z),
+                       axis=1, keepdims=True).reshape(1, TB)       # (1, TB)
+        yi = jnp.sum(jnp.where(rows2 == i2, y2, Z),
+                     axis=0, keepdims=True)                        # (1, TB)
+        aii = jnp.sum(jnp.where(lanes2 == i2, rowi, Z),
+                      axis=1, keepdims=True).reshape(1, TB)        # boosted
+        xi = (yi - sacc) / aii
+        x2 = jnp.where(rows2 == i2, xi, x2)
+        xT = jnp.where(lanes2 == i2, xi.reshape(TB, 1), xT)
+        return x2, xT, i - jnp.ones((1, 1), jnp.int32)
+
+    x2, _, _ = jax.lax.fori_loop(
+        0, n, back_body,
+        (jnp.zeros((np_r, TB), jnp.float32),
+         jnp.zeros((TB, L), jnp.float32),
+         jnp.full((1, 1), n - 1, jnp.int32)))
+    out_ref[:] = x2
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def lu_factor_batched_sublane_f32(A, tile_b: int = 128, interpret=False):
+    """GESP (no-pivot, boosted) LU factor of a batch of small dense systems
+    in f32, batch in the sublane axis.  A: [B, n, n] -> packed LU [B, n, n]
+    (unit-L below, boosted-pivot U on/above).  Pair with
+    :func:`lu_subst_batched_sublane_f32`; equilibrate / iterate-refine
+    outside for ill-scaled systems."""
+    B, n, _ = A.shape
+    tiles = sublane_tiles(B, n, tile_b)
+    if tiles is None:
+        raise ValueError(
+            f"lu_factor_batched_sublane_f32: n={n} B={B} exceeds the VMEM "
+            "slab budget; use the pure-JAX LU or the sparse path")
+    np_, L, TB, Bp = tiles
+    Af = _pack_A(A, np_, L, Bp)
+    kern = functools.partial(_lu_factor_sublane_kernel, n=n)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(Bp // TB,),
+            in_specs=[pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((np_, Bp, L), jnp.float32),
+            interpret=interpret,
+        )(Af)
+    return jnp.swapaxes(out[:n, :B, :n], 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_b", "interpret"))
+def lu_subst_batched_sublane_f32(LU, b, tile_b: int = 128, interpret=False):
+    """Solve with packed-LU factors from
+    :func:`lu_factor_batched_sublane_f32`.  LU: [B, n, n], b: [B, n] ->
+    [B, n] (all f32)."""
+    B, n, _ = LU.shape
+    tiles = sublane_tiles(B, n, tile_b)
+    if tiles is None:
+        raise ValueError(
+            f"lu_subst_batched_sublane_f32: n={n} B={B} exceeds the VMEM "
+            "slab budget")
+    np_, L, TB, Bp = tiles
+    Af = _pack_A(LU, np_, L, Bp)
+    bf = _pack_b(b, np_, Bp)
+    kern = functools.partial(_lu_subst_sublane_kernel, n=n)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
