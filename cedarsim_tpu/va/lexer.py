@@ -25,11 +25,12 @@ _TOKEN_RE = re.compile(r"""
   | (?P<bcom>/\*.*?\*/)
   | (?P<attr>\(\*.*?\*\))
   | (?P<str>"(?:[^"\\\n]|\\.)*")
-  | (?P<num>(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[TGMKkmunpfa]?)
+  | (?P<based>(\d[\d_]*[ \t]*)?'[sS]?[bBoOdDhH][ \t]*[0-9a-fA-FxXzZ?_]+)
+  | (?P<num>(\d[\d_]*\.?[\d_]*|\.\d[\d_]*)([eE][+-]?[\d_]+)?[TGMKkmunpfa]?)
   | (?P<paste>``)
   | (?P<directive>`[a-zA-Z_][a-zA-Z0-9_]*)
   | (?P<id>[a-zA-Z_][a-zA-Z0-9_$]*|\\[^ \t\n]+|\$[a-zA-Z_][a-zA-Z0-9_]*)
-  | (?P<op><\+|<<<|>>>|<<|>>|<=|>=|==|!=|&&|\|\||\*\*|[-+*/%<>!&|^~=(){}\[\];:,.?@#])
+  | (?P<op><\+|<<<|>>>|<<|>>|<=|>=|==|!=|&&|\|\||\*\*|[-+*/%<>!&|^~=(){}\[\];:,.?@#'])
 """, re.VERBOSE | re.DOTALL)
 
 
@@ -81,12 +82,27 @@ def lex_va(text: str, file="<va>"):
         elif kind == "attr":
             toks.append(Tok("attr", s, line, col))
         elif kind == "num":
-            body = s
+            body = s.replace("_", "")   # 1_000_000 (IEEE 1364 §3.5.1)
             scale = 1.0
             if body and body[-1] in _SCALE:
                 scale = _SCALE[body[-1]]
                 body = body[:-1]
             toks.append(Tok("num", s, line, col, value=float(body) * scale))
+        elif kind == "based":
+            # sized/based integer literal (IEEE 1364 §3.5.1): [size]'[s]base
+            # digits, with x/z/? unknown bits and _ separators.  Verilog-AMS
+            # inherits the full Verilog number syntax; analog expressions
+            # only ever see fully-known values, so x/z lex to value=None
+            # (a parse-time constant the analog codegen rejects if used).
+            base_m = re.search(r"'[sS]?([bBoOdDhH])", s)
+            digits = s[base_m.end():].strip().replace("_", "")
+            radix = {"b": 2, "o": 8, "d": 10, "h": 16}[
+                base_m.group(1).lower()]
+            try:
+                val = float(int(digits, radix))
+            except ValueError:      # x/z/? unknown bits
+                val = None
+            toks.append(Tok("num", s, line, col, value=val))
         elif kind == "paste":
             # `` token-paste operator (meaningful inside `define bodies;
             # resolved by the preprocessor's macro expansion)

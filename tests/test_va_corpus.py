@@ -1,0 +1,74 @@
+"""Verilog parse-corpus breadth: the sv-tests number/preproc subsets the
+reference runs (/root/reference/VerilogAParser.jl/test/sv_tests.jl) against
+our VA parser, plus unit tests for the sized/based integer literals
+(IEEE 1364 §3.5.1) that corpus exercises.
+
+The reference's blacklist carries over with the same reasons:
+unbased-unsized literals ('0, '1 — SystemVerilog-only) and the bare .svh
+include fragment."""
+
+import glob
+import os
+
+import pytest
+
+from cedarsim_tpu.va.lexer import lex_va
+from cedarsim_tpu.va.parser import parse_va
+
+ROOT = "/root/reference/VerilogAParser.jl/test/sv-tests/tests/generic"
+
+# reference blacklist (sv_tests.jl) + our parse of the .sv wrapper of the
+# blacklisted .svh requires include resolution, exercised explicitly below
+BLACKLIST = {"number_test_2.sv", "number_test_3.sv", "preproc_test_2.svh"}
+
+
+def _corpus(sub):
+    return sorted(glob.glob(os.path.join(ROOT, sub, "*.sv*")))
+
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ROOT), reason="sv-tests corpus not mounted")
+
+
+@pytest.mark.parametrize("path", _corpus("number") + _corpus("preproc"),
+                         ids=os.path.basename)
+def test_sv_corpus_parses(path):
+    if os.path.basename(path) in BLACKLIST:
+        pytest.skip("reference blacklist (sv_tests.jl)")
+    with open(path) as f:
+        text = f.read()
+    mods = parse_va(text, file=path,
+                    include_paths=[os.path.dirname(path)])
+    assert mods is not None
+
+
+def _numval(src):
+    toks = lex_va(src)
+    assert toks[0].kind == "num", toks[0]
+    return toks[0].value
+
+
+def test_based_literal_values():
+    assert _numval("32'd42") == 42.0
+    assert _numval("32'hFF") == 255.0
+    assert _numval("8'b1010") == 10.0
+    assert _numval("8'o17") == 15.0
+    assert _numval("'h0") == 0.0
+    assert _numval("32'Sh7") == 7.0          # signed marker
+    assert _numval("32 'd 7") == 7.0         # whitespace both sides
+    assert _numval("32'h7f_ff") == 0x7fff    # _ separators
+    assert _numval("1_000_000") == 1e6       # plain decimal with _
+    assert _numval("1'bx") is None           # unknown bits: no value
+    assert _numval("32'dz") is None
+
+
+def test_based_literal_in_module_parses():
+    mods = parse_va("""
+module m(p, n);
+  inout p, n;
+  electrical p, n;
+  parameter integer sel = 32'h10;
+  analog V(p, n) <+ sel;
+endmodule
+""")
+    assert len(mods) == 1
