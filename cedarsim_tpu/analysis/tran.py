@@ -207,6 +207,17 @@ class TranOptions:
     #: Opt-in because custom_vmap has no AD rules: sensitivity/pss jvp
     #: through the integrator requires "jax".
     dense_lu: str = "jax"
+    #: chord-iteration implementation: "xla" (default — the while_loop over
+    #: residual walks below) or "fused" (ops/fused_chord.py: the ENTIRE
+    #: chord loop — nonlinear model eval, assembly, backsolve, damping,
+    #: convergence — compiled into ONE Pallas kernel; a step attempt costs
+    #: one dispatch instead of O(iterations × model-walk kernels).  The
+    #: single-stream latency lever of benchmarks/single_stream.md).
+    #: Envelope: dense path, cap-form corrector, jac_reuse >= 1, no noise/
+    #: delay channels, concrete params (the kernel bakes them), public
+    #: tran() entry (the plan is built outside the jit boundary).  In-kernel
+    #: math is f32: use the mixed-precision tolerance set.
+    newton_impl: str = "xla"
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -463,6 +474,38 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     ring_slots = (jnp.asarray(getattr(compiled, "ring_slots"))
                   if n_ring and n_lat else None)
     KD = opts.delay_history
+
+    fused_plan = None
+    if opts.newton_impl == "fused":
+        # the fused chord kernel (ops/fused_chord.py) — validate its
+        # envelope here so a bad config fails at trace time with a clear
+        # message, not inside Mosaic
+        fused_plan = getattr(compiled, "_fused_plan_active", None)
+        if fused_plan is None:
+            # direct tran_core callers with a concrete ctx can still build
+            # one; under a jit trace (traced ctx/params) this raises with
+            # the pointer to the public tran() path
+            from cedarsim_tpu.ops.fused_chord import get_fused_plan
+            try:
+                fused_plan = get_fused_plan(compiled, ctx, None)
+            except Exception as e:
+                raise ValueError(
+                    "newton_impl='fused' needs its plan built outside the "
+                    "jit boundary — use the public tran() entry "
+                    f"(plan build failed here: {e})")
+        if use_sparse:
+            raise ValueError("newton_impl='fused' is dense-path only")
+        if not cap_form:
+            raise ValueError("newton_impl='fused' requires the cap-form "
+                             "corrector (formulation='cap' or mixed-"
+                             "precision eval_dtype)")
+        if noisy or n_dly:
+            raise ValueError("newton_impl='fused': noise injection and "
+                             "delay/latch channels are not supported "
+                             "in-kernel")
+        if opts.jac_reuse < 1:
+            raise ValueError("newton_impl='fused' requires jac_reuse >= 1")
+        fused_interpret = jax.default_backend() != "tpu"
 
     def parts(x, t, eps=None, dly=None):
         return compiled.residuals(x, ctx_t.at_time(t), params, eps=eps,
@@ -990,7 +1033,17 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                               if cap_form else jnp.zeros_like(S0p))
             J = damp_J(c0 * C / h_real + G) if cap_form \
                 else damp_J(a0 * C / h_real + beta * G)
-            if use_sparse:
+            if fused_plan is not None:
+                # ONE Pallas dispatch for the whole chord loop (model eval +
+                # assembly + backsolve + convergence in VMEM); the frozen
+                # direction comes from the exact-dtype inverse of J, and the
+                # rescue/accept logic below is untouched — the fused path
+                # only swaps the iteration engine
+                s_off_t = fused_plan.s_off(t_new, ctx_t, params)
+                xn, Sn_new, Qn_new, nok, nnwt = fused_plan(
+                    x_pred, J, s_off_t, c0, h_real, xdh, t_new, opts,
+                    interpret=fused_interpret)
+            elif use_sparse:
                 fct = sops.factorize(J)
 
                 def chord_solve(b, _fct=fct, _J=J):
@@ -1005,10 +1058,11 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
 
                 def chord_solve(b, _lu=LUf, _p=perm, _r=rsc):
                     return linalg.lu_solve(_lu, _p, b / _r)
-            xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
-                x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0, xdh,
-                chord_solve, eps=eps_k, dly=dly_k,
-                init_parts=None if mn_cross else init_parts)
+            if fused_plan is None:
+                xn, Sn_new, Qn_new, nok, nnwt = newton_mod(
+                    x_pred, t_new, h_real, a0, Qhist, c["Sn"], beta, c0,
+                    xdh, chord_solve, eps=eps_k, dly=dly_k,
+                    init_parts=None if mn_cross else init_parts)
             if not mn_cross and opts.chord_fallback:
                 # full-Newton rescue of a failed chord certify: a second
                 # while_loop seeded at the chord iterate (done=nok).  When
@@ -1375,6 +1429,14 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
     if ctx is None:
         from cedarsim_tpu.core.compile import default_ctx
         ctx = default_ctx(compiled)
+    if opts.newton_impl == "fused":
+        # build the fused-chord plan OUTSIDE the jit boundary (concrete ctx
+        # and params — the kernel bakes them as constants) and stash it for
+        # tran_core; the jit cache key carries the plan identity so a ctx
+        # change cannot reuse a trace with stale baked constants
+        from cedarsim_tpu.ops.fused_chord import get_fused_plan
+        compiled._fused_plan_active = get_fused_plan(
+            compiled, ctx.with_mode(Modes.TRAN), params)
     t0, tstop = float(tspan[0]), float(tspan[1])
     if resume is not None:
         t0 = float(np.asarray(resume["t"]))
@@ -1461,7 +1523,9 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
 def _get_tran_jit(compiled: CompiledCircuit, opts: TranOptions, nbp: int,
                   resuming: bool = False):
     cache = compiled.__dict__.setdefault("_tran_jit_cache", {})
-    key = (opts, nbp, resuming)
+    key = (opts, nbp, resuming,
+           id(getattr(compiled, "_fused_plan_active", None))
+           if opts.newton_impl == "fused" else None)
     if key not in cache:
         cache[key] = jax.jit(
             lambda params, ctx, x0, xdot0, t0, tstop, bps, h0, m, ist:

@@ -1,0 +1,563 @@
+"""Fused chord-Newton Pallas kernel — the single-stream latency lever.
+
+The per-step chord iteration (analysis/tran.py::newton_mod) lowers, per
+iteration, to the whole residual model walk: O(100) XLA kernels at ~2-5 µs
+dispatch each on TPU, ~10^5x the arithmetic cost of a 25-unknown circuit
+(benchmarks/single_stream.md).  This module compiles the ENTIRE chord loop
+— model evaluation, residual assembly, back-substitution, damping, and the
+convergence test — into ONE Pallas kernel whose Newton ``while_loop`` runs
+in VMEM, so a step attempt costs one dispatch instead of
+O(iterations x walk).
+
+This is the "fused Newton mega-kernel" lever 2 of single_stream.md, and the
+TPU-native analogue of the reference's compiled-RHS-inside-IDA hot loop
+(/root/reference/benchmarks/benchmark_common.jl:160-177) with the kernel
+boundary hoisted OUT of the iteration.
+
+Design
+======
+* **Linear/nonlinear group split (numeric, generic).**  Device groups whose
+  residual is affine in x at fixed t (sources, R, C, L, controlled sources)
+  are folded into constant matrices ``G_lin``/``C_lin`` plus a
+  time-dependent offset ``s_off(t)`` evaluated OUTSIDE the kernel once per
+  step attempt (a handful of scalar source evaluations).  Only genuinely
+  nonlinear groups (MOS, diodes, BJTs) evaluate inside the kernel.
+  Linearity is detected numerically: a group is linear iff its Jacobian
+  matches at two random points (and its value is affine-consistent) — no
+  per-class annotations to maintain.
+* **Gather/scatter as one-hot matmuls.**  Mosaic has no general
+  gather/scatter; per-terminal one-hot matrices turn ``x[var_idx]`` and
+  ``at[row_idx].add`` into small MXU matmuls (26x30-class shapes).  The
+  instance axis rides the LANES, every intermediate is a (1, n) or (n, n)
+  2D tile, and there are no reshapes/transposes in the loop body
+  (ops/pallas_lu.py Mosaic lessons baked in).
+* **Frozen inverse instead of in-kernel LU.**  The chord direction uses a
+  Jacobian factored ONCE per step attempt.  We precompute the row-
+  equilibrated inverse transpose ``MT = inv(J/r).T`` outside (f64, exact)
+  and the in-kernel solve is a single (1,n)@(n,n) matmul:
+  ``dx = -((f*rinv) @ MT)``.  Chord convergence is certified by the exact
+  residual, so an f32 direction only perturbs the iteration path, never
+  the answer (same argument as ops/linalg.py's mixed path).
+* **f32 in-kernel, cap form only.**  Mosaic has no f64; the kernel targets
+  the mixed-precision TPU design point (f32 evals) where the cap-form
+  corrector keeps eval noise relative (tran.py ``formulation`` notes).
+  The residual convention matches newton_mod's cap form exactly:
+  ``f = S(x) + C(x)·v``, ``v = (c0·x + xdh)/h``, with the displacement
+  current via jvp of the charge vector.
+
+Precision contract: states enter/leave in the caller's dtype; in-kernel
+iterate/residual math is f32.  Tolerances must sit above the f32 noise
+floor — exactly the TPU tolerance set bench.py's legs already use
+(newton_abstol >= 5e-7, res_tol >= 1e-3).  The integrator's LTE control
+(f64, outside) remains the accuracy gate above this.
+
+Used by analysis/tran.py when ``TranOptions.newton_impl == "fused"``
+(dense path, cap form, no noise/delay channels, concrete params).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _concrete(tree) -> bool:
+    """True iff every leaf is a concrete (non-tracer) value."""
+    return all(not isinstance(leaf, jax.core.Tracer)
+               for leaf in jax.tree.leaves(tree))
+
+
+@dataclasses.dataclass
+class _NLGroup:
+    key: str
+    model: type
+    n_inst: int
+    n_lvar: int
+    n_lrow: int
+    #: merged params for the in-kernel eval: python-float statics +
+    #: (1, n_inst) f32 arrays for per-instance values
+    params: dict
+    #: per-terminal one-hot gather matrices, each (n_xp, n_inst) f32:
+    #: lv_k(1,n_inst) = x_row(1,n_xp) @ GT[k]
+    GT: list
+    #: per-row scatter matrices, each (n_inst, n_xp) f32 with the m=
+    #: multiplier scaling folded in (KCL rows only) and the ground/trash
+    #: column zeroed: S_row += s_k(1,n_inst) @ SmT[k]
+    SmT: list
+    #: aux-input rows for eval (noise eps slots, zeros), list of (1, n_inst)
+    eps0: list
+
+
+class FusedChordPlan:
+    """Precomputed constants for the fused chord kernel of one circuit.
+
+    Build once per (compiled, ctx, params) signature; raises ValueError when
+    the circuit is outside the kernel's envelope (sparse-path sizes, delay/
+    latch channels, noise injection, traced params) — callers fall back to
+    the XLA chord path.
+    """
+
+    #: above this unknown count the dense in-VMEM formulation stops being
+    #: the right shape (and the sparse path owns the problem anyway)
+    MAX_N = 192
+
+    def __init__(self, compiled, ctx, params=None):
+        params = compiled.params0 if params is None else params
+        if compiled.n_x > self.MAX_N:
+            raise ValueError("fused chord: circuit too large for the dense "
+                             f"in-VMEM kernel (n_x={compiled.n_x})")
+        if getattr(compiled, "n_dly", 0):
+            raise ValueError("fused chord: delay/latch aux channels are not "
+                             "supported in-kernel")
+        if not _concrete(params):
+            raise ValueError("fused chord: params must be concrete (the "
+                             "kernel bakes them as constants); traced "
+                             "dynamic params need the XLA chord path")
+        self.compiled = compiled
+        self.n_x = compiled.n_x
+        self.n_xp = compiled.n_x + 1
+        # kernel-side context: host-float fields fold as f32 constants; time
+        # is re-bound per call (sources live outside, but a nonlinear model
+        # may read ctx.time)
+        self.ctx = ctx
+
+        # plan construction is eager host math (linearity probes, jacfwd of
+        # small subsets); under the axon tunnel every eager op would
+        # round-trip to the chip, so pin it to the CPU backend (the
+        # tunnel-immune-probe discipline of core/sparse_ops.py)
+        with jax.default_device(jax.devices("cpu")[0]):
+            self._build_split(params, ctx)
+
+    def _build_split(self, params, ctx):
+        compiled = self.compiled
+        rng = np.random.default_rng(0)
+        xa = rng.normal(size=self.n_x) * 0.5
+        xb = rng.normal(size=self.n_x) * 2.0 + 0.25
+        lin_keys, nl_keys = [], []
+        for key in compiled.group_order:
+            if self._group_is_linear(key, params, ctx, xa, xb):
+                lin_keys.append(key)
+            else:
+                nl_keys.append(key)
+        self.lin_keys = lin_keys
+        self.nl_keys = nl_keys
+
+        # --- linear part: G_lin/C_lin at xa (constant by the test above);
+        # offsets come from s_off(t) per call and the constant q_off
+        d = compiled.dtype
+        Ga, Ca = self._sub_jac(lin_keys, params, ctx, xa)
+        z = np.zeros(self.n_x)
+        S0, Q0 = [np.asarray(v, np.float64)
+                  for v in self._sub_res(lin_keys, params, ctx, z, 0.0,
+                                          exact=True)]
+        self.G_lin = np.asarray(Ga, np.float64)
+        self.C_lin = np.asarray(Ca, np.float64)
+        self.q_off = Q0 - self.C_lin @ z
+        # f32 kernel constants, padded to n_xp with a zero row/col
+        self.GlinT = self._padT(self.G_lin)
+        self.ClinT = self._padT(self.C_lin)
+        self.q_off_row = np.zeros((1, self.n_xp), np.float32)
+        self.q_off_row[0, : self.n_x] = self.q_off
+
+        # --- nonlinear groups: one-hot gather/scatter + baked params
+        self.nl: list[_NLGroup] = []
+        for key in nl_keys:
+            g = compiled.groups[key]
+            gp = params[key]
+            ni = len(g.instances)
+            mult = np.asarray(gp["$mult"], np.float64)
+            merged = {}
+            for pn, pv in g.static_params.items():
+                merged[pn] = pv  # python/np scalars: trace-time constants
+            for pn, pv in gp.items():
+                if pn == "$mult":
+                    continue
+                merged[pn] = jnp.asarray(
+                    np.asarray(pv, np.float32).reshape(1, ni))
+            GT = []
+            for k in range(g.model.n_lvar()):
+                m = np.zeros((self.n_xp, ni), np.float32)
+                m[g.var_idx[:, k], np.arange(ni)] = 1.0
+                m[self.n_x, :] = 0.0          # pad slot reads 0
+                GT.append(m)
+            SmT = []
+            for k in range(g.model.n_lrow()):
+                m = np.zeros((ni, self.n_xp), np.float32)
+                scale = mult if g.kcl_mask[k] else np.ones(ni)
+                m[np.arange(ni), g.row_idx[:, k]] = scale
+                m[:, self.n_x] = 0.0          # trash row discarded
+                SmT.append(m)
+            eps0 = [jnp.zeros((1, ni), jnp.float32)
+                    for _ in range(g.model.n_noise)]
+            self.nl.append(_NLGroup(
+                key=key, model=g.model, n_inst=ni,
+                n_lvar=g.model.n_lvar(), n_lrow=g.model.n_lrow(),
+                params=merged, GT=GT, SmT=SmT, eps0=eps0))
+        self._dtype = d
+
+    # ------------------------------------------------------------ build utils
+
+    def _padT(self, M):
+        """(n_x, n_x) f64 -> padded transpose (n_xp, n_xp) f32 for the
+        row-vector form ``out_row = x_row @ MT``."""
+        P = np.zeros((self.n_xp, self.n_xp), np.float32)
+        P[: self.n_x, : self.n_x] = M.T
+        return P
+
+    def _sub_res(self, keys, params, ctx, x, t, exact=False):
+        """(S, Q) assembled over a subset of groups (mirrors
+        CompiledCircuit.residuals, core/compile.py, restricted to ``keys``).
+
+        ``exact=True`` skips the mixed-precision eval cast: the linearity
+        probe and the baked G_lin/C_lin constants must be f64-clean — under
+        eval_dtype=float32 the probe's 1e-9 affine test would otherwise
+        drown in f32 eval noise and misclassify every linear group as
+        nonlinear (pulling scan-lowered source evals into the kernel)."""
+        comp = self.compiled
+        cast = (lambda v: v) if exact else comp._cast_eval
+        x = jnp.asarray(x, comp.dtype)
+        x_pad = jnp.concatenate([x, jnp.zeros(1, comp.dtype)])
+        ctx_t = ctx.at_time(t)
+        ctx_e = ctx_t if exact else comp._ctx_eval(ctx_t)
+        S = comp._zeros_pad()
+        Q = comp._zeros_pad()
+        eps = jnp.zeros(max(comp.n_eps, 1), comp.dtype)
+        for key in keys:
+            g = comp.groups[key]
+            gp = params[key]
+            lv = cast(x_pad[g.var_idx])
+            le = cast(eps[g.eps_idx])
+            pv = {k: cast(jnp.asarray(v)) for k, v in gp.items()
+                  if k != "$mult"}
+            sp = g.static_params
+            s, q = jax.vmap(
+                lambda l, p, e: g.model.eval(
+                    [l[i] for i in range(g.model.n_lvar())],
+                    {**sp, **p}, ctx_e, e))(lv, pv, le)
+            scale = jnp.where(jnp.asarray(g.kcl_mask)[None, :],
+                              jnp.asarray(gp["$mult"])[:, None], 1.0)
+            S = S.at[g.row_idx].add(s.astype(comp.dtype) * scale)
+            Q = Q.at[g.row_idx].add(q.astype(comp.dtype) * scale)
+        return S[:-1], Q[:-1]
+
+    def _sub_jac(self, keys, params, ctx, x):
+        js = jax.jacfwd(lambda xx: self._sub_res(keys, params, ctx, xx,
+                                                 0.0, exact=True))
+        return js(jnp.asarray(x, self.compiled.dtype))
+
+    def _group_is_linear(self, key, params, ctx, xa, xb) -> bool:
+        """Affine-in-x at fixed t: equal Jacobians at two points AND the
+        affine extrapolation from xa reproduces the value at xb (catches
+        x-independent but non-affine curiosities), for both S and Q, at two
+        times (t-dependence must stay in the offset)."""
+        for t in (0.0, 1.7e-9):
+            Sa, Qa = self._sub_res([key], params, ctx, xa, t, exact=True)
+            Sb, Qb = self._sub_res([key], params, ctx, xb, t, exact=True)
+            Ga, Ca = jax.jacfwd(
+                lambda xx: self._sub_res([key], params, ctx, xx, t,
+                                         exact=True))(
+                    jnp.asarray(xa, self.compiled.dtype))
+            dx = jnp.asarray(xb - xa, self.compiled.dtype)
+            if not (np.allclose(Sa + Ga @ dx, Sb, rtol=1e-9, atol=1e-12)
+                    and np.allclose(Qa + Ca @ dx, Qb, rtol=1e-9,
+                                    atol=1e-15)):
+                return False
+        # Jacobian t-independence: linear split hoists G/C out of s_off(t)
+        Ga0, Ca0 = self._sub_jac([key], params, ctx, xa)
+        Ga1, Ca1 = [np.asarray(m) for m in jax.jacfwd(
+            lambda xx: self._sub_res([key], params, ctx, xx, 1.7e-9,
+                                     exact=True))(
+                jnp.asarray(xa, self.compiled.dtype))]
+        return bool(np.allclose(Ga0, Ga1) and np.allclose(Ca0, Ca1))
+
+    # ------------------------------------------------------------ outside ops
+
+    def s_off(self, t, ctx, params=None):
+        """Time-dependent linear offset ``S_lin(0, t)`` — evaluated in XLA
+        per step attempt (a few scalar source evals)."""
+        params = self.compiled.params0 if params is None else params
+        S, _ = self._sub_res(self.lin_keys, params, ctx,
+                             jnp.zeros(self.n_x, self.compiled.dtype), t)
+        return S
+
+    # ------------------------------------------------------------ the kernel
+
+    def _const_inputs(self):
+        """Pallas kernels may not capture array constants — every baked
+        matrix/param array is threaded through as an explicit VMEM input.
+        Returns (arrays, unpack) where ``unpack(refs)`` rebuilds
+        (GlT, ClT, qoff, per-group GT/SmT lists, per-group param dicts,
+        per-group eps lists) from the kernel's leading refs."""
+        arrays = [np.asarray(self.GlinT), np.asarray(self.ClinT),
+                  np.asarray(self.q_off_row)]
+        layout = []          # (group index, kind, key/index)
+        for gi, g in enumerate(self.nl):
+            for k in range(g.n_lvar):
+                layout.append((gi, "GT", k))
+                arrays.append(np.asarray(g.GT[k]))
+            for k in range(g.n_lrow):
+                layout.append((gi, "SmT", k))
+                arrays.append(np.asarray(g.SmT[k]))
+            for pn, pv in g.params.items():
+                if getattr(pv, "ndim", 0) > 0:
+                    layout.append((gi, "param", pn))
+                    arrays.append(np.asarray(pv, np.float32))
+            for k in range(len(g.eps0)):
+                layout.append((gi, "eps", k))
+                arrays.append(np.zeros((1, g.n_inst), np.float32))
+
+        def unpack(refs):
+            GlT, ClT, qoff = refs[0][:], refs[1][:], refs[2][:]
+            gts = [[None] * g.n_lvar for g in self.nl]
+            smts = [[None] * g.n_lrow for g in self.nl]
+            pars = []
+            epss = [[] for _ in self.nl]
+            for g in self.nl:
+                # statics stay python/np scalars (trace-time constants)
+                pars.append({pn: pv for pn, pv in g.params.items()
+                             if not (hasattr(pv, "ndim")
+                                     and getattr(pv, "ndim", 0) > 0)})
+            for (gi, kind, key), ref in zip(layout, refs[3:]):
+                if kind == "GT":
+                    gts[gi][key] = ref[:]
+                elif kind == "SmT":
+                    smts[gi][key] = ref[:]
+                elif kind == "param":
+                    pars[gi][key] = ref[:]
+                else:
+                    epss[gi].append(ref[:])
+            return GlT, ClT, qoff, gts, smts, pars, epss
+
+        return arrays, unpack
+
+    def _nl_parts(self, x_row, v_row, ctx_t, gts, smts, pars, epss):
+        """In-kernel nonlinear contributions: returns (S_nl, Q_nl, ic_nl)
+        rows, each (1, n_xp) f32.  Everything stays 2D; gathers/scatters are
+        one-hot matmuls; the displacement current C_nl(x)·v is the jvp of
+        the charge rows in direction v."""
+        S = jnp.zeros((1, self.n_xp), jnp.float32)
+        Q = jnp.zeros((1, self.n_xp), jnp.float32)
+        ic = jnp.zeros((1, self.n_xp), jnp.float32)
+        f32 = jnp.float32
+        for gi, g in enumerate(self.nl):
+            lv = [jnp.dot(x_row, gts[gi][k], preferred_element_type=f32)
+                  for k in range(g.n_lvar)]
+            lvd = [jnp.dot(v_row, gts[gi][k], preferred_element_type=f32)
+                   for k in range(g.n_lvar)]
+
+            def f(lvs, _g=g, _p=pars[gi], _e=epss[gi]):
+                s, q = _g.model.eval(lvs, _p, ctx_t, _e)
+                # rows come back stacked (n_lrow, 1, n_inst); hand them on
+                # as a tuple of (1, n_inst) tiles (static leading index)
+                return ([s[k] for k in range(_g.n_lrow)],
+                        [q[k] for k in range(_g.n_lrow)])
+
+            (s, q), (_, qd) = jax.jvp(f, (lv,), (lvd,))
+            for k in range(g.n_lrow):
+                sm = smts[gi][k]
+                S = S + jnp.dot(s[k], sm, preferred_element_type=f32)
+                Q = Q + jnp.dot(q[k], sm, preferred_element_type=f32)
+                ic = ic + jnp.dot(qd[k], sm, preferred_element_type=f32)
+        return S, Q, ic
+
+    def build_kernel(self, opts, unpack, n_const):
+        """Kernel body closure for one TranOptions tolerance set."""
+        reltol = np.float32(opts.newton_reltol)
+        abstol = np.float32(opts.newton_abstol)
+        res_rel = np.float32(opts.res_rel)
+        res_tol = np.float32(opts.res_tol)
+        max_newton = int(opts.max_newton)
+        ctx0 = self.ctx
+        f32 = jnp.float32
+
+        def kernel(*refs):
+            const_refs = refs[:n_const]
+            (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, xdhh_ref,
+             xout_ref, sout_ref, qout_ref, stat_ref) = refs[n_const:]
+            GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs)
+            ONE = jnp.float32(1.0)
+            CAP = jnp.float32(5.0)
+            x0 = x0_ref[:]                       # (1, n_xp)
+            MT = mt_ref[:]                       # (n_xp, n_xp)
+            rinv = rinv_ref[:]                   # (1, n_xp)
+            soff = soff_ref[:]                   # (1, n_xp)
+            c0h = coef_ref[0, 0]                 # c0/h   (SMEM f32)
+            t_now = coef_ref[0, 1]               # t_new  (SMEM f32)
+            xdhh = xdhh_ref[:]                   # xdh/h  (1, n_xp)
+            ctx_t = ctx0.at_time(t_now)
+
+            def parts(x):
+                v = c0h * x + xdhh
+                Sl = jnp.dot(x, GlT, preferred_element_type=f32) + soff
+                Ql = jnp.dot(x, ClT, preferred_element_type=f32) + qoff
+                icl = jnp.dot(v, ClT, preferred_element_type=f32)
+                Sn, Qn, icn = self._nl_parts(x, v, ctx_t, gts, smts, pars,
+                                             epss)
+                return Sl + Sn, Ql + Qn, icl + icn
+
+            S0, Q0, ic0 = parts(x0)
+
+            # Mosaic-safe reduction idioms (the ops/pallas_lu.py kernel
+            # conventions): no bool reduce_and/squeeze chains — violation
+            # COUNTS as masked f32 sums to (1, 1), flags as (1, 1) f32/i32
+            Z = jnp.float32(0.0)
+            BIGF = jnp.float32(3.0e38)
+
+            def count(mask_bad):
+                """# of True entries as an f32 (1, 1) tile."""
+                return jnp.sum(jnp.where(mask_bad, ONE, Z), keepdims=True)
+
+            def body(carry):
+                x, S, Q, ic, done, it, nnwt = carry
+                fres = S + ic
+                dx = -jnp.dot(fres * rinv, MT, preferred_element_type=f32)
+                # non-finite test without isfinite/reduce_and: NaN fails
+                # dx == dx, ±inf fails |dx| < BIGF
+                nbad = count(jnp.logical_or(dx != dx, jnp.abs(dx) >= BIGF))
+                bad = nbad > Z                           # (1, 1) bool
+                dx = jnp.where(bad, jnp.zeros_like(dx), dx)
+                mx = jnp.max(jnp.abs(dx), keepdims=True)
+                dx = dx * jnp.where(mx > CAP, CAP / jnp.maximum(mx, CAP),
+                                    ONE)
+                xn = x + dx
+                Sn, Qn, icn = parts(xn)
+                fn = Sn + icn
+                scale = jnp.abs(icn) + jnp.abs(Sn)
+                nres = count(jnp.abs(fn) > res_rel * scale + res_tol)
+                ndx = count(jnp.abs(dx) > reltol * jnp.abs(xn) + abstol)
+                ok = jnp.logical_and(nres + ndx == Z,
+                                     jnp.logical_not(bad))
+                return (xn, Sn, Qn, icn, ok.astype(jnp.int32),
+                        it + 1, nnwt + 1)
+
+            def cond(carry):
+                done, it = carry[4], carry[5]
+                return jnp.logical_and(done[0, 0] == 0,
+                                       it[0, 0] < max_newton)
+
+            i0 = jnp.zeros((1, 1), jnp.int32)
+            xn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
+                cond, body, (x0, S0, Q0, ic0, i0, i0, i0))
+            nfin = count(jnp.logical_or(xn != xn, jnp.abs(xn) >= BIGF))
+            ok = jnp.logical_and(done > 0, nfin == Z)
+            xout_ref[:] = xn
+            sout_ref[:] = Sf
+            qout_ref[:] = Qf
+            stat_ref[0, 0] = ok.astype(jnp.int32)[0, 0]
+            stat_ref[0, 1] = nnwt[0, 0]
+
+        return kernel
+
+    def __call__(self, x_init, J, s_off_vec, c0, h, xdh, t_new, opts,
+                 interpret=False):
+        """One fused chord solve.  Same contract as newton_mod's return:
+        ``(xn, S, Q, ok, nnwt)`` in the caller's dtype, residual convention
+        = cap form.  ``J`` is the (already shunt-damped) chord Jacobian at
+        the freeze point."""
+        from cedarsim_tpu.ops import linalg
+
+        d = self._dtype
+        n, n_xp = self.n_x, self.n_xp
+        # frozen equilibrated inverse-transpose, exact dtype then cast:
+        # MT rows are inv(J/r) columns (lu_solve of unit vectors)
+        r = jnp.max(jnp.abs(J), axis=-1)
+        r = jnp.where(r == 0, jnp.ones_like(r), r)
+        LU, perm = linalg.lu_factor(J / r[:, None])
+        eye = jnp.eye(n, dtype=d)
+        MT = jax.vmap(lambda e: linalg.lu_solve(LU, perm, e))(eye)
+        MTp = jnp.zeros((n_xp, n_xp), jnp.float32)
+        MTp = MTp.at[:n, :n].set(MT.astype(jnp.float32))
+
+        def row(v):
+            out = jnp.zeros((1, n_xp), jnp.float32)
+            return out.at[0, :n].set(v.astype(jnp.float32))
+
+        x0r = row(x_init)
+        rir = row(1.0 / r)
+        sofr = row(s_off_vec)
+        xdhr = row(xdh / h)
+        coef = jnp.stack([jnp.asarray(c0 / h), jnp.asarray(t_new)]
+                         ).astype(jnp.float32).reshape(1, 2)
+
+        fn = self._pallas_fn(opts, interpret)
+        consts = self._const_cache
+        xn, S, Q, st = fn(*consts, x0r, MTp, rir, sofr, coef, xdhr)
+        xn = xn[0, :n].astype(d)
+        S = S[0, :n].astype(d)
+        Q = Q[0, :n].astype(d)
+        ok = st[0, 0] > 0
+        nnwt = st[0, 1]
+        return xn, S, Q, ok, nnwt
+
+    def _pallas_fn(self, opts, interpret):
+        """Jitted pallas_call wrapper, cached per tolerance set — its OWN
+        jit boundary, traced under ``enable_x64(False)``, exactly the
+        proven ops/pallas_lu.py structure (an inline pallas_call inside the
+        big x64 transient trace legalizes differently and is where the
+        round-4 f64-squeeze Mosaic failure lived)."""
+        key = (opts.newton_reltol, opts.newton_abstol, opts.res_rel,
+               opts.res_tol, opts.max_newton, bool(interpret))
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        n_xp = self.n_xp
+        consts, unpack = self._const_inputs()
+        self._const_cache = [jnp.asarray(c) for c in consts]
+        kern = self.build_kernel(opts, unpack, len(consts))
+
+        @jax.jit
+        def run(*args):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern,
+                    in_specs=(
+                        [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts)
+                        + [
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # MT
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # rinv
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # s_off
+                            pl.BlockSpec(memory_space=pltpu.SMEM),   # coefs
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # xdh/h
+                        ]),
+                    out_specs=(
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                    ),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((1, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((1, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((1, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((1, 2), jnp.int32),
+                    ),
+                    interpret=interpret,
+                )(*args)
+
+        cache[key] = run
+        return run
+
+
+def get_fused_plan(compiled, ctx, params=None):
+    """Build (or fetch the cached) fused-chord plan; raises ValueError when
+    the circuit/params are outside the kernel envelope."""
+    cache = getattr(compiled, "_fused_plans", None)
+    if cache is None:
+        cache = compiled._fused_plans = {}
+    key = (ctx.mode, float(ctx.temp), float(ctx.gmin), float(ctx.scale),
+           float(ctx.sourcefac),
+           id(compiled.params0) if params is None else id(params))
+    plan = cache.get(key)
+    if plan is None:
+        plan = FusedChordPlan(compiled, ctx, params)
+        cache[key] = plan
+    return plan

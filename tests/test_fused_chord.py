@@ -1,0 +1,95 @@
+"""Fused chord-Newton Pallas kernel (ops/fused_chord.py) — CPU-side gates.
+
+The kernel itself targets Mosaic/TPU; on the CPU test platform it runs in
+pallas interpret mode, which executes the identical jaxpr — so these tests
+gate the plan construction (linear/nonlinear split), the residual
+convention (must match newton_mod's cap form), and the end-to-end physics
+of a transient driven through ``TranOptions(newton_impl="fused")``.
+On-chip legalization/performance is gated by the bench harness
+(benchmarks/single_stream.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cedarsim_tpu import SimSpec, TranOptions, parse_spice, elaborate, tran
+from cedarsim_tpu.core.compile import compile_circuit
+from cedarsim_tpu.ops.fused_chord import FusedChordPlan, get_fused_plan
+
+INV_RC = """* mos inverter driving an RC, plus PWL supply ripple path
+.model n1 nmos (level=1 vto=0.7 kp=100u cgso=1n cgdo=1n)
+.model p1 pmos (level=1 vto=-0.7 kp=40u cgso=1n cgdo=1n)
+vdd vdd 0 3.3
+vin in 0 PULSE(0 3.3 2n 0.2n 0.2n 4n 10n)
+mp out in vdd vdd p1 w=2u l=0.35u
+mn out in 0 0 n1 w=1u l=0.35u
+r1 out mid 1k
+cl mid 0 10f
+.tran 0.1n 20n
+"""
+
+
+@pytest.fixture(scope="module")
+def comp():
+    nl = parse_spice(INV_RC, file="inv_rc.cir")
+    return compile_circuit(elaborate(nl))
+
+
+def test_linear_split_exact(comp):
+    """G_lin·x + s_off(t) + S_nl must reproduce compiled.residuals exactly
+    (the kernel's out-of-kernel linear fold must not change the physics)."""
+    ctx = SimSpec.make().with_mode("tran")
+    plan = FusedChordPlan(comp, ctx)
+    # MOS is the only nonlinear group; sources/caps/R fold to constants
+    assert [g.key for g in plan.nl] == ["Mos1"]
+    rng = np.random.default_rng(7)
+    for t in (0.0, 2.1e-9, 7.7e-9):
+        x = rng.normal(size=comp.n_x) * 1.5
+        S_full, Q_full = comp.residuals(jnp.asarray(x), ctx.at_time(t))
+        S_nl, Q_nl = plan._sub_res(plan.nl_keys, comp.params0, ctx, x, t)
+        S_lin = plan.G_lin @ x + np.asarray(plan.s_off(t, ctx))
+        Q_lin = plan.C_lin @ x + plan.q_off
+        np.testing.assert_allclose(S_lin + np.asarray(S_nl),
+                                   np.asarray(S_full), rtol=0, atol=1e-9)
+        np.testing.assert_allclose(Q_lin + np.asarray(Q_nl),
+                                   np.asarray(Q_full), rtol=0, atol=1e-18)
+
+
+def test_plan_envelope_gates(comp):
+    """Traced params must be rejected (the kernel bakes param values)."""
+    ctx = SimSpec.make().with_mode("tran")
+    with pytest.raises(Exception):
+        jax.jit(lambda p: FusedChordPlan(comp, ctx, p) and 0)(comp.params0)
+
+
+def test_fused_transient_matches_xla(comp):
+    """Full adaptive transient through the public tran() path: the fused
+    engine must reproduce the XLA chord engine's waveform (same corrector,
+    different iteration engine — physics identical within mixed-precision
+    tolerances)."""
+    ctx = SimSpec.make()
+    base = dict(max_steps=8192, jac_reuse=1, formulation="cap",
+                newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
+    tspan = (0.0, 2e-8)
+    ref = tran(comp, tspan, ctx=ctx, opts=TranOptions(**base))
+    fused = tran(comp, tspan, ctx=ctx,
+                 opts=TranOptions(**base, newton_impl="fused"))
+    assert ref.converged and fused.converged
+    for t in np.linspace(1e-9, 1.9e-8, 12):
+        vr = float(ref.interp("out", t))
+        vf = float(fused.interp("out", t))
+        # mixed-precision engines on an adaptive grid: the bound is the
+        # LTE tolerance, not roundoff
+        assert abs(vr - vf) < 5e-3, (t, vr, vf)
+
+
+def test_fused_plan_cache(comp):
+    ctx = SimSpec.make().with_mode("tran")
+    p1 = get_fused_plan(comp, ctx)
+    p2 = get_fused_plan(comp, ctx)
+    assert p1 is p2
+    p3 = get_fused_plan(comp, ctx.replace(gmin=1e-13))
+    assert p3 is not p1
