@@ -66,6 +66,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot(a, b):
+    """f32-exact matmul for the kernel: WITHOUT an explicit precision the
+    TPU MXU evaluates f32 dots in one bf16 pass (~2^-10 relative), which
+    put a 5 mV error on a 5 V rail's branch residual and stalled every
+    post-breakpoint chord (round-4 root cause, measured: interpret
+    converged in 2 iterations, Mosaic failed all 12 with S off by exactly
+    5·2^-10).  HIGHEST selects the multi-pass f32-accurate MXU algorithm;
+    these are tiny (n≈26·n_inst) matmuls, so the extra passes are free."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _concrete(tree) -> bool:
     """True iff every leaf is a concrete (non-tracer) value."""
     return all(not isinstance(leaf, jax.core.Tracer)
@@ -246,8 +258,12 @@ class FusedChordPlan:
         return S[:-1], Q[:-1]
 
     def _sub_jac(self, keys, params, ctx, x):
-        js = jax.jacfwd(lambda xx: self._sub_res(keys, params, ctx, xx,
-                                                 0.0, exact=True))
+        # jitted: eager jacfwd-of-vmapped-eval re-enters the batching
+        # interpreter per op — minutes of pure dispatch overhead on a busy
+        # host (measured round-4), vs one bounded small-program compile
+        js = jax.jit(jax.jacfwd(
+            lambda xx: self._sub_res(keys, params, ctx, xx, 0.0,
+                                     exact=True)))
         return js(jnp.asarray(x, self.compiled.dtype))
 
     def _group_is_linear(self, key, params, ctx, xa, xb) -> bool:
@@ -255,24 +271,26 @@ class FusedChordPlan:
         affine extrapolation from xa reproduces the value at xb (catches
         x-independent but non-affine curiosities), for both S and Q, at two
         times (t-dependence must stay in the offset)."""
+        d = self.compiled.dtype
+        fres = jax.jit(lambda xx, tt: self._sub_res([key], params, ctx, xx,
+                                                    tt, exact=True))
+        fjac = jax.jit(jax.jacfwd(
+            lambda xx, tt: self._sub_res([key], params, ctx, xx, tt,
+                                         exact=True)))
+        jacs = []
         for t in (0.0, 1.7e-9):
-            Sa, Qa = self._sub_res([key], params, ctx, xa, t, exact=True)
-            Sb, Qb = self._sub_res([key], params, ctx, xb, t, exact=True)
-            Ga, Ca = jax.jacfwd(
-                lambda xx: self._sub_res([key], params, ctx, xx, t,
-                                         exact=True))(
-                    jnp.asarray(xa, self.compiled.dtype))
-            dx = jnp.asarray(xb - xa, self.compiled.dtype)
+            tj = jnp.asarray(t, d)
+            Sa, Qa = fres(jnp.asarray(xa, d), tj)
+            Sb, Qb = fres(jnp.asarray(xb, d), tj)
+            Ga, Ca = fjac(jnp.asarray(xa, d), tj)
+            jacs.append((np.asarray(Ga), np.asarray(Ca)))
+            dx = jnp.asarray(xb - xa, d)
             if not (np.allclose(Sa + Ga @ dx, Sb, rtol=1e-9, atol=1e-12)
                     and np.allclose(Qa + Ca @ dx, Qb, rtol=1e-9,
                                     atol=1e-15)):
                 return False
         # Jacobian t-independence: linear split hoists G/C out of s_off(t)
-        Ga0, Ca0 = self._sub_jac([key], params, ctx, xa)
-        Ga1, Ca1 = [np.asarray(m) for m in jax.jacfwd(
-            lambda xx: self._sub_res([key], params, ctx, xx, 1.7e-9,
-                                     exact=True))(
-                jnp.asarray(xa, self.compiled.dtype))]
+        (Ga0, Ca0), (Ga1, Ca1) = jacs
         return bool(np.allclose(Ga0, Ga1) and np.allclose(Ca0, Ca1))
 
     # ------------------------------------------------------------ outside ops
@@ -345,9 +363,9 @@ class FusedChordPlan:
         ic = jnp.zeros((1, self.n_xp), jnp.float32)
         f32 = jnp.float32
         for gi, g in enumerate(self.nl):
-            lv = [jnp.dot(x_row, gts[gi][k], preferred_element_type=f32)
+            lv = [_dot(x_row, gts[gi][k])
                   for k in range(g.n_lvar)]
-            lvd = [jnp.dot(v_row, gts[gi][k], preferred_element_type=f32)
+            lvd = [_dot(v_row, gts[gi][k])
                    for k in range(g.n_lvar)]
 
             def f(lvs, _g=g, _p=pars[gi], _e=epss[gi]):
@@ -360,9 +378,9 @@ class FusedChordPlan:
             (s, q), (_, qd) = jax.jvp(f, (lv,), (lvd,))
             for k in range(g.n_lrow):
                 sm = smts[gi][k]
-                S = S + jnp.dot(s[k], sm, preferred_element_type=f32)
-                Q = Q + jnp.dot(q[k], sm, preferred_element_type=f32)
-                ic = ic + jnp.dot(qd[k], sm, preferred_element_type=f32)
+                S = S + _dot(s[k], sm)
+                Q = Q + _dot(q[k], sm)
+                ic = ic + _dot(qd[k], sm)
         return S, Q, ic
 
     def build_kernel(self, opts, unpack, n_const):
@@ -377,30 +395,40 @@ class FusedChordPlan:
 
         def kernel(*refs):
             const_refs = refs[:n_const]
-            (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, xdhh_ref,
-             xout_ref, sout_ref, qout_ref, stat_ref) = refs[n_const:]
+            (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, vanch_ref,
+             dout_ref, sout_ref, qout_ref, stat_ref) = refs[n_const:]
             GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs)
             ONE = jnp.float32(1.0)
             CAP = jnp.float32(5.0)
-            x0 = x0_ref[:]                       # (1, n_xp)
+            x0 = x0_ref[:]                       # (1, n_xp) anchor x_pred
             MT = mt_ref[:]                       # (n_xp, n_xp)
             rinv = rinv_ref[:]                   # (1, n_xp)
             soff = soff_ref[:]                   # (1, n_xp)
             c0h = coef_ref[0, 0]                 # c0/h   (SMEM f32)
             t_now = coef_ref[0, 1]               # t_new  (SMEM f32)
-            xdhh = xdhh_ref[:]                   # xdh/h  (1, n_xp)
+            vanch = vanch_ref[:]                 # (c0·x_pred + xdh)/h, f64
+            #                                      cancellation done OUTSIDE
             ctx_t = ctx0.at_time(t_now)
 
-            def parts(x):
-                v = c0h * x + xdhh
-                Sl = jnp.dot(x, GlT, preferred_element_type=f32) + soff
-                Ql = jnp.dot(x, ClT, preferred_element_type=f32) + qoff
-                icl = jnp.dot(v, ClT, preferred_element_type=f32)
+            # anchored-state formulation: the iterate is x_pred + d with d
+            # carried separately.  ẋ = v_anchor + (c0/h)·d, so the f32
+            # cancellation error is eps32·|d|·c0/h (d ~ the Newton update,
+            # tiny) instead of eps32·|x|·c0/h — the latter (~1.5e-6 on a
+            # 5 V rail) exceeds newton_abstol and stalled every chord at a
+            # post-breakpoint small h (round-4 root cause: the run died at
+            # the first 50 ns source edge).
+            def parts(d):
+                x = x0 + d
+                v = vanch + c0h * d
+                Sl = _dot(x, GlT) + soff
+                Ql = _dot(x, ClT) + qoff
+                icl = _dot(v, ClT)
                 Sn, Qn, icn = self._nl_parts(x, v, ctx_t, gts, smts, pars,
                                              epss)
                 return Sl + Sn, Ql + Qn, icl + icn
 
-            S0, Q0, ic0 = parts(x0)
+            d0 = jnp.zeros_like(x0)
+            S0, Q0, ic0 = parts(d0)
 
             # Mosaic-safe reduction idioms (the ops/pallas_lu.py kernel
             # conventions): no bool reduce_and/squeeze chains — violation
@@ -413,9 +441,9 @@ class FusedChordPlan:
                 return jnp.sum(jnp.where(mask_bad, ONE, Z), keepdims=True)
 
             def body(carry):
-                x, S, Q, ic, done, it, nnwt = carry
+                d, S, Q, ic, done, it, nnwt = carry
                 fres = S + ic
-                dx = -jnp.dot(fres * rinv, MT, preferred_element_type=f32)
+                dx = -_dot(fres * rinv, MT)
                 # non-finite test without isfinite/reduce_and: NaN fails
                 # dx == dx, ±inf fails |dx| < BIGF
                 nbad = count(jnp.logical_or(dx != dx, jnp.abs(dx) >= BIGF))
@@ -424,15 +452,15 @@ class FusedChordPlan:
                 mx = jnp.max(jnp.abs(dx), keepdims=True)
                 dx = dx * jnp.where(mx > CAP, CAP / jnp.maximum(mx, CAP),
                                     ONE)
-                xn = x + dx
-                Sn, Qn, icn = parts(xn)
+                dn = d + dx
+                Sn, Qn, icn = parts(dn)
                 fn = Sn + icn
                 scale = jnp.abs(icn) + jnp.abs(Sn)
                 nres = count(jnp.abs(fn) > res_rel * scale + res_tol)
-                ndx = count(jnp.abs(dx) > reltol * jnp.abs(xn) + abstol)
+                ndx = count(jnp.abs(dx) > reltol * jnp.abs(x0 + dn) + abstol)
                 ok = jnp.logical_and(nres + ndx == Z,
                                      jnp.logical_not(bad))
-                return (xn, Sn, Qn, icn, ok.astype(jnp.int32),
+                return (dn, Sn, Qn, icn, ok.astype(jnp.int32),
                         it + 1, nnwt + 1)
 
             def cond(carry):
@@ -441,11 +469,11 @@ class FusedChordPlan:
                                        it[0, 0] < max_newton)
 
             i0 = jnp.zeros((1, 1), jnp.int32)
-            xn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
-                cond, body, (x0, S0, Q0, ic0, i0, i0, i0))
-            nfin = count(jnp.logical_or(xn != xn, jnp.abs(xn) >= BIGF))
+            dn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
+                cond, body, (d0, S0, Q0, ic0, i0, i0, i0))
+            nfin = count(jnp.logical_or(dn != dn, jnp.abs(dn) >= BIGF))
             ok = jnp.logical_and(done > 0, nfin == Z)
-            xout_ref[:] = xn
+            dout_ref[:] = dn
             sout_ref[:] = Sf
             qout_ref[:] = Qf
             stat_ref[0, 0] = ok.astype(jnp.int32)[0, 0]
@@ -480,14 +508,18 @@ class FusedChordPlan:
         x0r = row(x_init)
         rir = row(1.0 / r)
         sofr = row(s_off_vec)
-        xdhr = row(xdh / h)
+        # the corrector-derivative anchor: the state-scale cancellation
+        # c0·x_pred + xdh happens HERE in the caller's dtype (f64), so the
+        # kernel's f32 ẋ error scales with the small Newton correction d,
+        # not with |x| (see kernel docstring)
+        vanchr = row((c0 * x_init + xdh) / h)
         coef = jnp.stack([jnp.asarray(c0 / h), jnp.asarray(t_new)]
                          ).astype(jnp.float32).reshape(1, 2)
 
         fn = self._pallas_fn(opts, interpret)
         consts = self._const_cache
-        xn, S, Q, st = fn(*consts, x0r, MTp, rir, sofr, coef, xdhr)
-        xn = xn[0, :n].astype(d)
+        dn, S, Q, st = fn(*consts, x0r, MTp, rir, sofr, coef, vanchr)
+        xn = x_init + dn[0, :n].astype(d)
         S = S[0, :n].astype(d)
         Q = Q[0, :n].astype(d)
         ok = st[0, 0] > 0
@@ -510,7 +542,13 @@ class FusedChordPlan:
             return fn
         n_xp = self.n_xp
         consts, unpack = self._const_inputs()
-        self._const_cache = [jnp.asarray(c) for c in consts]
+        if not hasattr(self, "_const_cache"):
+            # device constants are created ONCE, outside any active trace —
+            # jnp.asarray inside a traced while-body leaks that trace's
+            # tracer into the cache (UnexpectedTracerError on the second
+            # tran() with a different breakpoint count, round-4)
+            with jax.ensure_compile_time_eval():
+                self._const_cache = [jnp.asarray(c) for c in consts]
         kern = self.build_kernel(opts, unpack, len(consts))
 
         @jax.jit
@@ -526,7 +564,7 @@ class FusedChordPlan:
                             pl.BlockSpec(memory_space=pltpu.VMEM),   # rinv
                             pl.BlockSpec(memory_space=pltpu.VMEM),   # s_off
                             pl.BlockSpec(memory_space=pltpu.SMEM),   # coefs
-                            pl.BlockSpec(memory_space=pltpu.VMEM),   # xdh/h
+                            pl.BlockSpec(memory_space=pltpu.VMEM),   # v_anchor
                         ]),
                     out_specs=(
                         pl.BlockSpec(memory_space=pltpu.VMEM),

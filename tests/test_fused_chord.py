@@ -86,6 +86,21 @@ def test_fused_transient_matches_xla(comp):
         assert abs(vr - vf) < 5e-3, (t, vr, vf)
 
 
+def test_fused_two_spans_no_tracer_leak(comp):
+    """Two tran() calls with different breakpoint counts retrace tran_core;
+    the plan's device-constant cache must not capture the first trace's
+    tracers (round-4 regression: UnexpectedTracerError on the second
+    call when _const_cache was created inside the while-body trace)."""
+    ctx = SimSpec.make()
+    opts = TranOptions(max_steps=4096, jac_reuse=1, formulation="cap",
+                       newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                       jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4,
+                       newton_impl="fused")
+    s1 = tran(comp, (0.0, 5e-9), ctx=ctx, opts=opts)
+    s2 = tran(comp, (0.0, 1.2e-8), ctx=ctx, opts=opts)
+    assert s1.converged and s2.converged
+
+
 def test_fused_plan_cache(comp):
     ctx = SimSpec.make().with_mode("tran")
     p1 = get_fused_plan(comp, ctx)
