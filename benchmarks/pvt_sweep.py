@@ -121,7 +121,8 @@ def run(points, backend):
                 date=time.strftime("%Y-%m-%d"))
 
 
-def run_chunked(points, backend, chunk=None, segments=2):
+def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
+                stream=False):
     """High-throughput mode for the 10k-point north star (BASELINE.md):
     the W x VDD grid streams through ONE compiled vmapped windowed program
     in chunk-sized dispatches.  Three levers make 10k points tractable on
@@ -129,7 +130,14 @@ def run_chunked(points, backend, chunk=None, segments=2):
     column (full waveforms at 10k lanes would be TBs of HBM), (2) windows
     are checkpoint-chained so no device execution outlives the tunnel's
     ~60 s deadline, (3) chunks keep the lockstep step-union loss bounded
-    (throughput peaks near nb=512 on the chip, bench.py 2026-08-19)."""
+    (throughput peaks near nb=512 on the chip, bench.py 2026-08-19).
+
+    ``start_at``/``stream`` are the worker half of the fault-isolation
+    protocol (``run_robust``): start at lane index ``start_at`` and print
+    one JSON line per completed chunk, so a mid-run TPU client death
+    (UNAVAILABLE device faults poison the whole in-process client —
+    observed killing a 1024-point run after its warm chunk, 2026-08-20)
+    only costs the in-flight chunk, not the row."""
     import jax
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -232,44 +240,146 @@ def run_chunked(points, backend, chunk=None, segments=2):
         jax.block_until_ready(st["x"])
         return rbs, st
 
-    pb0 = chunk_params(0)
+    pb0 = chunk_params(start_at)
     rbs, _ = run_chunk(pb0)          # compile everything once
     setup_s = time.perf_counter() - t0
     assert rbs is not None, "warm-up chunk op failed"
+    if stream:
+        print(json.dumps({"worker_setup_s": round(setup_s, 1)}), flush=True)
 
-    t0 = time.perf_counter()
     ok = True
     worst = 0.0
     n_newton = 0
-    for k0 in range(0, len(vdds), chunk):
-        pb = pb0 if k0 == 0 else chunk_params(k0)
+    n_done = 0
+    wall = 0.0
+    for k0 in range(start_at, len(vdds), chunk):
+        tc = time.perf_counter()
+        pb = pb0 if k0 == start_at else chunk_params(k0)
         rbs, _ = run_chunk(pb)
-        if rbs is None:
-            ok = False
-            continue
-        # gate: q at the end of the window must sit on the lane's rail
-        ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
-        qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
-                            axis=1)
-        fin = np.asarray(rbs[-1][4])
-        n_newton += int(sum(np.asarray(rb[6]).sum() for rb in rbs))
-        for lane in range(chunk):
-            j = k0 + lane
-            q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
-            err = abs(q - vdds[j])
-            if j < points:
-                worst = max(worst, err)
-                if err > 0.1 or not bool(fin[lane]):
-                    ok = False
-    wall = time.perf_counter() - t0
-    return dict(points=points, backend="tpu" if on_tpu else "cpu",
+        c_ok = rbs is not None
+        c_worst = 0.0
+        c_newton = 0
+        c_points = max(0, min(points - k0, chunk))
+        if c_ok:
+            # gate: q at the end of the window must sit on the lane's rail
+            ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
+            qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
+                                axis=1)
+            fin = np.asarray(rbs[-1][4])
+            c_newton = int(sum(np.asarray(rb[6]).sum() for rb in rbs))
+            for lane in range(chunk):
+                j = k0 + lane
+                q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
+                err = abs(q - vdds[j])
+                if j < points:
+                    c_worst = max(c_worst, err)
+                    if err > 0.1 or not bool(fin[lane]):
+                        c_ok = False
+        cw = time.perf_counter() - tc
+        wall += cw
+        n_done += c_points
+        n_newton += c_newton
+        ok = ok and c_ok
+        worst = max(worst, c_worst)
+        if stream:
+            print(json.dumps(dict(
+                chunk=k0, chunk_points=c_points, chunk_ok=bool(c_ok),
+                chunk_worst=round(c_worst, 4), chunk_newton=c_newton,
+                chunk_wall_s=round(cw, 2))), flush=True)
+    return dict(points=n_done, backend="tpu" if on_tpu else "cpu",
                 mode="f32-eval" if on_tpu else "f64", chunk=chunk,
                 segments=segments, store="q-only",
                 ok=bool(ok), worst_rail_err=round(worst, 4),
                 setup_s=round(setup_s, 1), wall_s=round(wall, 2),
-                points_per_sec=round(points / wall, 2),
+                points_per_sec=round(n_done / wall, 2),
                 newton=n_newton, kind="chunked",
                 date=time.strftime("%Y-%m-%d"))
+
+
+def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
+    """Fault-isolated chunked sweep: chunks execute in worker subprocesses
+    (``run_chunked(stream=True)``); a mid-run UNAVAILABLE device fault —
+    which poisons the whole in-process TPU client — costs only the
+    in-flight chunk.  The orchestrator restarts a fresh worker at the next
+    unfinished chunk (the persistent XLA cache makes the re-setup cheap);
+    a chunk that kills two workers in a row is skipped and reported.
+    Accounting is honest: ``wall_s``/``points_per_sec`` are the sum of
+    per-chunk walls (steady-state throughput, the north-star metric);
+    per-worker setup (parse+trace+compile+warm chunk) is reported
+    separately and summed across restarts."""
+    import select
+    import signal
+    import subprocess
+    chunk = chunk or (256 if backend == "tpu" else 16)
+    agg = {}                      # k0 -> chunk record
+    fault_counts = {}
+    skipped = []
+    restarts = -1                 # first worker isn't a restart
+    setup_total = 0.0
+    next_k0 = 0
+    while next_k0 < points and restarts < max_restarts:
+        restarts += 1
+        cmd = [sys.executable, os.path.abspath(__file__), "--chunked",
+               "--worker", "--points", str(points), "--chunk", str(chunk),
+               "--segments", str(segments), "--backend", backend,
+               "--start-at", str(next_k0)]
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
+                             start_new_session=True)
+        # cold setup (parse+trace+compile+warm chunk) can take many
+        # minutes; once chunks are flowing, 300 s of silence means a hung
+        # tunnel execution
+        idle_limit = 2400.0
+        deadline = time.monotonic() + idle_limit
+        timed_out = False
+        while True:
+            r, _, _ = select.select([p.stdout], [], [], 20.0)
+            if r:
+                line = p.stdout.readline()
+                if not line:
+                    break
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                rec = json.loads(line)
+                if "worker_setup_s" in rec:
+                    setup_total += rec["worker_setup_s"]
+                elif "chunk_wall_s" in rec:   # per-chunk record (NOT the
+                    agg[rec["chunk"]] = rec   # worker's final summary)
+                    next_k0 = rec["chunk"] + chunk
+                idle_limit = 300.0
+                deadline = time.monotonic() + idle_limit
+            elif p.poll() is not None:
+                break
+            if time.monotonic() > deadline:
+                timed_out = True
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                break
+        rc = p.wait()
+        if rc == 0 and not timed_out and next_k0 >= points:
+            break
+        # the worker died (device fault / hang) at chunk `next_k0`
+        fault_counts[next_k0] = fault_counts.get(next_k0, 0) + 1
+        if fault_counts[next_k0] >= 2:
+            skipped.append(next_k0)
+            next_k0 += chunk
+    chunks = [agg[k] for k in sorted(agg)]
+    n_done = sum(c["chunk_points"] for c in chunks)
+    wall = sum(c["chunk_wall_s"] for c in chunks)
+    ok = (bool(chunks) and all(c["chunk_ok"] for c in chunks)
+          and not skipped and n_done >= points)
+    return dict(points=n_done, points_requested=points, backend=backend,
+                mode="f32-eval" if backend == "tpu" else "f64", chunk=chunk,
+                segments=segments, store="q-only", ok=bool(ok),
+                worst_rail_err=round(max((c["chunk_worst"] for c in chunks),
+                                         default=float("nan")), 4),
+                setup_s=round(setup_total, 1), wall_s=round(wall, 2),
+                points_per_sec=round(n_done / wall, 2) if wall else 0.0,
+                newton=sum(c["chunk_newton"] for c in chunks),
+                restarts=restarts, skipped_chunks=skipped,
+                kind="chunked-robust", date=time.strftime("%Y-%m-%d"))
 
 
 def main():
@@ -280,9 +390,25 @@ def main():
                     help="high-throughput chunked mode (10k-point north "
                          "star): q-only storage, windowed, chunk dispatches")
     ap.add_argument("--chunk", type=int, default=None)
+    ap.add_argument("--segments", type=int, default=2)
+    ap.add_argument("--robust", action="store_true",
+                    help="fault-isolated orchestrator: worker subprocesses, "
+                         "restart on device faults, per-chunk accounting")
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--start-at", type=int, default=0,
+                    help=argparse.SUPPRESS)
     a = ap.parse_args()
-    rec = (run_chunked(a.points, a.backend, a.chunk) if a.chunked
-           else run(a.points, a.backend))
+    if a.worker:
+        rec = run_chunked(a.points, a.backend, a.chunk, a.segments,
+                          start_at=a.start_at, stream=True)
+        print(json.dumps(dict(rec, kind="chunked-worker")))
+        return 0 if rec["ok"] else 1
+    if a.robust:
+        rec = run_robust(a.points, a.backend, a.chunk, a.segments)
+    elif a.chunked:
+        rec = run_chunked(a.points, a.backend, a.chunk, a.segments)
+    else:
+        rec = run(a.points, a.backend)
     print(json.dumps(rec))
     path = os.path.join(D, "pvt_sweep.json")
     rows = []
