@@ -267,11 +267,21 @@ class FusedChordPlan:
         return js(jnp.asarray(x, self.compiled.dtype))
 
     def _group_is_linear(self, key, params, ctx, xa, xb) -> bool:
-        """Affine-in-x at fixed t: equal Jacobians at two points AND the
-        affine extrapolation from xa reproduces the value at xb (catches
+        """Affine-in-x at fixed t: equal Jacobians at THREE probe points
+        (two random-scale + one near the origin) AND the affine
+        extrapolation from xa reproduces the value at the others (catches
         x-independent but non-affine curiosities), for both S and Q, at two
-        times (t-dependence must stay in the offset)."""
+        times (t-dependence must stay in the offset).
+
+        The probe-point set is load-bearing: one-sided devices hide from
+        same-sign probes (a VA diode whose node drew negative at BOTH
+        random points sits reverse-biased at ~1e-14 A — affine below atol —
+        while the transient will forward-bias it; round-4 bug, caught by
+        `test_fused_plan_va_group`), and exponential devices probed only at
+        volt scale can land every probe in ``limexp``'s linear overflow
+        tail.  So: both sign mirrors AND a near-origin point."""
         d = self.compiled.dtype
+        others = (xb, -xb, -xa, 0.03 * xa)
         fres = jax.jit(lambda xx, tt: self._sub_res([key], params, ctx, xx,
                                                     tt, exact=True))
         fjac = jax.jit(jax.jacfwd(
@@ -281,14 +291,18 @@ class FusedChordPlan:
         for t in (0.0, 1.7e-9):
             tj = jnp.asarray(t, d)
             Sa, Qa = fres(jnp.asarray(xa, d), tj)
-            Sb, Qb = fres(jnp.asarray(xb, d), tj)
             Ga, Ca = fjac(jnp.asarray(xa, d), tj)
             jacs.append((np.asarray(Ga), np.asarray(Ca)))
-            dx = jnp.asarray(xb - xa, d)
-            if not (np.allclose(Sa + Ga @ dx, Sb, rtol=1e-9, atol=1e-12)
-                    and np.allclose(Qa + Ca @ dx, Qb, rtol=1e-9,
-                                    atol=1e-15)):
-                return False
+            for xo in others:
+                So, Qo = fres(jnp.asarray(xo, d), tj)
+                Go, Co = fjac(jnp.asarray(xo, d), tj)
+                dx = jnp.asarray(xo - xa, d)
+                if not (np.allclose(Sa + Ga @ dx, So, rtol=1e-9, atol=1e-12)
+                        and np.allclose(Qa + Ca @ dx, Qo, rtol=1e-9,
+                                        atol=1e-15)
+                        and np.allclose(Go, Ga, rtol=1e-9, atol=1e-12)
+                        and np.allclose(Co, Ca, rtol=1e-9, atol=1e-15)):
+                    return False
         # Jacobian t-independence: linear split hoists G/C out of s_off(t)
         (Ga0, Ca0), (Ga1, Ca1) = jacs
         return bool(np.allclose(Ga0, Ga1) and np.allclose(Ca0, Ca1))

@@ -1034,36 +1034,37 @@ class _Interp:
             capture_all=False, collect_delay=False, collect_latch=None):
         st = _State(self, lv, p, ctx, eps, collect_noise,
                     collect_delay=collect_delay, collect_latch=collect_latch)
+        lvd = st.lv_dtype   # lv may be a stacked array OR a per-lvar list
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
         if collect_delay:
-            zero = jnp.zeros((), lv.dtype)
+            zero = jnp.zeros((), lvd)
             u = [zero] * self.n_dly
             td = [zero] * self.n_dly
             for k, (uv, tv) in st.dly_rec.items():
                 u[k] = uv + zero
                 td[k] = tv + zero
-            return jnp.stack(u) if u else jnp.zeros(0, lv.dtype), \
-                jnp.stack(td) if td else jnp.zeros(0, lv.dtype)
+            return jnp.stack(u) if u else jnp.zeros(0, lvd), \
+                jnp.stack(td) if td else jnp.zeros(0, lvd)
         if collect_latch is not None:
             # flattened per-site latched-state rows
-            zero = jnp.zeros((), lv.dtype)
+            zero = jnp.zeros((), lvd)
             out = [zero] * self.n_lat_slots
             for k, vals in st.lat_rec.items():
                 _kind, off, n_sl = self.lat_sites[k]
                 for i, v in enumerate(vals):
                     out[off + i] = v + zero
-            return (jnp.stack(out) if out else jnp.zeros(0, lv.dtype))
+            return (jnp.stack(out) if out else jnp.zeros(0, lvd))
         if capture_all:
             # debug/observability: every module-level variable's value
-            return {k: _pair(v)[0] + jnp.zeros((), lv.dtype)
+            return {k: _pair(v)[0] + jnp.zeros((), lvd)
                     for k, v in env.items() if isinstance(k, str)}
         if capture_var is not None:
             v = env.get(capture_var, 0.0)
-            return _pair(v)[0] + jnp.zeros((), lv.dtype)
-        zero = jnp.zeros((), lv.dtype)
+            return _pair(v)[0] + jnp.zeros((), lvd)
+        zero = jnp.zeros((), lvd)
         n_rows = self.n_nodes + self.n_vbranch + self.n_idt + self.n_lf
         static = [zero] * n_rows
         dynamic = [zero] * n_rows
@@ -1170,6 +1171,14 @@ class _State:
                  collect_delay=False, collect_latch=None):
         self.it = interp
         self.lv = lv
+        # lv arrives either as one stacked array or as a list of per-lvar
+        # tiles (the fused-chord kernel passes a list so each tile keeps a
+        # static index); dtype probes must not assume the array form
+        try:
+            self.lv_dtype = jnp.result_type(
+                lv[0] if isinstance(lv, (list, tuple)) else lv)
+        except (IndexError, TypeError):
+            self.lv_dtype = jnp.float64
         self.p = p
         self.ctx = ctx
         self.eps = eps
@@ -1391,12 +1400,12 @@ class _State:
                 sv = _scalar(v)
                 if _concrete(sv):
                     return float(sv == 0)
-                return jnp.logical_not(sv != 0).astype(self.lv.dtype)
+                return jnp.logical_not(sv != 0).astype(self.lv_dtype)
             if e[1] == "~":
                 sv = _scalar(v)
                 if _concrete(sv):
                     return float(~int(sv))
-                return (~(sv.astype(jnp.int32))).astype(self.lv.dtype)
+                return (~(sv.astype(jnp.int32))).astype(self.lv_dtype)
         if k == "bin":
             return self._binop(e[1], e[2], e[3], env)
         if k == "cond":
@@ -1501,7 +1510,7 @@ class _State:
         if _concrete(sa, sb):
             from cedarsim_tpu.va.codegen import _host_binop
             return _host_binop(op, float(sa), float(sb))
-        d = self.lv.dtype
+        d = self.lv_dtype
         if op == "%":
             return jnp.fmod(sa, sb)
         cmp = {"==": lambda: sa == sb, "!=": lambda: sa != sb,

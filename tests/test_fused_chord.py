@@ -101,6 +101,56 @@ def test_fused_two_spans_no_tracer_leak(comp):
     assert s1.converged and s2.converged
 
 
+VA_DIODE = """
+module fdiode(a, c);
+  inout a, c;
+  electrical a, c;
+  parameter real is_ = 1e-14 from (0:1];
+  parameter real n = 1.0;
+  real id, vd;
+  analog begin
+    vd = V(a, c);
+    if (vd > -5.0 * n * $vt)
+      id = is_ * (limexp(vd / (n * $vt)) - 1.0);
+    else
+      id = -is_;
+    I(a, c) <+ id;
+  end
+endmodule
+"""
+
+
+def test_fused_plan_va_group():
+    """VA-interpreted devices must survive the plan's jitted linearity
+    probe: the traced (x, t) arguments make every VA binop non-concrete,
+    which used to crash on `self.lv.dtype` when lv is the fused path's
+    per-lvar tile list (round-4 regression, caught by the bsim4 bench
+    leg: AttributeError 'list' object has no attribute 'dtype')."""
+    from cedarsim_tpu import Circuit, Resistor, Capacitor, VSourcePULSE
+    from cedarsim_tpu.va.codegen import load_va
+    devs = load_va(VA_DIODE)
+    ckt = Circuit()
+    a, b = ckt.net("a"), ckt.net("b")
+    ckt.add(VSourcePULSE, "V1", (a, ckt.gnd),
+            dict(v1=0.0, v2=3.0, td=1e-9, tr=1e-10, tf=1e-10, pw=5e-9,
+                 per=20e-9))
+    ckt.add(Resistor, "R1", (a, b), dict(r=1000.0))
+    ckt.add(devs["fdiode"], "D1", (b, ckt.gnd), dict(is_=1e-14))
+    ckt.add(Capacitor, "C1", (b, ckt.gnd), dict(c=1e-12))
+    comp2 = compile_circuit(ckt)
+    plan = FusedChordPlan(comp2, SimSpec.make().with_mode("tran"))
+    assert [g.key for g in plan.nl] == ["VA_fdiode"]
+    opts = TranOptions(max_steps=4096, jac_reuse=1, formulation="cap",
+                       newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                       jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4,
+                       newton_impl="fused")
+    sol = tran(comp2, (0.0, 1e-8), ctx=SimSpec.make(), opts=opts)
+    assert sol.converged
+    # diode clamps the pulse top to ~0.6-0.8 V
+    vb = float(sol.interp("b", 4e-9))
+    assert 0.45 < vb < 0.9, vb
+
+
 def test_fused_plan_cache(comp):
     ctx = SimSpec.make().with_mode("tran")
     p1 = get_fused_plan(comp, ctx)
