@@ -1042,7 +1042,7 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
                 s_off_t = fused_plan.s_off(t_new, ctx_t, params)
                 xn, Sn_new, Qn_new, nok, nnwt = fused_plan(
                     x_pred, J, s_off_t, c0, h_real, xdh, t_new, opts,
-                    interpret=fused_interpret)
+                    params=params, interpret=fused_interpret)
             elif use_sparse:
                 fct = sops.factorize(J)
 

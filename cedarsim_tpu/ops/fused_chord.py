@@ -141,8 +141,14 @@ class FusedChordPlan:
         # plan construction is eager host math (linearity probes, jacfwd of
         # small subsets); under the axon tunnel every eager op would
         # round-trip to the chip, so pin it to the CPU backend (the
-        # tunnel-immune-probe discipline of core/sparse_ops.py)
-        with jax.default_device(jax.devices("cpu")[0]):
+        # tunnel-immune-probe discipline of core/sparse_ops.py).
+        # ensure_compile_time_eval: direct tran_core callers build the plan
+        # INSIDE an active trace, where omnistaging turns every concrete
+        # jnp op into a constant-tracer and np.asarray(Ga) raises
+        # TracerArrayConversionError (the sparse_ops lazy-plan lesson,
+        # round-3 weak #3; re-hit by the vmapped fused test, round-4)
+        with jax.default_device(jax.devices("cpu")[0]), \
+                jax.ensure_compile_time_eval():
             self._build_split(params, ctx)
 
     def _build_split(self, params, ctx):
@@ -321,13 +327,17 @@ class FusedChordPlan:
 
     def _const_inputs(self):
         """Pallas kernels may not capture array constants — every baked
-        matrix/param array is threaded through as an explicit VMEM input.
-        Returns (arrays, unpack) where ``unpack(refs)`` rebuilds
-        (GlT, ClT, qoff, per-group GT/SmT lists, per-group param dicts,
-        per-group eps lists) from the kernel's leading refs."""
+        matrix array is threaded through as an explicit VMEM input, and
+        per-instance nl-group params are RUNTIME inputs (``dyn_layout``)
+        so vmapped sweeps can scatter them per lane (the bench/PVT W
+        axis).  Returns (arrays, dyn_layout, unpack) where
+        ``unpack(const_refs, dyn_refs)`` rebuilds (GlT, ClT, qoff,
+        per-group GT/SmT lists, per-group param dicts, per-group eps
+        lists) from the kernel's leading refs."""
         arrays = [np.asarray(self.GlinT), np.asarray(self.ClinT),
                   np.asarray(self.q_off_row)]
         layout = []          # (group index, kind, key/index)
+        dyn_layout = []      # (group index, param name) — runtime inputs
         for gi, g in enumerate(self.nl):
             for k in range(g.n_lvar):
                 layout.append((gi, "GT", k))
@@ -337,14 +347,14 @@ class FusedChordPlan:
                 arrays.append(np.asarray(g.SmT[k]))
             for pn, pv in g.params.items():
                 if getattr(pv, "ndim", 0) > 0:
-                    layout.append((gi, "param", pn))
-                    arrays.append(np.asarray(pv, np.float32))
+                    dyn_layout.append((gi, pn))
             for k in range(len(g.eps0)):
                 layout.append((gi, "eps", k))
                 arrays.append(np.zeros((1, g.n_inst), np.float32))
 
-        def unpack(refs):
-            GlT, ClT, qoff = refs[0][:], refs[1][:], refs[2][:]
+        def unpack(const_refs, dyn_refs):
+            GlT, ClT, qoff = (const_refs[0][:], const_refs[1][:],
+                              const_refs[2][:])
             gts = [[None] * g.n_lvar for g in self.nl]
             smts = [[None] * g.n_lrow for g in self.nl]
             pars = []
@@ -354,18 +364,37 @@ class FusedChordPlan:
                 pars.append({pn: pv for pn, pv in g.params.items()
                              if not (hasattr(pv, "ndim")
                                      and getattr(pv, "ndim", 0) > 0)})
-            for (gi, kind, key), ref in zip(layout, refs[3:]):
+            for (gi, kind, key), ref in zip(layout, const_refs[3:]):
                 if kind == "GT":
                     gts[gi][key] = ref[:]
                 elif kind == "SmT":
                     smts[gi][key] = ref[:]
-                elif kind == "param":
-                    pars[gi][key] = ref[:]
                 else:
                     epss[gi].append(ref[:])
+            for (gi, pn), ref in zip(dyn_layout, dyn_refs):
+                pars[gi][pn] = ref[:]
             return GlT, ClT, qoff, gts, smts, pars, epss
 
-        return arrays, unpack
+        return arrays, dyn_layout, unpack
+
+    def nl_param_rows(self, params):
+        """Per-instance nl-group param arrays from a (possibly traced)
+        params pytree, in ``dyn_layout`` order, each (1, n_inst) f32 —
+        the kernel's runtime param inputs.  Per-lane dynamic variation of
+        NONLINEAR-group params is in the fused envelope; linear groups
+        enter the kernel only through the baked G_lin/C_lin matrices plus
+        the live s_off(t, params) offset and the live per-lane J, so their
+        *offset* params (source dc/amplitudes) are live too — but a
+        per-lane LINEAR MATRIX param (an R/C/L value, a controlled-source
+        gain) is outside the envelope and must use newton_impl='xla'."""
+        if not hasattr(self, "_dyn_layout"):
+            _, self._dyn_layout, _ = self._const_inputs()
+        rows = []
+        for gi, pn in self._dyn_layout:
+            g = self.nl[gi]
+            v = jnp.asarray(params[g.key][pn], jnp.float32).reshape(1, -1)
+            rows.append(jnp.broadcast_to(v, (1, g.n_inst)))
+        return rows
 
     def _nl_parts(self, x_row, v_row, ctx_t, gts, smts, pars, epss):
         """In-kernel nonlinear contributions: returns (S_nl, Q_nl, ic_nl)
@@ -397,7 +426,7 @@ class FusedChordPlan:
                 ic = ic + _dot(qd[k], sm)
         return S, Q, ic
 
-    def build_kernel(self, opts, unpack, n_const):
+    def build_kernel(self, opts, unpack, n_const, n_dyn):
         """Kernel body closure for one TranOptions tolerance set."""
         reltol = np.float32(opts.newton_reltol)
         abstol = np.float32(opts.newton_abstol)
@@ -409,9 +438,12 @@ class FusedChordPlan:
 
         def kernel(*refs):
             const_refs = refs[:n_const]
+            dyn_refs = refs[n_const:n_const + n_dyn]
             (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, vanch_ref,
-             dout_ref, sout_ref, qout_ref, stat_ref) = refs[n_const:]
-            GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs)
+             dout_ref, sout_ref, qout_ref, stat_ref) = \
+                refs[n_const + n_dyn:]
+            GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs,
+                                                           dyn_refs)
             ONE = jnp.float32(1.0)
             CAP = jnp.float32(5.0)
             x0 = x0_ref[:]                       # (1, n_xp) anchor x_pred
@@ -495,12 +527,221 @@ class FusedChordPlan:
 
         return kernel
 
+    #: above this unknown count the batched kernel's unrolled per-lane
+    #: backsolve (n_xp FMA slices) stops being the right shape — batched
+    #: big circuits belong to the sparse/XLA path anyway
+    MAX_N_BATCHED = 64
+
+    def build_kernel_batched(self, opts, unpack, n_const, n_dyn, B):
+        """Batched kernel body: the batch rides the SUBLANE axis of every
+        tile — (B, n_xp) iterates, (B, n_inst) model tiles — so one kernel
+        dispatch advances all ``B`` lanes of a vmapped transient through
+        their chord solves in lockstep (per-lane done masks, exactly the
+        semantics jax.vmap gives the XLA chord loop).  The per-lane frozen
+        direction is applied as an unrolled sum over matrix slices:
+        dx[b,i] = -sum_j (f*rinv)[b,j] * MT[j][b,i] with MT stored
+        (n_xp, B, n_xp) — n_xp static FMAs on (B, n_xp) tiles (Mosaic has
+        no batched MXU dot; at n_xp<=64 the VPU form wins anyway)."""
+        reltol = np.float32(opts.newton_reltol)
+        abstol = np.float32(opts.newton_abstol)
+        res_rel = np.float32(opts.res_rel)
+        res_tol = np.float32(opts.res_tol)
+        max_newton = int(opts.max_newton)
+        ctx0 = self.ctx
+        n_xp = self.n_xp
+
+        def kernel(*refs):
+            const_refs = refs[:n_const]
+            dyn_refs = refs[n_const:n_const + n_dyn]
+            (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, vanch_ref,
+             dout_ref, sout_ref, qout_ref, stat_ref) = \
+                refs[n_const + n_dyn:]
+            GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs,
+                                                           dyn_refs)
+            ONE = jnp.float32(1.0)
+            CAP = jnp.float32(5.0)
+            x0 = x0_ref[:]                       # (B, n_xp) anchor x_pred
+            rinv = rinv_ref[:]                   # (B, n_xp)
+            soff = soff_ref[:]                   # (B, n_xp)
+            c0h = coef_ref[:, 0:1]               # (B, 1) c0/h
+            t_now = coef_ref[:, 1:2]             # (B, 1) t_new
+            vanch = vanch_ref[:]                 # (B, n_xp) f64-anchored
+            ctx_t = ctx0.at_time(t_now)
+
+            def parts(d):
+                x = x0 + d
+                v = vanch + c0h * d
+                Sl = _dot(x, GlT) + soff
+                Ql = _dot(x, ClT) + qoff
+                icl = _dot(v, ClT)
+                Sn, Qn, icn = self._nl_parts(x, v, ctx_t, gts, smts, pars,
+                                             epss)
+                return Sl + Sn, Ql + Qn, icl + icn
+
+            d0 = jnp.zeros_like(x0)
+            S0, Q0, ic0 = parts(d0)
+
+            Z = jnp.float32(0.0)
+            BIGF = jnp.float32(3.0e38)
+
+            def count(mask_bad):
+                """# of True entries per lane as an f32 (B, 1) tile."""
+                return jnp.sum(jnp.where(mask_bad, ONE, Z), axis=1,
+                               keepdims=True)
+
+            def body(carry):
+                d, S, Q, ic, done, it, nnwt = carry
+                act = (done == 0).astype(jnp.float32)        # (B, 1)
+                fres = S + ic
+                g = fres * rinv
+                dx = jnp.zeros_like(d)
+                for j in range(n_xp):
+                    dx = dx - g[:, j:j + 1] * mt_ref[j]
+                nbad = count(jnp.logical_or(dx != dx, jnp.abs(dx) >= BIGF))
+                bad = nbad > Z                               # (B, 1)
+                dx = jnp.where(bad, jnp.zeros_like(dx), dx)
+                mx = jnp.max(jnp.abs(dx), axis=1, keepdims=True)
+                dx = dx * jnp.where(mx > CAP, CAP / jnp.maximum(mx, CAP),
+                                    ONE)
+                dx = dx * act                # done lanes freeze in place
+                dn = d + dx
+                Sn, Qn, icn = parts(dn)
+                fn = Sn + icn
+                scale = jnp.abs(icn) + jnp.abs(Sn)
+                nres = count(jnp.abs(fn) > res_rel * scale + res_tol)
+                ndx = count(jnp.abs(dx) > reltol * jnp.abs(x0 + dn)
+                            + abstol)
+                ok = jnp.logical_and(nres + ndx == Z,
+                                     jnp.logical_not(bad))
+                done_n = jnp.maximum(done, ok.astype(jnp.int32))
+                return (dn, Sn, Qn, icn, done_n, it + 1,
+                        nnwt + act.astype(jnp.int32))
+
+            def cond(carry):
+                done, it = carry[4], carry[5]
+                n_active = jnp.sum(jnp.where(done == 0, ONE, Z))
+                return jnp.logical_and(n_active > Z,
+                                       it[0, 0] < max_newton)
+
+            itc = jnp.zeros((1, 1), jnp.int32)
+            dn0 = jnp.zeros((B, 1), jnp.int32)
+            dn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
+                cond, body, (d0, S0, Q0, ic0, dn0, itc, dn0))
+            nfin = count(jnp.logical_or(dn != dn, jnp.abs(dn) >= BIGF))
+            ok = jnp.logical_and(done > 0, nfin == Z)
+            dout_ref[:] = dn
+            sout_ref[:] = Sf
+            qout_ref[:] = Qf
+            stat_ref[:, 0:1] = ok.astype(jnp.int32)
+            stat_ref[:, 1:2] = nnwt
+
+        return kernel
+
+    def _pallas_fn_batched(self, opts, B, interpret):
+        """Jitted batched pallas_call, cached per (tolerances, B)."""
+        key = (opts.newton_reltol, opts.newton_abstol, opts.res_rel,
+               opts.res_tol, opts.max_newton, bool(interpret), B)
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        fn = cache.get(key)
+        if fn is not None:
+            return fn
+        n_xp = self.n_xp
+        consts, dyn_layout, unpack = self._const_inputs()
+        self._dyn_layout = dyn_layout
+        if not hasattr(self, "_const_cache"):
+            with jax.ensure_compile_time_eval():
+                self._const_cache = [jnp.asarray(c) for c in consts]
+        kern = self.build_kernel_batched(opts, unpack, len(consts),
+                                         len(dyn_layout), B)
+
+        @jax.jit
+        def run(*args):
+            with jax.enable_x64(False):
+                return pl.pallas_call(
+                    kern,
+                    in_specs=(
+                        [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        * (len(consts) + len(dyn_layout) + 6)),
+                    out_specs=(
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ),
+                    out_shape=(
+                        jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
+                        jax.ShapeDtypeStruct((B, 2), jnp.int32),
+                    ),
+                    interpret=interpret,
+                )(*args)
+
+        cache[key] = run
+        return run
+
+    def _vmap_aware_fn(self, opts, interpret):
+        """The pallas invocation behind a ``custom_vmap`` boundary: solo
+        calls run the (1, n_xp) kernel; a ``jax.vmap`` over the transient
+        (batched sweeps, the bench headline) dispatches ONE natively
+        batched kernel with the batch on the sublane axis — NOT the
+        default pallas batching rule, which prepends a grid dimension and
+        executes B sequential kernel instances."""
+        key = ("vmapaware", opts.newton_reltol, opts.newton_abstol,
+               opts.res_rel, opts.res_tol, opts.max_newton, bool(interpret))
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        wrapped = cache.get(key)
+        if wrapped is not None:
+            return wrapped
+        single = self._pallas_fn(opts, interpret)
+        plan = self
+
+        @jax.custom_batching.custom_vmap
+        def call(x0r, MTp, rir, sofr, coef, vanchr, *dyn):
+            return single(*plan._const_cache, *dyn, x0r, MTp, rir, sofr,
+                          coef, vanchr)
+
+        @call.def_vmap
+        def _rule(axis_size, in_batched, x0r, MTp, rir, sofr, coef,
+                  vanchr, *dyn):
+            if plan.n_x > plan.MAX_N_BATCHED:
+                raise ValueError(
+                    "fused chord: batched kernel supports n_x <= "
+                    f"{plan.MAX_N_BATCHED} (got {plan.n_x}); use "
+                    "newton_impl='xla' for vmapped large circuits")
+            B = axis_size
+            args = []
+            for a, b in zip((x0r, MTp, rir, sofr, coef, vanchr) + dyn,
+                            in_batched):
+                args.append(a if b else
+                            jnp.broadcast_to(a, (B,) + a.shape))
+            x0b, MTb, rib, sofb, coefb, vanb = args[:6]
+            # batched layouts: rows (B,1,n)->(B,n); MT (B,n,n)->(n,B,n)
+            dynb = [a[:, 0, :] for a in args[6:]]
+            fnb = plan._pallas_fn_batched(opts, B, interpret)
+            dn, S, Q, st = fnb(
+                *plan._const_cache, *dynb, x0b[:, 0, :],
+                jnp.transpose(MTb, (1, 0, 2)), rib[:, 0, :],
+                sofb[:, 0, :], coefb[:, 0, :], vanb[:, 0, :])
+            outs = (dn[:, None, :], S[:, None, :], Q[:, None, :],
+                    st[:, None, :])
+            return outs, (True, True, True, True)
+
+        cache[key] = call
+        return call
+
     def __call__(self, x_init, J, s_off_vec, c0, h, xdh, t_new, opts,
-                 interpret=False):
+                 params=None, interpret=False):
         """One fused chord solve.  Same contract as newton_mod's return:
         ``(xn, S, Q, ok, nnwt)`` in the caller's dtype, residual convention
         = cap form.  ``J`` is the (already shunt-damped) chord Jacobian at
-        the freeze point."""
+        the freeze point.  ``params`` (default: the build params) feeds the
+        nl groups' per-instance values as RUNTIME inputs, so traced/
+        per-lane dynamic params work (envelope: see nl_param_rows)."""
         from cedarsim_tpu.ops import linalg
 
         d = self._dtype
@@ -530,9 +771,10 @@ class FusedChordPlan:
         coef = jnp.stack([jnp.asarray(c0 / h), jnp.asarray(t_new)]
                          ).astype(jnp.float32).reshape(1, 2)
 
-        fn = self._pallas_fn(opts, interpret)
-        consts = self._const_cache
-        dn, S, Q, st = fn(*consts, x0r, MTp, rir, sofr, coef, vanchr)
+        fn = self._vmap_aware_fn(opts, interpret)
+        dyn = self.nl_param_rows(self.compiled.params0 if params is None
+                                 else params)
+        dn, S, Q, st = fn(x0r, MTp, rir, sofr, coef, vanchr, *dyn)
         xn = x_init + dn[0, :n].astype(d)
         S = S[0, :n].astype(d)
         Q = Q[0, :n].astype(d)
@@ -555,7 +797,8 @@ class FusedChordPlan:
         if fn is not None:
             return fn
         n_xp = self.n_xp
-        consts, unpack = self._const_inputs()
+        consts, dyn_layout, unpack = self._const_inputs()
+        self._dyn_layout = dyn_layout
         if not hasattr(self, "_const_cache"):
             # device constants are created ONCE, outside any active trace —
             # jnp.asarray inside a traced while-body leaks that trace's
@@ -563,7 +806,8 @@ class FusedChordPlan:
             # tran() with a different breakpoint count, round-4)
             with jax.ensure_compile_time_eval():
                 self._const_cache = [jnp.asarray(c) for c in consts]
-        kern = self.build_kernel(opts, unpack, len(consts))
+        kern = self.build_kernel(opts, unpack, len(consts),
+                                 len(dyn_layout))
 
         @jax.jit
         def run(*args):
@@ -571,7 +815,8 @@ class FusedChordPlan:
                 return pl.pallas_call(
                     kern,
                     in_specs=(
-                        [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts)
+                        [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        * (len(consts) + len(dyn_layout))
                         + [
                             pl.BlockSpec(memory_space=pltpu.VMEM),   # x0
                             pl.BlockSpec(memory_space=pltpu.VMEM),   # MT

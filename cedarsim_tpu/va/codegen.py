@@ -1869,7 +1869,9 @@ class _State:
                 self.noise_pwr[k] = pwr
                 if name == "flicker_noise" and len(args) > 1:
                     self.noise_exp[k] = _scalar(self.expr(args[1], env))
-            if k < self.eps.shape[0]:
+            n_eps = (len(self.eps) if isinstance(self.eps, (list, tuple))
+                     else self.eps.shape[0])  # fused path passes a list
+            if k < n_eps:
                 return self.eps[k]
             return self.zero
         if name == "idt":

@@ -115,6 +115,10 @@ module fdiode(a, c);
     else
       id = -is_;
     I(a, c) <+ id;
+    // noise site: the fused plan feeds eps as a per-site LIST of tiles;
+    // interpreter probes like eps.shape must handle both forms (bsim4
+    // has noise sources, the first VA test model did not — round-4)
+    I(a, c) <+ white_noise(2.0 * 1.602176634e-19 * abs(id), "shot");
   end
 endmodule
 """
@@ -149,6 +153,77 @@ def test_fused_plan_va_group():
     # diode clamps the pulse top to ~0.6-0.8 V
     vb = float(sol.interp("b", 4e-9))
     assert 0.45 < vb < 0.9, vb
+
+
+def test_fused_batched_vmap(comp):
+    """jax.vmap over tran_core with newton_impl='fused' must dispatch the
+    natively-batched kernel (the custom_vmap rule: batch on the sublane
+    axis, per-lane done masks) — NOT pallas' default rule (B sequential
+    grid instances).  Gate: per-lane waveforms match the vmapped XLA chord
+    engine with per-lane W scatter on the nonlinear group (the dynamic-
+    params half of the envelope)."""
+    from cedarsim_tpu.analysis.tran import (tran_core, _consistent_xdot,
+                                            _differential_mask,
+                                            blank_checkpoint)
+    from cedarsim_tpu.analysis.dc import solve_dc
+    nb = 4
+    ctx = SimSpec.make()
+    ctx_op = ctx.with_mode("tranop")
+    base = dict(max_steps=8192, jac_reuse=1, formulation="cap",
+                newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
+                jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
+    tstop = 2e-8
+    bps = jnp.asarray(comp.breakpoints(tstop), comp.dtype)
+    pb = jax.tree.map(lambda a: jnp.repeat(jnp.asarray(a)[None], nb, 0),
+                      comp.params0)
+    sc = jnp.asarray([0.93, 1.0, 1.04, 1.09])
+    pb = dict(pb)
+    pb["Mos1"] = dict(pb["Mos1"])
+    pb["Mos1"]["w"] = pb["Mos1"]["w"] * sc[:, None]
+    op = solve_dc(comp, ctx=ctx, mode="tranop")
+    assert bool(np.asarray(op.converged))
+    x0b = jnp.repeat(op.x[None], nb, 0)
+    xdb = jax.jit(jax.vmap(
+        lambda x, p: _consistent_xdot(comp, x, ctx_op, p)))(x0b, pb)
+    mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
+    d = comp.dtype
+    ist = blank_checkpoint(x0b, xdb, 7e-13)
+
+    def run(opts):
+        fb = jax.jit(jax.vmap(
+            lambda p, x, xd, st: tran_core(
+                comp, p, ctx, x, xd, jnp.asarray(0.0, d),
+                jnp.asarray(tstop, d), bps, jnp.asarray(7e-13, d), opts,
+                mask, init_state=st),
+            in_axes=(0, 0, 0, 0)))
+        rb = fb(pb, x0b, xdb, ist)
+        ts, xs, fin = np.asarray(rb[0]), np.asarray(rb[1]), np.asarray(rb[4])
+        assert fin.all(), "unfinished lanes"
+        return ts, xs
+
+    tsf, xsf = run(TranOptions(**base, newton_impl="fused"))
+    tsx, xsx = run(TranOptions(**base))
+    io = comp.node_names.index("out")
+    worst_rail = 0.0
+    worst_edge = 0.0
+    for lane in range(nb):
+        for t in np.linspace(1e-9, 1.9e-8, 10):   # settled-rail samples
+            vf = np.interp(t, tsf[lane], xsf[lane, :, io])
+            vx = np.interp(t, tsx[lane], xsx[lane, :, io])
+            worst_rail = max(worst_rail, abs(vf - vx))
+        for t in (2.15e-9, 2.35e-9, 6.3e-9):      # mid-edge samples
+            vf = np.interp(t, tsf[lane], xsf[lane, :, io])
+            vx = np.interp(t, tsx[lane], xsx[lane, :, io])
+            # adaptive grids differ between engines; mid-edge interp
+            # error is slope-limited, not solver-limited
+            worst_edge = max(worst_edge, abs(vf - vx))
+    assert worst_rail < 5e-3, worst_rail
+    assert worst_edge < 8e-2, worst_edge
+    # the W scatter must reach the kernel: mid-edge, stronger lanes pull
+    # the falling output lower, strictly ordered across the 4 lanes
+    mids = [float(np.interp(2.15e-9, tsf[k], xsf[k, :, io]))
+            for k in range(nb)]
+    assert all(mids[k] > mids[k + 1] + 0.01 for k in range(nb - 1)), mids
 
 
 def test_fused_plan_cache(comp):
