@@ -341,6 +341,7 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
                 if not line.startswith("{"):
                     continue
                 rec = json.loads(line)
+                print(f"  [worker] {line}", file=sys.stderr, flush=True)
                 if "worker_setup_s" in rec:
                     setup_total += rec["worker_setup_s"]
                 elif "chunk_wall_s" in rec:   # per-chunk record (NOT the
