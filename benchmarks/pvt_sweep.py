@@ -208,27 +208,42 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
     fxd = jax.jit(jax.vmap(
         lambda x, p: _consistent_xdot(comp, x, ctx_op, p)))
 
+    # vectorized per-chunk param trees: ONE broadcast base + two leaf
+    # updates per chunk.  The original built `chunk` python trees through
+    # set_param and stacked every leaf — measured as a visible slice of
+    # the 4.08 points/s TPU wall (62.7 s per 256-chunk vs the bench's
+    # ~15 s for the same batched transient work).
+    kv, jv, pv = comp.param_loc("vvdd.dc")
+    base = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
+                                   (chunk,) + jnp.asarray(a).shape),
+        comp.params0)
+
     def chunk_params(k0):
-        trees = []
-        for j in range(k0, k0 + chunk):
-            pj = comp.set_param(comp.params0, "vvdd.dc", float(vdds[j]))
-            grp = dict(pj[key])
-            grp["W"] = grp["W"] * float(wscs[j])
-            pj = dict(pj)
-            pj[key] = grp
-            trees.append(pj)
-        return jax.tree.map(lambda *ls: jnp.stack(ls), *trees)
+        pb = dict(base)
+        gv = dict(pb[kv])
+        vs = jnp.asarray(vdds[k0:k0 + chunk])
+        gv[pv] = gv[pv].at[:, jv].set(vs)
+        if f"{pv}$given" in gv:
+            gv[f"{pv}$given"] = gv[f"{pv}$given"].at[:, jv].set(1.0)
+        pb[kv] = gv
+        gk = dict(pb[key])
+        gk["W"] = gk["W"] * jnp.asarray(wscs[k0:k0 + chunk])[:, None]
+        pb[key] = gk
+        return pb
 
     def run_chunk(pb):
+        # the whole chunk — op blocks, xdot, every window — is enqueued
+        # without host syncs (each np.asarray readback is a full tunnel
+        # round-trip; the original per-block conv readbacks serialized 4
+        # round-trips into every chunk) and gated once at the end
         xs, conv = [], []
         x0rep = jnp.repeat(op.x[None], opc, 0)
         for k0 in range(0, chunk, opc):
             r = fop(jax.tree.map(lambda a: a[k0:k0 + opc], pb), x0rep)
             xs.append(r.x)
-            conv.append(np.asarray(r.converged))
+            conv.append(r.converged)
         x0b = jnp.concatenate(xs, 0)
-        if not bool(np.concatenate(conv).all()):
-            return None, None
         xdb = fxd(x0b, pb)
         st = blank_checkpoint(x0b, xdb, 7e-13)
         rbs = []
@@ -238,10 +253,27 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
             rbs.append(rb)
             st = rb[7]
         jax.block_until_ready(st["x"])
+        if not bool(np.asarray(jnp.concatenate(conv)).all()):
+            return None, None
         return rbs, st
 
     pb0 = chunk_params(start_at)
     rbs, _ = run_chunk(pb0)          # compile everything once
+    # solo robust program for failed-lane relaunch (the bench discipline:
+    # a marginal lane under f32-eval can flip to the wrong rail at a race
+    # edge inside the lockstep batch — observed 1 lane in 1024 at the
+    # first TPU run of this harness, worst_rail_err 5.09 with zero device
+    # faults).  jac_reuse=4 full-refresh Newton, un-vmapped, DC from its
+    # own continuation; pre-compiled OUTSIDE the timed region.
+    from cedarsim_tpu import tran
+    ropts = TranOptions(max_steps=16384, jac_reuse=4,
+                        **({k: topts[k] for k in
+                            ("newton_reltol", "newton_abstol", "res_tol",
+                             "jac_shunt", "res_rel", "rtol", "atol")}
+                           if on_tpu else {}))
+    solo_warm = tran(comp, (0.0, tstop), params=comp.params0, ctx=ctx,
+                     opts=ropts)
+    assert bool(solo_warm.converged), "solo relaunch program failed warm-up"
     setup_s = time.perf_counter() - t0
     assert rbs is not None, "warm-up chunk op failed"
     if stream:
@@ -251,6 +283,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
     worst = 0.0
     n_newton = 0
     n_done = 0
+    n_relaunched = 0
     wall = 0.0
     for k0 in range(start_at, len(vdds), chunk):
         tc = time.perf_counter()
@@ -260,6 +293,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         c_worst = 0.0
         c_newton = 0
         c_points = max(0, min(points - k0, chunk))
+        c_relaunched = 0
         if c_ok:
             # gate: q at the end of the window must sit on the lane's rail
             ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
@@ -267,24 +301,42 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                                 axis=1)
             fin = np.asarray(rbs[-1][4])
             c_newton = int(sum(np.asarray(rb[6]).sum() for rb in rbs))
+            errs = {}
             for lane in range(chunk):
                 j = k0 + lane
+                if j >= points:
+                    continue
                 q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
-                err = abs(q - vdds[j])
-                if j < points:
-                    c_worst = max(c_worst, err)
-                    if err > 0.1 or not bool(fin[lane]):
-                        c_ok = False
+                errs[lane] = abs(q - vdds[j])
+                if errs[lane] > 0.1 or not bool(fin[lane]):
+                    # marginal-lane rail flip / stall: re-run solo on the
+                    # robust full-refresh program (time + Newton work
+                    # count into the chunk wall — honest throughput)
+                    lp = jax.tree.map(lambda a: a[lane], pb)
+                    sol = tran(comp, (0.0, tstop), params=lp, ctx=ctx,
+                               opts=ropts)
+                    c_newton += int(sol.n_newton)
+                    c_relaunched += 1
+                    qr = float(sol.interp("q", 6.99e-7))
+                    errs[lane] = abs(qr - vdds[j])
+                    if not bool(sol.converged):
+                        errs[lane] = float("inf")
+            for lane, err in errs.items():
+                c_worst = max(c_worst, err)
+                if err > 0.1:
+                    c_ok = False
         cw = time.perf_counter() - tc
         wall += cw
         n_done += c_points
         n_newton += c_newton
+        n_relaunched += c_relaunched
         ok = ok and c_ok
         worst = max(worst, c_worst)
         if stream:
             print(json.dumps(dict(
                 chunk=k0, chunk_points=c_points, chunk_ok=bool(c_ok),
                 chunk_worst=round(c_worst, 4), chunk_newton=c_newton,
+                chunk_relaunched=c_relaunched,
                 chunk_wall_s=round(cw, 2))), flush=True)
     return dict(points=n_done, backend="tpu" if on_tpu else "cpu",
                 mode="f32-eval" if on_tpu else "f64", chunk=chunk,
@@ -292,8 +344,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                 ok=bool(ok), worst_rail_err=round(worst, 4),
                 setup_s=round(setup_s, 1), wall_s=round(wall, 2),
                 points_per_sec=round(n_done / wall, 2),
-                newton=n_newton, kind="chunked",
-                date=time.strftime("%Y-%m-%d"))
+                newton=n_newton, relaunched_lanes=n_relaunched,
+                kind="chunked", date=time.strftime("%Y-%m-%d"))
 
 
 def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
@@ -379,6 +431,8 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
                 setup_s=round(setup_total, 1), wall_s=round(wall, 2),
                 points_per_sec=round(n_done / wall, 2) if wall else 0.0,
                 newton=sum(c["chunk_newton"] for c in chunks),
+                relaunched_lanes=sum(c.get("chunk_relaunched", 0)
+                                     for c in chunks),
                 restarts=restarts, skipped_chunks=skipped,
                 kind="chunked-robust", date=time.strftime("%Y-%m-%d"))
 
