@@ -1035,12 +1035,20 @@ class _Interp:
         st = _State(self, lv, p, ctx, eps, collect_noise,
                     collect_delay=collect_delay, collect_latch=collect_latch)
         lvd = st.lv_dtype   # lv may be a stacked array OR a per-lvar list
+        # row-zero prototype: rows never touched by a contribution must
+        # still stack with touched ones.  Under the vmapped path lv
+        # entries are () scalars, so zeros(()) matches; the fused-kernel
+        # path passes (1, n_inst) TILES un-vmapped, and a () zero next to
+        # a (1, n_inst) row breaks the final jnp.stack (hit by bsim4's
+        # untouched rows, round-4)
+        zrow = (jnp.zeros_like(lv[0]) if len(lv)
+                else jnp.zeros((), lvd))
         self._ctx_mode = ctx.mode
         env = {}
         for stmt in self.module.analog:
             st.stmt(stmt, env)
         if collect_delay:
-            zero = jnp.zeros((), lvd)
+            zero = zrow
             u = [zero] * self.n_dly
             td = [zero] * self.n_dly
             for k, (uv, tv) in st.dly_rec.items():
@@ -1050,7 +1058,7 @@ class _Interp:
                 jnp.stack(td) if td else jnp.zeros(0, lvd)
         if collect_latch is not None:
             # flattened per-site latched-state rows
-            zero = jnp.zeros((), lvd)
+            zero = zrow
             out = [zero] * self.n_lat_slots
             for k, vals in st.lat_rec.items():
                 _kind, off, n_sl = self.lat_sites[k]
@@ -1064,7 +1072,7 @@ class _Interp:
         if capture_var is not None:
             v = env.get(capture_var, 0.0)
             return _pair(v)[0] + jnp.zeros((), lvd)
-        zero = jnp.zeros((), lvd)
+        zero = zrow
         n_rows = self.n_nodes + self.n_vbranch + self.n_idt + self.n_lf
         static = [zero] * n_rows
         dynamic = [zero] * n_rows
