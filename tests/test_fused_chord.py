@@ -224,6 +224,11 @@ def test_fused_batched_vmap(comp):
     mids = [float(np.interp(2.15e-9, tsf[k], xsf[k, :, io]))
             for k in range(nb)]
     assert all(mids[k] > mids[k + 1] + 0.01 for k in range(nb - 1)), mids
+    # the natively-BATCHED kernel must have been built (custom_vmap rule
+    # fired with axis_size=nb — not pallas' sequential-grid default)
+    plan = get_fused_plan(comp, ctx)
+    assert any(len(k) == 7 and k[0] != "vmapaware" and k[-1] == nb
+               for k in plan._fn_cache), list(plan._fn_cache)
 
 
 def test_fused_plan_cache(comp):
