@@ -589,9 +589,13 @@ class FusedChordPlan:
                 return jnp.sum(jnp.where(mask_bad, ONE, Z), axis=1,
                                keepdims=True)
 
+            # every per-lane flag/counter stays f32: Mosaic rejected the
+            # (B, 1) i32 vectors with "Invalid relayout … vector<256x1xi32>"
+            # (measured on chip 2026-08-20); the f32 0/1 forms legalize.
+            # The stat output is f32 too — cast outside the kernel.
             def body(carry):
                 d, S, Q, ic, done, it, nnwt = carry
-                act = (done == 0).astype(jnp.float32)        # (B, 1)
+                act = ONE - done                             # (B, 1) f32
                 fres = S + ic
                 g = fres * rinv
                 dx = jnp.zeros_like(d)
@@ -613,26 +617,25 @@ class FusedChordPlan:
                             + abstol)
                 ok = jnp.logical_and(nres + ndx == Z,
                                      jnp.logical_not(bad))
-                done_n = jnp.maximum(done, ok.astype(jnp.int32))
-                return (dn, Sn, Qn, icn, done_n, it + 1,
-                        nnwt + act.astype(jnp.int32))
+                done_n = jnp.maximum(done, jnp.where(ok, ONE, Z))
+                return (dn, Sn, Qn, icn, done_n, it + ONE, nnwt + act)
 
             def cond(carry):
                 done, it = carry[4], carry[5]
-                n_active = jnp.sum(jnp.where(done == 0, ONE, Z))
+                n_active = jnp.sum(ONE - done)
                 return jnp.logical_and(n_active > Z,
                                        it[0, 0] < max_newton)
 
-            itc = jnp.zeros((1, 1), jnp.int32)
-            dn0 = jnp.zeros((B, 1), jnp.int32)
+            itc = jnp.zeros((1, 1), jnp.float32)
+            dn0 = jnp.zeros((B, 1), jnp.float32)
             dn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
                 cond, body, (d0, S0, Q0, ic0, dn0, itc, dn0))
             nfin = count(jnp.logical_or(dn != dn, jnp.abs(dn) >= BIGF))
-            ok = jnp.logical_and(done > 0, nfin == Z)
+            ok = jnp.logical_and(done > Z, nfin == Z)
             dout_ref[:] = dn
             sout_ref[:] = Sf
             qout_ref[:] = Qf
-            stat_ref[:, 0:1] = ok.astype(jnp.int32)
+            stat_ref[:, 0:1] = jnp.where(ok, ONE, Z)
             stat_ref[:, 1:2] = nnwt
 
         return kernel
@@ -674,7 +677,9 @@ class FusedChordPlan:
                         jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
                         jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
                         jax.ShapeDtypeStruct((B, n_xp), jnp.float32),
-                        jax.ShapeDtypeStruct((B, 2), jnp.int32),
+                        # f32 on purpose — (B, 1) i32 vectors fail Mosaic
+                        # relayout; cast to i32 outside the kernel
+                        jax.ShapeDtypeStruct((B, 2), jnp.float32),
                     ),
                     interpret=interpret,
                 )(*args)
@@ -728,7 +733,7 @@ class FusedChordPlan:
                 jnp.transpose(MTb, (1, 0, 2)), rib[:, 0, :],
                 sofb[:, 0, :], coefb[:, 0, :], vanb[:, 0, :])
             outs = (dn[:, None, :], S[:, None, :], Q[:, None, :],
-                    st[:, None, :])
+                    st.astype(jnp.int32)[:, None, :])
             return outs, (True, True, True, True)
 
         cache[key] = call
