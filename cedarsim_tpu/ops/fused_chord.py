@@ -578,11 +578,10 @@ class FusedChordPlan:
                                              epss)
                 return Sl + Sn, Ql + Qn, icl + icn
 
-            d0 = jnp.zeros_like(x0)
-            S0, Q0, ic0 = parts(d0)
-
             Z = jnp.float32(0.0)
             BIGF = jnp.float32(3.0e38)
+            d0 = x0 * Z                  # runtime zero (see carry-init note)
+            S0, Q0, ic0 = parts(d0)
 
             def count(mask_bad):
                 """# of True entries per lane as an f32 (B, 1) tile."""
@@ -626,8 +625,13 @@ class FusedChordPlan:
                 return jnp.logical_and(n_active > Z,
                                        it[0, 0] < max_newton)
 
+            # loop-carry inits derive from RUNTIME data, not jnp.zeros
+            # splats: Mosaic lays a splat constant out fully-replicated
+            # ({*,*}), the body yields per-sublane data ({0,*}), and the
+            # backedge relayout "replicate a non-singleton dim" is invalid
+            # (the second on-chip failure of this kernel, 2026-08-20)
             itc = jnp.zeros((1, 1), jnp.float32)
-            dn0 = jnp.zeros((B, 1), jnp.float32)
+            dn0 = x0[:, 0:1] * Z               # (B, 1) runtime zero
             dn, Sf, Qf, icf, done, _, nnwt = jax.lax.while_loop(
                 cond, body, (d0, S0, Q0, ic0, dn0, itc, dn0))
             nfin = count(jnp.logical_or(dn != dn, jnp.abs(dn) >= BIGF))
