@@ -377,6 +377,22 @@ class FusedChordPlan:
 
         return arrays, dyn_layout, unpack
 
+    def _dyn_pack_plan(self):
+        """Lane-packing plan for the batched kernel's dynamic param tiles:
+        4 params per (B, 128) tile at lane offsets 0/32/64/96.  A (B, 30)
+        row occupies a full (B, 128) physical tile — bsim4's 70 per-
+        instance params alone cost 9 MB of the 16 MB VMEM at B=256
+        (measured OOM: 35.25 MB scoped).  Packing cuts that 4×.  Returns
+        (n_tiles, slices) with slices[m] = (tile, lane_off, n_inst), or
+        None when any group has n_inst > 32 (fall back to unpacked)."""
+        if not hasattr(self, "_dyn_layout"):
+            _, self._dyn_layout, _ = self._const_inputs()
+        nis = [self.nl[gi].n_inst for gi, _ in self._dyn_layout]
+        if any(ni > 32 for ni in nis):
+            return None
+        slices = [(m // 4, (m % 4) * 32, ni) for m, ni in enumerate(nis)]
+        return (len(nis) + 3) // 4, slices
+
     def nl_param_rows(self, params):
         """Per-instance nl-group param arrays from a (possibly traced)
         params pytree, in ``dyn_layout`` order, each (1, n_inst) f32 —
@@ -550,14 +566,24 @@ class FusedChordPlan:
         ctx0 = self.ctx
         n_xp = self.n_xp
 
+        pack = self._dyn_pack_plan()
+        n_dyn_in = n_dyn if pack is None else pack[0]
+
         def kernel(*refs):
             const_refs = refs[:n_const]
-            dyn_refs = refs[n_const:n_const + n_dyn]
+            dyn_refs = refs[n_const:n_const + n_dyn_in]
             (x0_ref, mt_ref, rinv_ref, soff_ref, coef_ref, vanch_ref,
              dout_ref, sout_ref, qout_ref, stat_ref) = \
-                refs[n_const + n_dyn:]
+                refs[n_const + n_dyn_in:]
+            if pack is not None:
+                # lane-packed dyn tiles: 4 params per (B, 128) ref
+                tiles = [r[:] for r in dyn_refs]
+                dyn_vals = [tiles[ti][:, off:off + ni]
+                            for ti, off, ni in pack[1]]
+            else:
+                dyn_vals = list(dyn_refs)
             GlT, ClT, qoff, gts, smts, pars, epss = unpack(const_refs,
-                                                           dyn_refs)
+                                                           dyn_vals)
             ONE = jnp.float32(1.0)
             CAP = jnp.float32(5.0)
             x0 = x0_ref[:]                       # (B, n_xp) anchor x_pred
@@ -662,6 +688,8 @@ class FusedChordPlan:
                 self._const_cache = [jnp.asarray(c) for c in consts]
         kern = self.build_kernel_batched(opts, unpack, len(consts),
                                          len(dyn_layout), B)
+        pack = self._dyn_pack_plan()
+        n_dyn_in = len(dyn_layout) if pack is None else pack[0]
 
         @jax.jit
         def run(*args):
@@ -670,7 +698,7 @@ class FusedChordPlan:
                     kern,
                     in_specs=(
                         [pl.BlockSpec(memory_space=pltpu.VMEM)]
-                        * (len(consts) + len(dyn_layout) + 6)),
+                        * (len(consts) + n_dyn_in + 6)),
                     out_specs=(
                         pl.BlockSpec(memory_space=pltpu.VMEM),
                         pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -731,6 +759,16 @@ class FusedChordPlan:
             x0b, MTb, rib, sofb, coefb, vanb = args[:6]
             # batched layouts: rows (B,1,n)->(B,n); MT (B,n,n)->(n,B,n)
             dynb = [a[:, 0, :] for a in args[6:]]
+            pk = plan._dyn_pack_plan()
+            if pk is not None and dynb:
+                # lane-pack 4 params per (B, 128) tile (VMEM: 9 MB -> 2.3
+                # MB for bsim4's 70 rows at B=256)
+                padded = [jnp.pad(r, ((0, 0), (0, 32 - r.shape[1])))
+                          for r in dynb]
+                zf = jnp.zeros_like(padded[0])
+                dynb = [jnp.concatenate(
+                    (padded[i:i + 4] + [zf] * 4)[:4], axis=1)
+                    for i in range(0, len(padded), 4)]
             fnb = plan._pallas_fn_batched(opts, B, interpret)
             dn, S, Q, st = fnb(
                 *plan._const_cache, *dynb, x0b[:, 0, :],
