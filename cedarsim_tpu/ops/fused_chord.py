@@ -900,8 +900,14 @@ def get_fused_plan(compiled, ctx, params=None):
     key = (ctx.mode, float(ctx.temp), float(ctx.gmin), float(ctx.scale),
            float(ctx.sourcefac),
            id(compiled.params0) if params is None else id(params))
-    plan = cache.get(key)
-    if plan is None:
+    hit = cache.get(key)
+    if hit is None:
         plan = FusedChordPlan(compiled, ctx, params)
-        cache[key] = plan
+        # pin the params object: the key carries id(params), and a
+        # collected dict would let an unrelated later params tree reuse the
+        # same id — silently hitting a plan whose baked G_lin/C_lin came
+        # from the OLD values
+        cache[key] = (params, plan)
+    else:
+        plan = hit[1]
     return plan
