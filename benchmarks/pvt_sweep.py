@@ -244,6 +244,12 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
             xs.append(r.x)
             conv.append(r.converged)
         x0b = jnp.concatenate(xs, 0)
+        convb = jnp.concatenate(conv)
+        # an op-failed lane does NOT zero the chunk (2026-08-20 run: one
+        # corner lane's light-ladder op failure cost all 256 points of its
+        # chunk): seed it from the nominal op so the lockstep transient
+        # stays tame, and hand it to the per-lane solo relaunch below
+        x0b = jnp.where(convb[:, None], x0b, op.x[None])
         xdb = fxd(x0b, pb)
         st = blank_checkpoint(x0b, xdb, 7e-13)
         rbs = []
@@ -253,26 +259,38 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
             rbs.append(rb)
             st = rb[7]
         jax.block_until_ready(st["x"])
-        if not bool(np.asarray(jnp.concatenate(conv)).all()):
-            return None, None
-        return rbs, st
+        return rbs, st, np.asarray(convb)
 
     pb0 = chunk_params(start_at)
-    rbs, _ = run_chunk(pb0)          # compile everything once
+    rbs, _, _ = run_chunk(pb0)       # compile everything once
     # solo robust program for failed-lane relaunch (the bench discipline:
     # a marginal lane under f32-eval can flip to the wrong rail at a race
     # edge inside the lockstep batch — observed 1 lane in 1024 at the
     # first TPU run of this harness, worst_rail_err 5.09 with zero device
-    # faults).  jac_reuse=4 full-refresh Newton, un-vmapped, DC from its
-    # own continuation; pre-compiled OUTSIDE the timed region.
+    # faults).  jac_reuse=4 full-refresh Newton, un-vmapped; the lane's op
+    # is solved with the FULL ladder warm-started from the nominal op —
+    # tran()'s internal cold continuation is exactly the fragility the
+    # batched path avoids by warm-starting (2026-08-20 run: a solo
+    # relaunch at a vdd=5.1 corner failed its cold DC and turned the row
+    # Infinity); pre-compiled OUTSIDE the timed region.
     from cedarsim_tpu import tran
     ropts = TranOptions(max_steps=16384, jac_reuse=4,
                         **({k: topts[k] for k in
                             ("newton_reltol", "newton_abstol", "res_tol",
                              "jac_shunt", "res_rel", "rtol", "atol")}
                            if on_tpu else {}))
-    solo_warm = tran(comp, (0.0, tstop), params=comp.params0, ctx=ctx,
-                     opts=ropts)
+    fop_solo = jax.jit(lambda p, x: dc_core(comp, p, ctx_op, x, nopts))
+
+    def solo_tran(lane_params):
+        rop = fop_solo(lane_params, op.x)
+        if bool(np.asarray(rop.converged)):
+            return tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
+                        opts=ropts, x0=rop.x)
+        # cold fallback: tran's own continuation ladder
+        return tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
+                    opts=ropts)
+
+    solo_warm = solo_tran(comp.params0)
     assert bool(solo_warm.converged), "solo relaunch program failed warm-up"
     setup_s = time.perf_counter() - t0
     assert rbs is not None, "warm-up chunk op failed"
@@ -288,43 +306,43 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
     for k0 in range(start_at, len(vdds), chunk):
         tc = time.perf_counter()
         pb = pb0 if k0 == start_at else chunk_params(k0)
-        rbs, _ = run_chunk(pb)
-        c_ok = rbs is not None
+        rbs, _, convb = run_chunk(pb)
+        c_ok = True
         c_worst = 0.0
         c_newton = 0
         c_points = max(0, min(points - k0, chunk))
         c_relaunched = 0
-        if c_ok:
-            # gate: q at the end of the window must sit on the lane's rail
-            ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
-            qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
-                                axis=1)
-            fin = np.asarray(rbs[-1][4])
-            c_newton = int(sum(np.asarray(rb[6]).sum() for rb in rbs))
-            errs = {}
-            for lane in range(chunk):
-                j = k0 + lane
-                if j >= points:
-                    continue
-                q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
-                errs[lane] = abs(q - vdds[j])
-                if errs[lane] > 0.1 or not bool(fin[lane]):
-                    # marginal-lane rail flip / stall: re-run solo on the
-                    # robust full-refresh program (time + Newton work
-                    # count into the chunk wall — honest throughput)
-                    lp = jax.tree.map(lambda a: a[lane], pb)
-                    sol = tran(comp, (0.0, tstop), params=lp, ctx=ctx,
-                               opts=ropts)
-                    c_newton += int(sol.n_newton)
-                    c_relaunched += 1
-                    qr = float(sol.interp("q", 6.99e-7))
-                    errs[lane] = abs(qr - vdds[j])
-                    if not bool(sol.converged):
-                        errs[lane] = float("inf")
-            for lane, err in errs.items():
-                c_worst = max(c_worst, err)
-                if err > 0.1:
-                    c_ok = False
+        # gate: q at the end of the window must sit on the lane's rail
+        ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
+        qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
+                            axis=1)
+        fin = np.asarray(rbs[-1][4])
+        c_newton = int(sum(np.asarray(rb[6]).sum() for rb in rbs))
+        errs = {}
+        for lane in range(chunk):
+            j = k0 + lane
+            if j >= points:
+                continue
+            q = float(np.interp(6.99e-7, ts[lane], qs[lane]))
+            errs[lane] = abs(q - vdds[j])
+            if (errs[lane] > 0.1 or not bool(fin[lane])
+                    or not bool(convb[lane])):
+                # marginal-lane rail flip / stall / failed batched op:
+                # re-run solo on the robust full-refresh program with a
+                # warm-started per-lane op (time + Newton work count
+                # into the chunk wall — honest throughput)
+                lp = jax.tree.map(lambda a: a[lane], pb)
+                sol = solo_tran(lp)
+                c_newton += int(sol.n_newton)
+                c_relaunched += 1
+                qr = float(sol.interp("q", 6.99e-7))
+                errs[lane] = abs(qr - vdds[j])
+                if not bool(sol.converged):
+                    errs[lane] = float("inf")
+        for lane, err in errs.items():
+            c_worst = max(c_worst, err)
+            if err > 0.1:
+                c_ok = False
         cw = time.perf_counter() - tc
         wall += cw
         n_done += c_points
