@@ -198,26 +198,37 @@ class TranOptions:
     #: The checkpoint/final state always carries the FULL x, so resume
     #: and chained windows are unaffected.
     store_vars: tuple = None
-    #: dense linear-solver backend: "jax" (default — exact-f64 pure-JAX LU
-    #: everywhere) or "mixed" (route the dense factor/solve through the
-    #: custom_vmap pair ops/linalg.chord_factor/chord_backsolve: unbatched
-    #: solves stay exact f64, while vmapped sweeps on TPU drop to the f32
-    #: Pallas sublane GESP kernel with f64 iterative refinement — measured
-    #: 7.9x per-solve at the DFF shape, benchmarks/pallas_lu_bench.json).
-    #: Opt-in because custom_vmap has no AD rules: sensitivity/pss jvp
-    #: through the integrator requires "jax".
-    dense_lu: str = "jax"
-    #: chord-iteration implementation: "xla" (default — the while_loop over
-    #: residual walks below) or "fused" (ops/fused_chord.py: the ENTIRE
-    #: chord loop — nonlinear model eval, assembly, backsolve, damping,
-    #: convergence — compiled into ONE Pallas kernel; a step attempt costs
-    #: one dispatch instead of O(iterations × model-walk kernels).  The
-    #: single-stream latency lever of benchmarks/single_stream.md).
+    #: dense linear-solver backend: "auto" (default — the public tran()
+    #: entry and the bench/mesh harnesses resolve it via
+    #: :func:`auto_tpu_impl`: "mixed" on the TPU backend's dense path,
+    #: "jax" everywhere else; AD-carrying direct tran_core callers
+    #: (sensitivity/pss) resolve it conservatively to "jax"), "jax"
+    #: (exact-f64 pure-JAX LU everywhere) or "mixed" (route the dense
+    #: factor/solve through the custom_vmap pair
+    #: ops/linalg.chord_factor/chord_backsolve: unbatched solves stay
+    #: exact f64, while vmapped sweeps on TPU drop to the f32 Pallas
+    #: sublane GESP kernel with f64 iterative refinement — measured 7.9x
+    #: per-solve at the DFF shape, benchmarks/pallas_lu_bench.json; off
+    #: the Pallas envelope it falls back to the exact path at trace time).
+    #: custom_vmap has no AD rules: sensitivity/pss jvp through the
+    #: integrator requires "jax".
+    dense_lu: str = "auto"
+    #: chord-iteration implementation: "auto" (default — resolved by
+    #: :func:`auto_tpu_impl` on the public tran() entry and in the
+    #: bench/mesh harnesses: "fused" on TPU when the whole kernel envelope
+    #: below holds, "xla" otherwise; direct tran_core callers resolve it
+    #: conservatively to "xla"), "xla" (the while_loop over residual walks
+    #: below) or "fused" (ops/fused_chord.py: the ENTIRE chord loop —
+    #: nonlinear model eval, assembly, backsolve, damping, convergence —
+    #: compiled into ONE Pallas kernel; a step attempt costs one dispatch
+    #: instead of O(iterations × model-walk kernels).  The single-stream
+    #: latency lever of benchmarks/single_stream.md — measured 2.04x
+    #: single-stream on chip).
     #: Envelope: dense path, cap-form corrector, jac_reuse >= 1, no noise/
     #: delay channels, concrete params (the kernel bakes them), public
     #: tran() entry (the plan is built outside the jit boundary).  In-kernel
     #: math is f32: use the mixed-precision tolerance set.
-    newton_impl: str = "xla"
+    newton_impl: str = "auto"
     #: output-buffer chunk size: the adaptive while_loop carries only a
     #: (chunk_size, n) buffer; an outer lax.scan stacks chunks in place.
     #: Keeps buffer writes O(chunk) per step — with the full buffer in the
@@ -380,6 +391,57 @@ def window_schedules(bps_all, edges):
                      for w in win])
 
 
+def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
+                  opts: TranOptions, params=None, batched=False):
+    """Resolve ``newton_impl="auto"``/``dense_lu="auto"`` to the
+    measured-best TPU configuration when the kernel envelope holds, so the
+    default path — not a flag — runs the Pallas fast paths (VERDICT r4 #4).
+
+    Call OUTSIDE any jit/AD transform with a concrete ``ctx`` (the public
+    :func:`tran` does; the bench/PVT/mesh harnesses do before vmapping).
+    ``batched=True`` additionally requires the batched fused kernel's size
+    envelope (``FusedChordPlan.MAX_N_BATCHED``).  Resolution:
+
+    - ``dense_lu``: "mixed" on the TPU backend's dense path (the Pallas
+      sublane LU + f64 refinement; its custom_vmap falls back to the exact
+      path off-envelope at trace time, so this is safe), else "jax".
+    - ``newton_impl``: "fused" on TPU when the fused-chord plan builds and
+      the envelope holds (dense, cap-form, jac_reuse == 1 — the measured
+      configuration, no noise/delay channels); else "xla".  On success the
+      plan is stashed on ``compiled._fused_plan_active`` for tran_core.
+
+    Direct tran_core callers that may sit under AD (sensitivity, PSS)
+    skip this and get the conservative "xla"/"jax" resolution instead —
+    custom_vmap/Pallas have no AD rules."""
+    import dataclasses as _dc
+    ni, dl = opts.newton_impl, opts.dense_lu
+    if ni != "auto" and dl != "auto":
+        return opts
+    from cedarsim_tpu.core.compile import use_sparse_solver
+    on_tpu = jax.default_backend() == "tpu"
+    sparse = use_sparse_solver(compiled)
+    if dl == "auto":
+        dl = "mixed" if (on_tpu and not sparse) else "jax"
+    if ni == "auto":
+        ni = "xla"
+        cap_form = (opts.formulation == "cap"
+                    or (opts.formulation == "auto"
+                        and compiled.eval_dtype != compiled.dtype))
+        if (on_tpu and not sparse and cap_form and opts.jac_reuse == 1
+                and opts.noise_seed is None
+                and getattr(compiled, "n_dly", 0) == 0):
+            from cedarsim_tpu.ops.fused_chord import get_fused_plan
+            try:
+                plan = get_fused_plan(compiled, ctx.with_mode(Modes.TRAN),
+                                      params)
+                if not batched or compiled.n_x <= plan.MAX_N_BATCHED:
+                    compiled._fused_plan_active = plan
+                    ni = "fused"
+            except Exception:
+                pass        # outside the kernel envelope — stay on xla
+    return _dc.replace(opts, newton_impl=ni, dense_lu=dl)
+
+
 def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
               t0, tstop, bps, h0, opts: TranOptions, lte_mask=None,
               init_state=None):
@@ -396,6 +458,18 @@ def tran_core(compiled: CompiledCircuit, params, ctx: SimSpec, x0, xdot0,
     with its step size and predictor history intact (solver-state
     checkpoint/resume, SURVEY.md §5).  ``t0``/``x0``/``xdot0`` must equal
     the checkpoint's; ``bps`` must contain only breakpoints > t0."""
+    if opts.newton_impl == "auto" or opts.dense_lu == "auto":
+        # conservative in-core resolution: this frame may sit under jit/AD
+        # (sensitivity/PSS jvp straight through the integrator, and
+        # custom_vmap/Pallas carry no AD rules).  Harness entry points that
+        # can guarantee no outer AD resolve aggressively via auto_tpu_impl
+        # before tracing.
+        import dataclasses as _dc
+        opts = _dc.replace(
+            opts,
+            newton_impl=("xla" if opts.newton_impl == "auto"
+                         else opts.newton_impl),
+            dense_lu="jax" if opts.dense_lu == "auto" else opts.dense_lu)
     n = compiled.n_x
     dtype = compiled.dtype
     span = tstop - t0
@@ -1389,10 +1463,14 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
             # f32-eval noise floor — see dc.default_newton_options
             # LTE tolerances sit above the f32 noise floor (atol 1e-6
             # stalls the controller into endless shrinkage); validated on
-            # the BSIM-CMG DFF against the f64 fixed-step golden
+            # the BSIM-CMG DFF against the f64 fixed-step golden.
+            # jac_reuse=1 (per-step chord Newton) is the measured-best
+            # default on this path (bench.py 2026-08-17: 9.99 → 3.24 s,
+            # goldens identical) and what lets auto_tpu_impl pick the
+            # fused Pallas kernel below.
             opts = TranOptions(newton_reltol=1e-4, newton_abstol=5e-7,
                                res_tol=1e-3, jac_shunt=1e-7, res_rel=3e-5,
-                               rtol=1e-2, atol=1e-4)
+                               rtol=1e-2, atol=1e-4, jac_reuse=1)
         else:
             opts = TranOptions()
     params = compiled.params0 if params is None else params
@@ -1429,6 +1507,10 @@ def tran(compiled: CompiledCircuit, tspan, params=None, ctx: SimSpec = None,
     if ctx is None:
         from cedarsim_tpu.core.compile import default_ctx
         ctx = default_ctx(compiled)
+    # default-path fast-impl resolution (VERDICT r4 #4): the public entry
+    # is AD-free (returns host arrays), so "auto" may resolve to the
+    # measured-best Pallas paths here
+    opts = auto_tpu_impl(compiled, ctx, opts, params)
     if opts.newton_impl == "fused":
         # build the fused-chord plan OUTSIDE the jit boundary (concrete ctx
         # and params — the kernel bakes them as constants) and stash it for

@@ -136,6 +136,11 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
     if ctx is None:
         from cedarsim_tpu.core.compile import default_ctx
         ctx = default_ctx(compiled)
+    # harness entry, no outer AD: "auto" impls may resolve to the
+    # measured-best batched Pallas paths (params=None — the fused plan's
+    # dynamic-params mode, since lanes carry per-lane trees)
+    from cedarsim_tpu.analysis.tran import auto_tpu_impl
+    opts = auto_tpu_impl(compiled, ctx, opts, params=None, batched=True)
     t0, tstop = float(tspan[0]), float(tspan[1])
     span = tstop - t0
 
