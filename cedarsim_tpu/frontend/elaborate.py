@@ -311,7 +311,16 @@ class Elaborator:
         path = self._resolve_file(st.path, st.loc)
         with open(path, "r", errors="replace") as f:
             text = f.read()
-        sub = P.SpiceParser(text, file=path, title_line=False).parse()
+        if path.lower().endswith(".scs"):
+            # Spectre-dialect include (e.g. the ASAP7 ``7nm_TT.scs`` model
+            # deck): parse with the Spectre grammar — the reference reaches
+            # the same behavior through ``simulator lang=`` re-entry
+            # (spectre.jl:1365-1527); ``.scs`` is Spectre's canonical
+            # extension and such decks carry no lang pragma of their own
+            from cedarsim_tpu.frontend.spectre import parse_mixed
+            sub = parse_mixed(text, file=path, start_lang="spectre")
+        else:
+            sub = P.SpiceParser(text, file=path, title_line=False).parse()
         stmts = sub.statements
         if st.section is not None:
             sections = {}
@@ -584,6 +593,12 @@ class Elaborator:
                 # BSIM3-class levels 8/49/53 share the core via aliases
                 self._instantiate_bsim4(el, name, nets, kw, mdl, env, m,
                                         polarity)
+                return
+            if level in (17.0, 72.0):
+                # BSIM-CMG (reference: level 17/72 -> bsimcmg107,
+                # spectre.jl:599-607; the ASAP7 decks' path)
+                self._instantiate_cmg(el, name, nets, kw, mdl, env, m,
+                                      polarity)
                 return
             if level not in (1.0,):
                 self.warn(f"MOS level {level:g} not built in yet; using "
@@ -1010,6 +1025,38 @@ class Elaborator:
             self._apply_bsim4_binning(cls, p, bin_corr)
         if ignored:
             self.warn(f"bsim4 model {el.model!r}: ignoring unsupported "
+                      f"parameter(s) {sorted(set(ignored))}", el.loc)
+        while len(nets) < 4:
+            nets.append(nets[-1])
+        self.ckt.add(cls, name, nets[:4], p, m=m)
+
+    def _instantiate_cmg(self, el, name, nets, kw, mdl, env, m, polarity):
+        """BSIM-CMG FinFET from a ``.model level=17/72`` card or a Spectre
+        ``bsimcmg`` master (e.g. the ASAP7 7nm TT decks).  Card parameters
+        map case-insensitively onto the vendored CMC bsimcmg107 module's
+        parameters; ``type``/polarity becomes DEVTYPE (1=n, 0=p).  The
+        4th SPICE terminal (bulk) lands on the module's substrate node
+        ``e``."""
+        from cedarsim_tpu.models import bsimcmg_class
+        cls = bsimcmg_class()
+        p = {"DEVTYPE": 1.0 if polarity == "nmos" else 0.0}
+        ignored = []
+
+        def take(k, v):
+            actual = cls.param_lower.get(k.lower())
+            if actual is not None:
+                p[actual] = v
+            else:
+                ignored.append(k)
+
+        for k, v in mdl.params.items():
+            if k in ("level", "version", "type"):
+                continue
+            take(k, self.vres(v, env, el.loc))
+        for k, v in kw.items():
+            take(k, v)
+        if ignored:
+            self.warn(f"bsimcmg model {el.model!r}: ignoring unsupported "
                       f"parameter(s) {sorted(set(ignored))}", el.loc)
         while len(nets) < 4:
             nets.append(nets[-1])

@@ -44,6 +44,22 @@ def vbic_class():
     return _load("vbic")
 
 
+def bsimcmg_class():
+    """Compile (once per process) and return the vendored CMC BSIM-CMG 107
+    DeviceModel class — the target of ``.model ... level=17/72`` cards and
+    Spectre ``bsimcmg`` masters (the reference's spice_select_device maps
+    those levels to bsimcmg107, /root/reference/src/spectre.jl:599-607;
+    the ASAP7 decks use this path)."""
+    key = ("bsimcmg", ())
+    if key not in _CACHE:
+        from cedarsim_tpu.va.codegen import load_va
+        path = os.path.join(BSIMCMG107_DIR, "bsimcmg.va")
+        with open(path) as f:
+            _CACHE[key] = load_va(f.read(), path,
+                                  include_paths=(BSIMCMG107_DIR,))["bsimcmg"]
+    return _CACHE[key]
+
+
 def _load(name, defines=()):
     key = (name, tuple(defines))
     if key not in _CACHE:

@@ -16,10 +16,11 @@ import os
 import numpy as np
 import pytest
 
-BINS = "/root/reference/test/binning/bins.cir"
-
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(BINS), reason="reference binned library not mounted")
+_VENDORED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "binning", "bins.cir")
+BINS = ("/root/reference/test/binning/bins.cir"
+        if os.path.exists("/root/reference/test/binning/bins.cir")
+        else _VENDORED)
 
 
 def _lib_text():

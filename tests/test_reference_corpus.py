@@ -8,18 +8,28 @@ import os
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
-                                reason="reference tree not mounted")
+#: vendored corpus subset (tests/data/ref_corpus/PROVENANCE.md) keeps this
+#: test gating frontend breadth when the reference tree is not mounted
+#: (VERDICT r4 item 8); with the mount, the FULL tree is swept.
+VENDORED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "ref_corpus")
 
-BROKEN = {"SpectreNetlistParser.jl/test/SPICE/examples/errors.cir",
-          "SpectreNetlistParser.jl/test/examples/errors.scs"}
+#: the two deliberately-broken error-corpus files (by basename — the
+#: vendored copy is flat)
+BROKEN = {"errors.cir", "errors.scs"}
 
 
 def _files():
     out = []
-    for pat in ("**/*.cir", "**/*.spice", "**/*.ngspice", "**/*.sp",
-                "**/*.scs", "**/*.pm"):
-        out += glob.glob(os.path.join(REF, "**", pat), recursive=True)
+    if os.path.isdir(REF):
+        for pat in ("**/*.cir", "**/*.spice", "**/*.ngspice", "**/*.sp",
+                    "**/*.scs", "**/*.pm"):
+            out += glob.glob(os.path.join(REF, "**", pat), recursive=True)
+    else:
+        for pat in ("*.cir", "*.spice", "*.ngspice", "*.sp", "*.scs"):
+            out += glob.glob(os.path.join(VENDORED, pat))
+        out += glob.glob(os.path.join(os.path.dirname(VENDORED),
+                                      "binning", "*.cir"))
     return sorted(set(out))
 
 
@@ -27,7 +37,7 @@ def test_reference_netlists_parse():
     from cedarsim_tpu.frontend.spectre import parse_mixed
     ok, fails = [], []
     for f in _files():
-        rel = os.path.relpath(f, REF)
+        rel = os.path.basename(f)
         try:
             with open(f, errors="replace") as fh:
                 parse_mixed(fh.read(), file=f,
@@ -38,7 +48,7 @@ def test_reference_netlists_parse():
             fails.append(rel)
     unexpected = [f for f in fails if f not in BROKEN]
     assert not unexpected, f"valid netlists failed to parse: {unexpected}"
-    assert len(ok) >= 27
+    assert len(ok) >= (27 if os.path.isdir(REF) else 24)
     # the deliberately-broken files must raise
-    assert set(fails) >= (BROKEN & set(os.path.relpath(f, REF)
-                                       for f in _files()))
+    assert set(fails) >= (BROKEN
+                          & {os.path.basename(f) for f in _files()})

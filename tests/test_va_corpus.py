@@ -15,7 +15,12 @@ import pytest
 from cedarsim_tpu.va.lexer import lex_va
 from cedarsim_tpu.va.parser import parse_va
 
-ROOT = "/root/reference/VerilogAParser.jl/test/sv-tests/tests/generic"
+_REF_ROOT = "/root/reference/VerilogAParser.jl/test/sv-tests/tests/generic"
+#: vendored subset (tests/data/sv-tests/PROVENANCE.md) keeps the corpus
+#: gated when the reference tree is not mounted (VERDICT r4 item 8)
+ROOT = (_REF_ROOT if os.path.isdir(_REF_ROOT)
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "data", "sv-tests"))
 
 # reference blacklist (sv_tests.jl) + our parse of the .sv wrapper of the
 # blacklisted .svh requires include resolution, exercised explicitly below
@@ -24,10 +29,6 @@ BLACKLIST = {"number_test_2.sv", "number_test_3.sv", "preproc_test_2.svh"}
 
 def _corpus(sub):
     return sorted(glob.glob(os.path.join(ROOT, sub, "*.sv*")))
-
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(ROOT), reason="sv-tests corpus not mounted")
 
 
 @pytest.mark.parametrize("path", _corpus("number") + _corpus("preproc"),
