@@ -392,7 +392,8 @@ def window_schedules(bps_all, edges):
 
 
 def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
-                  opts: TranOptions, params=None, batched=False):
+                  opts: TranOptions, params=None, batched=False,
+                  dyn_leaves=None):
     """Resolve ``newton_impl="auto"``/``dense_lu="auto"`` to the
     measured-best TPU configuration when the kernel envelope holds, so the
     default path — not a flag — runs the Pallas fast paths (VERDICT r4 #4).
@@ -409,6 +410,16 @@ def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
       the envelope holds (dense, cap-form, jac_reuse == 1 — the measured
       configuration, no noise/delay channels); else "xla".  On success the
       plan is stashed on ``compiled._fused_plan_active`` for tran_core.
+
+    ``dyn_leaves``: for BATCHED callers — the (group_key, param_name)
+    leaves (or dotted param names, resolved via ``compiled.param_loc``)
+    that will vary per lane.  Every leaf must pass the plan's
+    ``dyn_leaf_safe`` probe (nonlinear-group runtime inputs, or pure
+    source-offset linear params); a leaf that enters the baked
+    G_lin/C_lin matrices — an R/C/L value, a controlled-source gain —
+    falls back to "xla", because the kernel would silently use the baked
+    value for every lane.  ``batched=True`` with ``dyn_leaves=None``
+    (lane-varying params of unknown shape) never fuses.
 
     Direct tran_core callers that may sit under AD (sensitivity, PSS)
     skip this and get the conservative "xla"/"jax" resolution instead —
@@ -429,12 +440,20 @@ def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
                         and compiled.eval_dtype != compiled.dtype))
         if (on_tpu and not sparse and cap_form and opts.jac_reuse == 1
                 and opts.noise_seed is None
-                and getattr(compiled, "n_dly", 0) == 0):
+                and getattr(compiled, "n_dly", 0) == 0
+                and not (batched and dyn_leaves is None)):
             from cedarsim_tpu.ops.fused_chord import get_fused_plan
             try:
                 plan = get_fused_plan(compiled, ctx.with_mode(Modes.TRAN),
                                       params)
-                if not batched or compiled.n_x <= plan.MAX_N_BATCHED:
+                ok = not batched or compiled.n_x <= plan.MAX_N_BATCHED
+                for leaf in (dyn_leaves or () if batched else ()):
+                    if isinstance(leaf, str):
+                        k, _, pn = compiled.param_loc(leaf)
+                    else:
+                        k, pn = leaf
+                    ok = ok and plan.dyn_leaf_safe(k, pn)
+                if ok:
                     compiled._fused_plan_active = plan
                     ni = "fused"
             except Exception:

@@ -218,6 +218,37 @@ class FusedChordPlan:
                 params=merged, GT=GT, SmT=SmT, eps0=eps0))
         self._dtype = d
 
+    def dyn_leaf_safe(self, key, pname):
+        """True iff PER-LANE (vmapped) variation of params[key][pname] is
+        live in the kernel: nonlinear-group tree leaves are runtime inputs
+        (``dyn_layout``), and a linear-group leaf qualifies only when a
+        numeric probe shows it does not enter the baked G_lin/C_lin
+        matrices (pure ``s_off`` offsets — source dc/amplitudes; an R/C/L
+        value or controlled-source gain fails the probe).  Auto-impl
+        resolution (analysis/tran.auto_tpu_impl) consults this before
+        fusing a batched sweep — a baked matrix param varied per lane
+        would be silently wrong in-kernel."""
+        if key in self.nl_keys:
+            return True
+        if key not in self.lin_keys:
+            return False
+        p0 = self.compiled.params0
+        if pname not in p0.get(key, {}):
+            return False
+        with jax.default_device(jax.devices("cpu")[0]), \
+                jax.ensure_compile_time_eval():
+            xa = np.random.default_rng(0).normal(size=self.n_x) * 0.5
+            Ga0, Ca0 = self._sub_jac([key], p0, self.ctx, xa)
+            pp = dict(p0)
+            grp = dict(pp[key])
+            v = np.asarray(grp[pname], np.float64)
+            grp[pname] = v * 1.07 + 0.013 * (np.abs(v) + 1.0)
+            pp[key] = grp
+            Ga1, Ca1 = self._sub_jac([key], pp, self.ctx, xa)
+        tol = dict(rtol=1e-9, atol=1e-12)
+        return bool(np.allclose(np.asarray(Ga0), np.asarray(Ga1), **tol)
+                    and np.allclose(np.asarray(Ca0), np.asarray(Ca1), **tol))
+
     # ------------------------------------------------------------ build utils
 
     def _padT(self, M):
