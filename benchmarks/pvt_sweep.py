@@ -122,7 +122,7 @@ def run(points, backend):
 
 
 def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
-                stream=False):
+                stream=False, impl="xla"):
     """High-throughput mode for the 10k-point north star (BASELINE.md):
     the W x VDD grid streams through ONE compiled vmapped windowed program
     in chunk-sized dispatches.  Three levers make 10k points tractable on
@@ -198,6 +198,15 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         topts.update(newton_reltol=1e-4, newton_abstol=5e-7, res_tol=1e-3,
                      jac_shunt=1e-7, res_rel=3e-5, rtol=1e-2, atol=1e-4)
     opts = TranOptions(**topts)
+    if impl == "auto" and on_tpu:
+        # opt-in: resolve to the measured-best batched Pallas paths (the
+        # bench headline's default); both sweep axes are proven live
+        # in-kernel by dyn_leaf_safe (W = nl-group input, vvdd.dc = pure
+        # source offset).  Default stays the conservative XLA chord —
+        # capture-first discipline for the north-star row.
+        from cedarsim_tpu.analysis.tran import auto_tpu_impl
+        opts = auto_tpu_impl(comp, ctx, opts, params=None, batched=True,
+                             dyn_leaves=["vvdd.dc", (key, "W")])
     mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
     d = comp.dtype
     ftr = jax.jit(jax.vmap(
@@ -397,7 +406,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                 kind="chunked", date=time.strftime("%Y-%m-%d"))
 
 
-def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
+def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
+               impl="xla"):
     """Fault-isolated chunked sweep: chunks execute in worker subprocesses
     (``run_chunked(stream=True)``); a mid-run UNAVAILABLE device fault —
     which poisons the whole in-process TPU client — costs only the
@@ -423,7 +433,7 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8):
         cmd = [sys.executable, os.path.abspath(__file__), "--chunked",
                "--worker", "--points", str(points), "--chunk", str(chunk),
                "--segments", str(segments), "--backend", backend,
-               "--start-at", str(next_k0)]
+               "--impl", impl, "--start-at", str(next_k0)]
         p = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
                              start_new_session=True)
         # cold setup (parse+trace+compile+warm chunk) can take many
@@ -498,6 +508,9 @@ def main():
                          "star): q-only storage, windowed, chunk dispatches")
     ap.add_argument("--chunk", type=int, default=None)
     ap.add_argument("--segments", type=int, default=2)
+    ap.add_argument("--impl", default="xla", choices=["xla", "auto"],
+                    help="auto: resolve to the fused/mixed Pallas paths "
+                         "on TPU (the bench default); xla: conservative")
     ap.add_argument("--robust", action="store_true",
                     help="fault-isolated orchestrator: worker subprocesses, "
                          "restart on device faults, per-chunk accounting")
@@ -507,13 +520,15 @@ def main():
     a = ap.parse_args()
     if a.worker:
         rec = run_chunked(a.points, a.backend, a.chunk, a.segments,
-                          start_at=a.start_at, stream=True)
+                          start_at=a.start_at, stream=True, impl=a.impl)
         print(json.dumps(dict(rec, kind="chunked-worker")))
         return 0 if rec["ok"] else 1
     if a.robust:
-        rec = run_robust(a.points, a.backend, a.chunk, a.segments)
+        rec = run_robust(a.points, a.backend, a.chunk, a.segments,
+                         impl=a.impl)
     elif a.chunked:
-        rec = run_chunked(a.points, a.backend, a.chunk, a.segments)
+        rec = run_chunked(a.points, a.backend, a.chunk, a.segments,
+                          impl=a.impl)
     else:
         rec = run(a.points, a.backend)
     rec = _finite_json(rec)
