@@ -206,7 +206,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         # capture-first discipline for the north-star row.
         from cedarsim_tpu.analysis.tran import auto_tpu_impl
         opts = auto_tpu_impl(comp, ctx, opts, params=None, batched=True,
-                             dyn_leaves=["vvdd.dc", (key, "W")])
+                             dyn_leaves=["vvdd.dc", (key, "W")],
+                             batch_size=chunk)
     mask = _differential_mask(comp, op.x, ctx_op, comp.params0)
     d = comp.dtype
     ftr = jax.jit(jax.vmap(

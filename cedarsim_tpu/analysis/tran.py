@@ -393,7 +393,7 @@ def window_schedules(bps_all, edges):
 
 def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
                   opts: TranOptions, params=None, batched=False,
-                  dyn_leaves=None):
+                  dyn_leaves=None, batch_size=None):
     """Resolve ``newton_impl="auto"``/``dense_lu="auto"`` to the
     measured-best TPU configuration when the kernel envelope holds, so the
     default path — not a flag — runs the Pallas fast paths (VERDICT r4 #4).
@@ -419,7 +419,10 @@ def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
     G_lin/C_lin matrices — an R/C/L value, a controlled-source gain —
     falls back to "xla", because the kernel would silently use the baked
     value for every lane.  ``batched=True`` with ``dyn_leaves=None``
-    (lane-varying params of unknown shape) never fuses.
+    (lane-varying params of unknown shape) never fuses.  ``batch_size``
+    (when known) additionally bounds auto-fusing at
+    ``FusedChordPlan.AUTO_MAX_B`` — the kernel's scoped-VMEM stack scales
+    with the lane count (nb=512 OOMs it, nb=64 measured golden-exact).
 
     Direct tran_core callers that may sit under AD (sensitivity, PSS)
     skip this and get the conservative "xla"/"jax" resolution instead —
@@ -446,7 +449,10 @@ def auto_tpu_impl(compiled: CompiledCircuit, ctx: SimSpec,
             try:
                 plan = get_fused_plan(compiled, ctx.with_mode(Modes.TRAN),
                                       params)
-                ok = not batched or compiled.n_x <= plan.MAX_N_BATCHED
+                ok = not batched or (
+                    compiled.n_x <= plan.MAX_N_BATCHED
+                    and (batch_size is None
+                         or batch_size <= plan.AUTO_MAX_B))
                 for leaf in (dyn_leaves or () if batched else ()):
                     if isinstance(leaf, str):
                         k, _, pn = compiled.param_loc(leaf)

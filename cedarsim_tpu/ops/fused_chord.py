@@ -117,6 +117,18 @@ class FusedChordPlan:
     #: above this unknown count the dense in-VMEM formulation stops being
     #: the right shape (and the sparse path owns the problem anyway)
     MAX_N = 192
+    #: per-group resolved-param ceiling for the in-kernel model walk (see
+    #: the plan-build guard below: BSIM-CMG's ~1.5k-param walk OOMs the
+    #: Mosaic kernel stack; bsim4-class ~400 compiles and wins)
+    MAX_NL_PARAMS = 768
+    #: batched-kernel lane ceiling for AUTO selection: the (B, 128) model
+    #: tiles and the walk's live (B, ·) temporaries scale the kernel's
+    #: scoped-VMEM stack with B — nb=64 measured golden-exact on chip
+    #: (2026-08-21, 27.9 tr/s), nb=512 OOMs the kernel stack; 128 is the
+    #: VMEM-estimate comfort point (see _dyn_pack_plan).  Explicit
+    #: newton_impl="fused" bypasses this (the hard envelope stays
+    #: MAX_N_BATCHED on n_x, not B).
+    AUTO_MAX_B = 128
 
     def __init__(self, compiled, ctx, params=None):
         params = compiled.params0 if params is None else params
@@ -216,6 +228,19 @@ class FusedChordPlan:
                 key=key, model=g.model, n_inst=ni,
                 n_lvar=g.model.n_lvar(), n_lrow=g.model.n_lrow(),
                 params=merged, GT=GT, SmT=SmT, eps0=eps0))
+            if len(merged) > self.MAX_NL_PARAMS:
+                # empirical Mosaic envelope: the in-kernel model walk of a
+                # parameter-heavy compact model blows the scoped-VMEM
+                # kernel stack ("kernel-vmem-stack-oom": BSIM-CMG 107 with
+                # ~1.5k resolved card params OOMs at nb=32, measured
+                # 2026-08-21 in the bench CMG escalation rung; the
+                # ~400-param bsim4-class walk compiles and wins).  Raise at
+                # plan build so auto-impl resolution falls back to the XLA
+                # chord path instead of dying minutes into Mosaic.
+                raise ValueError(
+                    f"fused chord: nl group {key!r} carries {len(merged)} "
+                    f"params (> {self.MAX_NL_PARAMS}) — model walk too "
+                    "large for the in-VMEM kernel; use newton_impl='xla'")
         self._dtype = d
 
     def dyn_leaf_safe(self, key, pname):

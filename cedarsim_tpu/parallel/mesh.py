@@ -156,7 +156,8 @@ def tran_sweep_sharded(compiled: CompiledCircuit, sweep, tspan,
     # ``params=`` batch of unknown shape stays on the XLA chord path
     from cedarsim_tpu.analysis.tran import auto_tpu_impl
     opts = auto_tpu_impl(compiled, ctx, opts, params=None, batched=True,
-                         dyn_leaves=dyn_leaves)
+                         dyn_leaves=dyn_leaves,
+                         batch_size=jax.tree.leaves(bp)[0].shape[0])
     bp, n = pad_batch(bp, mesh.size)
     npad = jax.tree.leaves(bp)[0].shape[0]
 
