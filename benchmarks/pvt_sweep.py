@@ -408,7 +408,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
 
 
 def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
-               impl="xla"):
+               impl="xla", resume=None):
     """Fault-isolated chunked sweep: chunks execute in worker subprocesses
     (``run_chunked(stream=True)``); a mid-run UNAVAILABLE device fault —
     which poisons the whole in-process TPU client — costs only the
@@ -418,7 +418,14 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
     Accounting is honest: ``wall_s``/``points_per_sec`` are the sum of
     per-chunk walls (steady-state throughput, the north-star metric);
     per-worker setup (parse+trace+compile+warm chunk) is reported
-    separately and summed across restarts."""
+    separately and summed across restarts.
+
+    Every completed chunk record is checkpointed to ``resume``
+    (default ``pvt_robust_ckpt.json`` next to this file) the moment it
+    arrives, and a fresh invocation with the same (points, chunk,
+    segments, backend, impl) signature resumes from it — an outer kill
+    (driver timeout, session end) costs only the in-flight chunk, and
+    worker setup is not re-paid for chunks already banked."""
     import select
     import signal
     import subprocess
@@ -429,6 +436,30 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
     restarts = -1                 # first worker isn't a restart
     setup_total = 0.0
     next_k0 = 0
+    sig = dict(points=points, chunk=chunk, segments=segments,
+               backend=backend, impl=impl)
+    ckpt_path = resume or os.path.join(D, "pvt_robust_ckpt.json")
+    if os.path.exists(ckpt_path):
+        try:
+            with open(ckpt_path) as f:
+                ck = json.load(f)
+            if ck.get("sig") == sig:
+                agg = {int(k): v for k, v in ck["agg"].items()}
+                setup_total = ck.get("setup_total", 0.0)
+                restarts = ck.get("restarts", -1)
+                while next_k0 in agg:
+                    next_k0 += chunk
+                print(f"  [resume] {len(agg)} chunk(s) banked, "
+                      f"continuing at {next_k0}", file=sys.stderr,
+                      flush=True)
+        except (ValueError, KeyError, OSError):
+            pass
+
+    def bank():
+        with open(ckpt_path + ".tmp", "w") as f:
+            json.dump(dict(sig=sig, agg=agg, setup_total=setup_total,
+                           restarts=restarts), f)
+        os.replace(ckpt_path + ".tmp", ckpt_path)
     while next_k0 < points and restarts < max_restarts:
         restarts += 1
         cmd = [sys.executable, os.path.abspath(__file__), "--chunked",
@@ -456,9 +487,11 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
                 print(f"  [worker] {line}", file=sys.stderr, flush=True)
                 if "worker_setup_s" in rec:
                     setup_total += rec["worker_setup_s"]
+                    bank()
                 elif "chunk_wall_s" in rec:   # per-chunk record (NOT the
                     agg[rec["chunk"]] = rec   # worker's final summary)
                     next_k0 = rec["chunk"] + chunk
+                    bank()
                 idle_limit = 300.0
                 deadline = time.monotonic() + idle_limit
             elif p.poll() is not None:
@@ -479,6 +512,13 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
             skipped.append(next_k0)
             next_k0 += chunk
     chunks = [agg[k] for k in sorted(agg)]
+    if chunks and next_k0 >= points:
+        # complete row: retire the checkpoint so a later fresh run with
+        # the same signature starts clean instead of resuming stale data
+        try:
+            os.remove(ckpt_path)
+        except OSError:
+            pass
     n_done = sum(c["chunk_points"] for c in chunks)
     wall = sum(c["chunk_wall_s"] for c in chunks)
     failed = [f for c in chunks for f in c.get("chunk_failed", [])]
