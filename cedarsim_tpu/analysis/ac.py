@@ -57,6 +57,46 @@ def _freq_stamps(compiled):
     return tables, funs
 
 
+def _delay_ac(compiled, x, ctx_ac, params):
+    """Frequency-dependent small-signal stamps for exact-history
+    ``absdelay`` sites (delay_mode="history"): the delayed value enters
+    the residual through the ring-slot aux channel, and its small-signal
+    relation is exactly δd = e^{−jωtd}·(∂u/∂x)·δx, so
+
+        A(ω) += (∂S/∂d + jω·∂Q/∂d) · e^{−jωtd} · ∂u/∂x
+
+    — an exact delay transfer, not a Padé approximation (the codegen's
+    delay_mode="pade" alternative).  Returns None when the circuit has no
+    ring sites (and on the sparse path, which owns large circuits).
+    Beyond the reference, which has no absdelay runtime at all."""
+    if getattr(compiled, "n_ring", 0) == 0:
+        return None
+    from cedarsim_tpu.core.compile import use_sparse_solver
+    if use_sparse_solver(compiled):
+        return None
+    u0, td0 = compiled.delay_sources(x, ctx_ac, params)
+    rs = jnp.asarray(np.asarray(compiled.ring_slots, np.int32))
+    # aux at the operating point: latches settled, ring slots at u0 — the
+    # (G, C) linearization and the ∂/∂d jacobian both evaluate here
+    dly0 = compiled.latch_init(x, ctx_ac, params).at[rs].set(
+        u0.astype(compiled.dtype))
+    JdS, JdQ = jax.jacfwd(
+        lambda d: compiled.residuals(x, ctx_ac, params, dly=d))(dly0)
+    Ux = jax.jacfwd(
+        lambda xx: compiled.delay_sources(xx, ctx_ac, params)[0])(x)
+    return (JdS[:, rs], JdQ[:, rs], Ux, td0, dly0)
+
+
+def _apply_delay_ac(A, wi, dstamp):
+    if dstamp is None:
+        return A
+    JdS, JdQ, Ux, td0, _ = dstamp
+    cd = A.dtype
+    ph = jnp.exp(-1j * wi * td0.astype(cd))
+    return A + (JdS.astype(cd) + 1j * wi * JdQ.astype(cd)) \
+        @ (ph[:, None] * Ux.astype(cd))
+
+
 def _apply_freq_stamps(A, f_hz, stamps, n):
     """A + Σ Y_k(f) stamped at the port nodes (ground rows/cols dropped via
     a pad slot).  Tables interpolate linearly on their grid (clamped at the
@@ -133,7 +173,14 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
     @jax.jit
     def run(x, params):
         c = ctx.with_mode(Modes.AC)
-        G, C = compiled.jacobians(x, c, params)
+        dstamp = _delay_ac(compiled, x, c, params)
+        if dstamp is None:
+            G, C = compiled.jacobians(x, c, params)
+        else:
+            # linearize holding the delayed aux fixed at its op value; the
+            # delay path re-enters through the exact e^{−jωtd} stamp below
+            _, _, G, C = compiled.res_jacs_fwd(x, c, params,
+                                               dly=dstamp[4])
         b = compiled.ac_rhs(params)
         Gc = G.astype(config.complex_dtype)
         Cc = C.astype(config.complex_dtype)
@@ -141,8 +188,8 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
         fz = jnp.asarray(freqs, compiled.dtype)
 
         def solve_one(wi, fi):
-            A = _apply_freq_stamps(Gc + 1j * wi * Cc, fi, stamps,
-                                   compiled.n_x)
+            A = _apply_delay_ac(Gc + 1j * wi * Cc, wi, dstamp)
+            A = _apply_freq_stamps(A, fi, stamps, compiled.n_x)
             return linalg.solve(A, b)
 
         return jax.vmap(solve_one)(w, fz)
@@ -231,10 +278,17 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
     @jax.jit
     def run(x, params):
         c = ctx.with_mode(Modes.AC)
-        G, C = compiled.jacobians(x, c, params)
+        dstamp = _delay_ac(compiled, x, c, params)
+        if dstamp is None:
+            G, C = compiled.jacobians(x, c, params)
+            dly0 = None
+        else:
+            dly0 = dstamp[4]
+            _, _, G, C = compiled.res_jacs_fwd(x, c, params, dly=dly0)
         # ∂F/∂ε at the operating point (noise enters the static part)
         Jeps = jax.jacfwd(
-            lambda e: compiled.residuals(x, c, params, eps=e)[0]
+            lambda e: compiled.residuals(x, c, params, eps=e,
+                                         dly=dly0)[0]
         )(jnp.zeros(compiled.n_eps, compiled.dtype))
         pwr, ex = compiled.noise_sources(x, c, params)
         # output selection vector e_out = ∂obs/∂x (linear at op)
@@ -247,8 +301,8 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
         b_ac = compiled.ac_rhs(params)
 
         def one(wi, f):
-            A = _apply_freq_stamps(Gc + 1j * wi * Cc, f, stamps,
-                                   compiled.n_x)
+            A = _apply_delay_ac(Gc + 1j * wi * Cc, wi, dstamp)
+            A = _apply_freq_stamps(A, f, stamps, compiled.n_x)
             y = linalg.solve(A.conj().T, e_out.astype(config.complex_dtype))
             H = y.conj() @ Jeps.astype(config.complex_dtype)   # [n_eps]
             s = pwr * jnp.power(f, -ex)

@@ -1745,12 +1745,11 @@ class _State:
             mode = self.ctx.mode
             if mode in (Modes.DCOP, Modes.TRANOP):
                 return x            # steady state: u(t−td) = u
-            if mode != Modes.TRAN:
-                raise VACodegenError(
-                    f"module {it.module.name}: absdelay with "
-                    "delay_mode='history' has no small-signal (AC/noise) "
-                    "semantics — recompile the model with "
-                    "delay_mode='pade'")
+            # TRAN: the integrator fills the aux from its history ring.
+            # AC/noise: the analysis linearizes holding this aux fixed at
+            # its op value and adds the EXACT e^{−jωtd} delay stamp
+            # (analysis/ac._delay_ac) — small-signal absdelay without the
+            # Padé approximation.
             return self.eps[it.n_noise + kd]
         kl = it.lat_site_ids.get(id(node))
         if kl is not None:

@@ -72,11 +72,29 @@ def test_history_delay_dc_passthrough():
                - 0.7) < 1e-9
 
 
-def test_history_delay_ac_rejected():
+def test_history_delay_ac_exact():
+    """AC of a history-mode absdelay is the EXACT transfer e^{−jωtd}
+    (analysis/ac._delay_ac frequency-dependent stamp): |H| = 1 and
+    phase = −ωtd at every frequency, including far beyond the Padé(3,3)
+    band (ω·td up to 63 rad here).  Round 4 raised on this path; the
+    exact stamp replaced the raise in round 5."""
     from cedarsim_tpu import ac
     comp = _build("history")
-    with pytest.raises(VACodegenError, match="history"):
-        ac(comp, np.array([1e6]))
+    # drive the source's AC input: VSourceSIN carries ac=0 by default, so
+    # rebuild with an explicit AC 1 drive
+    Dly = make_device(parse_va(VA, "vdelay.va")[0], delay_mode="history")
+    ckt = Circuit()
+    vin, out = ckt.net("vin"), ckt.net("out")
+    ckt.add(VSource, "V1", (vin, ckt.gnd), dict(dc=0.0, ac=1.0))
+    ckt.add(Dly, "X1", (out, ckt.gnd, vin, ckt.gnd), dict(td=TD))
+    ckt.add(Resistor, "RL", (out, ckt.gnd), dict(r=1e4))
+    comp = compile_circuit(ckt)
+    freqs = np.array([1e3, 1e5, 1e6, 5e6])        # ω·td up to 63 rad
+    sol = ac(comp, freqs)
+    h = sol["out"]
+    want = np.exp(-1j * 2 * np.pi * freqs * TD)
+    assert np.allclose(np.abs(h), 1.0, atol=1e-9)
+    assert np.allclose(h, want, atol=1e-9), (h, want)
 
 
 def test_history_delay_checkpoint_resume():
