@@ -293,18 +293,23 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
 
     def solo_tran(lane_params):
         """Two-tier solo relaunch: warm-started full-ladder DC + robust
-        tran; if either leg fails, ONE cold retry through tran's own
-        continuation ladder (different basin of attraction).  Returns the
-        first converged solution, else the last attempt — the caller must
-        gate on ``sol.converged`` and record an explicit failure, never a
-        silent non-finite (VERDICT r4 weak #3: a relaunched lane must end
-        as a finite gated waveform or an explicit skip record)."""
+        tran; one cold retry through tran's own continuation ladder
+        (different basin of attraction).  The warm tier starts the
+        transient from the DC iterate EVEN IF Newton did not certify it —
+        a flop's bias point is metastable (the reference's
+        initialization-fragility probe documents this) and DC Newton can
+        orbit between basins without certifying while its iterate is a
+        perfectly good transient start; the honest gate is the
+        END-of-transient rail check (lane 948 root-cause, 2026-08-21: DC
+        uncertified at vdd=5.218/W+0.87%, yet the transient from that
+        iterate lands q within 8e-8 of the rail).  The caller must gate
+        on ``sol.converged`` AND the rail error, recording an explicit
+        failure — never a silent non-finite (VERDICT r4 weak #3)."""
         rop = fop_solo(lane_params, op.x)
-        if bool(np.asarray(rop.converged)):
-            sol = tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
-                       opts=ropts, x0=rop.x)
-            if bool(sol.converged):
-                return sol
+        sol = tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
+                   opts=ropts, x0=rop.x)
+        if bool(sol.converged):
+            return sol
         # cold tier: tran's own continuation ladder from scratch
         return tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
                     opts=ropts)
