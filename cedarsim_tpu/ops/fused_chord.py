@@ -123,12 +123,12 @@ class FusedChordPlan:
     MAX_NL_PARAMS = 768
     #: batched-kernel lane ceiling for AUTO selection: the (B, 128) model
     #: tiles and the walk's live (B, ·) temporaries scale the kernel's
-    #: scoped-VMEM stack with B — nb=64 measured golden-exact on chip
-    #: (2026-08-21, 27.9 tr/s), nb=512 OOMs the kernel stack; 128 is the
-    #: VMEM-estimate comfort point (see _dyn_pack_plan).  Explicit
-    #: newton_impl="fused" bypasses this (the hard envelope stays
-    #: MAX_N_BATCHED on n_x, not B).
-    AUTO_MAX_B = 128
+    #: scoped-VMEM stack with B — measured on chip 2026-08-21 at the
+    #: bsim4 DFF shape: B=64 golden-exact (27.9 tr/s), B=128 OOMs the
+    #: 16 MB scoped-vmem stack by 2.05 MB (18.05 MB needed), B=512 far
+    #: over.  Explicit newton_impl="fused" bypasses this (the hard
+    #: envelope stays MAX_N_BATCHED on n_x, not B).
+    AUTO_MAX_B = 64
 
     def __init__(self, compiled, ctx, params=None):
         params = compiled.params0 if params is None else params
