@@ -314,10 +314,33 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         return tran(comp, (0.0, tstop), params=lane_params, ctx=ctx,
                     opts=ropts)
 
-    # warm up BOTH solo tiers outside any timed chunk (the cold tier
+    # fast tier-0 solo: the CHUNK program's own auto-resolved options
+    # (fused Pallas chord when the envelope held) un-vmapped over the full
+    # span — one compiled program shared by every relaunched lane.  The
+    # public-tran jac_reuse=4 tier measured ~42 s/lane (single-stream
+    # dispatch-bound, benchmarks/single_stream.md); 13 relaunches at that
+    # rate dominated the 2026-08-21 fused row's wall (330 s for 1024
+    # points, of which compute chunks were ~100 s).
+    ropts_solo = _dc.replace(opts, max_steps=16384)
+    bps_solo = np.concatenate([bps[bps > 0.0], [tstop], [np.inf]])
+    fsolo = jax.jit(lambda p, x, xd: tran_core(
+        comp, p, ctx, x, xd, jnp.asarray(0.0, d), jnp.asarray(tstop, d),
+        jnp.asarray(bps_solo, d), jnp.asarray(7e-13, d), ropts_solo, mask))
+    fxd1 = jax.jit(lambda x, p: _consistent_xdot(comp, x, ctx_op, p))
+
+    def solo_fast(lane_params):
+        """(ts, q, finished, n_newton) from the tier-0 robust solo."""
+        rop = fop_solo(lane_params, op.x)
+        xd = fxd1(rop.x, lane_params)
+        out = fsolo(lane_params, rop.x, xd)
+        return (np.asarray(out[0]), np.asarray(out[1])[:, 0],
+                bool(np.asarray(out[4])), int(np.asarray(out[6])))
+
+    # warm up EVERY solo tier outside any timed chunk (the cold tier
     # compiles its own DC-continuation program; without this, the first
     # lane whose warm op fails would pay a full trace+compile inside the
     # timed chunk wall)
+    _ = solo_fast(comp.params0)
     solo_warm = tran(comp, (0.0, tstop), params=comp.params0, ctx=ctx,
                      opts=ropts, x0=fop_solo(comp.params0, op.x).x)
     assert bool(solo_warm.converged), "solo relaunch program failed warm-up"
@@ -359,14 +382,20 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
             if (errs[lane] > 0.1 or not bool(fin[lane])
                     or not bool(convb[lane])):
                 # marginal-lane rail flip / stall / failed batched op:
-                # re-run solo on the robust full-refresh program with a
-                # warm-started per-lane op, with one cold-ladder retry
-                # inside solo_tran (time + Newton work count into the
-                # chunk wall — honest throughput)
+                # tier-0 re-run on the shared fast robust program, then
+                # the full-refresh jac_reuse=4 public-tran tier, then the
+                # cold ladder — all warm-started per lane (time + Newton
+                # work count into the chunk wall — honest throughput)
                 lp = jax.tree.map(lambda a: a[lane], pb)
+                c_relaunched += 1
+                tsr, qsr, finr, nw0 = solo_fast(lp)
+                c_newton += nw0
+                qr = float(np.interp(6.99e-7, tsr, qsr))
+                if finr and abs(qr - vdds[j]) <= 0.1:
+                    errs[lane] = abs(qr - vdds[j])
+                    continue
                 sol = solo_tran(lp)
                 c_newton += int(sol.n_newton)
-                c_relaunched += 1
                 if bool(sol.converged):
                     qr = float(sol.interp("q", 6.99e-7))
                     errs[lane] = abs(qr - vdds[j])
@@ -379,8 +408,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                     c_failed.append(dict(
                         lane=int(j), vdd=round(float(vdds[j]), 4),
                         w_scale=round(float(wscs[j]), 4),
-                        reason="solo relaunch (warm + cold tiers) did "
-                               "not converge"))
+                        reason="solo relaunch (fast + warm + cold tiers) "
+                               "did not converge"))
         for lane, err in errs.items():
             c_worst = max(c_worst, err)
             if err > 0.1:
