@@ -162,7 +162,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
     t0 = time.perf_counter()
     with open(os.path.join(DFF, "dff_tb_bsim4.cir")) as f:
         nl = parse_spice(f.read(), file="dff_tb_bsim4.cir")
-    comp = compile_circuit(elaborate(nl, include_paths=[DFF]),
+    ckt = elaborate(nl, include_paths=[DFF])
+    comp = compile_circuit(ckt,
                            eval_dtype=jnp.float32 if on_tpu else None)
     comp = ensure_dynamic(comp, ["vvdd.dc", "w"])
     ctx = SimSpec.make(gmin=1e-15)
@@ -328,13 +329,48 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         jnp.asarray(bps_solo, d), jnp.asarray(7e-13, d), ropts_solo, mask))
     fxd1 = jax.jit(lambda x, p: _consistent_xdot(comp, x, ctx_op, p))
 
+    # tier-0 DC: the LIGHT ladder (the same quality the batched lanes warm
+    # from) — the un-vmapped FULL ladder alone measured ~30 s/lane
+    # (dispatch-bound continuation scan), dominating tier-0's cost
+    fop_solo_light = jax.jit(
+        lambda p, x: dc_core(comp, p, ctx_op, x, light))
+
     def solo_fast(lane_params):
         """(ts, q, finished, n_newton) from the tier-0 robust solo."""
-        rop = fop_solo(lane_params, op.x)
+        rop = fop_solo_light(lane_params, op.x)
         xd = fxd1(rop.x, lane_params)
         out = fsolo(lane_params, rop.x, xd)
         return (np.asarray(out[0]), np.asarray(out[1])[:, 0],
                 bool(np.asarray(out[4])), int(np.asarray(out[6])))
+
+    _f64 = {}
+
+    def solo_f64(j):
+        """Definitive final tier: the lane in FULL f64 physics on the host
+        CPU — the same mode that generates the goldens.  A marginal lane
+        under f32-eval can defeat every TPU tier in a given compile
+        (per-compile autotune noise shifts which lane flips — lane 948
+        survived three tiers on one compile and none on another,
+        2026-08-21); the f64 reference mode ends that nondeterminism.
+        Lazy one-time build+compile (~2 min, counted into the chunk wall
+        like all rescue work); the per-lane result is still gated by the
+        caller's rail check and labeled in ``chunk_f64`` for honesty."""
+        with jax.default_device(jax.devices("cpu")[0]):
+            if "comp" not in _f64:
+                _f64["comp"] = ensure_dynamic(compile_circuit(ckt),
+                                              ["vvdd.dc", "w"])
+                k64 = [k for k in _f64["comp"].group_order
+                       if "bsim4" in k.lower()][0]
+                _f64["key"] = k64
+            c64 = _f64["comp"]
+            p = c64.set_param(c64.params0, "vvdd.dc", float(vdds[j]))
+            p = dict(p)
+            g64 = dict(p[_f64["key"]])
+            g64["W"] = g64["W"] * float(wscs[j])
+            p[_f64["key"]] = g64
+            return tran(c64, (0.0, tstop), params=p, ctx=ctx,
+                        opts=TranOptions(max_steps=16384, jac_reuse=1,
+                                         accept_slack=1.5))
 
     # warm up EVERY solo tier outside any timed chunk (the cold tier
     # compiles its own DC-continuation program; without this, the first
@@ -355,6 +391,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
     n_done = 0
     n_relaunched = 0
     failed_lanes = []
+    f64_lanes = []
     wall = 0.0
     for k0 in range(start_at, len(vdds), chunk):
         tc = time.perf_counter()
@@ -366,6 +403,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         c_points = max(0, min(points - k0, chunk))
         c_relaunched = 0
         c_failed = []
+        c_f64 = []
         # gate: q at the end of the window must sit on the lane's rail
         ts = np.concatenate([np.asarray(rb[0]) for rb in rbs], axis=1)
         qs = np.concatenate([np.asarray(rb[1])[:, :, 0] for rb in rbs],
@@ -399,6 +437,14 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                 if bool(sol.converged):
                     qr = float(sol.interp("q", 6.99e-7))
                     errs[lane] = abs(qr - vdds[j])
+                    continue
+                # definitive tier: f64 physics on the host CPU (labeled)
+                sol = solo_f64(j)
+                c_newton += int(sol.n_newton)
+                if bool(sol.converged):
+                    qr = float(sol.interp("q", 6.99e-7))
+                    errs[lane] = abs(qr - vdds[j])
+                    c_f64.append(int(j))
                 else:
                     # explicit failure record — NEVER a silent non-finite
                     # in the aggregate (VERDICT r4 #2): the lane is
@@ -408,8 +454,8 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                     c_failed.append(dict(
                         lane=int(j), vdd=round(float(vdds[j]), 4),
                         w_scale=round(float(wscs[j]), 4),
-                        reason="solo relaunch (fast + warm + cold tiers) "
-                               "did not converge"))
+                        reason="solo relaunch (fast/warm/cold f32 tiers + "
+                               "f64 CPU reference) did not converge"))
         for lane, err in errs.items():
             c_worst = max(c_worst, err)
             if err > 0.1:
@@ -422,6 +468,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         n_newton += c_newton
         n_relaunched += c_relaunched
         failed_lanes += c_failed
+        f64_lanes += c_f64
         ok = ok and c_ok
         worst = max(worst, c_worst)
         if stream:
@@ -429,6 +476,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                 chunk=k0, chunk_points=c_points, chunk_ok=bool(c_ok),
                 chunk_worst=round(c_worst, 4), chunk_newton=c_newton,
                 chunk_relaunched=c_relaunched, chunk_failed=c_failed,
+                chunk_f64=c_f64,
                 chunk_wall_s=round(cw, 2))), flush=True)
     return dict(points=n_done, backend="tpu" if on_tpu else "cpu",
                 mode="f32-eval" if on_tpu else "f64", chunk=chunk,
@@ -437,7 +485,7 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
                 setup_s=round(setup_s, 1), wall_s=round(wall, 2),
                 points_per_sec=round(n_done / wall, 2),
                 newton=n_newton, relaunched_lanes=n_relaunched,
-                failed_lanes=failed_lanes,
+                failed_lanes=failed_lanes, f64_lanes=f64_lanes,
                 kind="chunked", date=time.strftime("%Y-%m-%d"))
 
 
@@ -556,6 +604,7 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
     n_done = sum(c["chunk_points"] for c in chunks)
     wall = sum(c["chunk_wall_s"] for c in chunks)
     failed = [f for c in chunks for f in c.get("chunk_failed", [])]
+    f64_lanes = [j for c in chunks for j in c.get("chunk_f64", [])]
     ok = (bool(chunks) and all(c["chunk_ok"] for c in chunks)
           and not skipped and not failed and n_done >= points)
     worst = max((c["chunk_worst"] for c in chunks), default=None)
@@ -569,7 +618,7 @@ def run_robust(points, backend, chunk=None, segments=2, max_restarts=8,
                 newton=sum(c["chunk_newton"] for c in chunks),
                 relaunched_lanes=sum(c.get("chunk_relaunched", 0)
                                      for c in chunks),
-                failed_lanes=failed,
+                failed_lanes=failed, f64_lanes=f64_lanes,
                 restarts=restarts, skipped_chunks=skipped,
                 kind="chunked-robust", date=time.strftime("%Y-%m-%d"))
 
