@@ -57,44 +57,120 @@ def _freq_stamps(compiled):
     return tables, funs
 
 
+def _zi_site_meta(compiled):
+    """Static per-instance zi_* site layout: [(y slot, nb, n_yh,
+    uh0 slot or None)] in global aux indices.  ``lat_sites`` entries are
+    (kind, offset, n_slots) with layout [y_held, t_next, u_hist(nb−1),
+    y_hist(na−2)]; ``zi_meta`` maps a site offset to its (nb, na)."""
+    meta = []
+    for key in compiled.group_order:
+        g = compiled.groups[key]
+        nd = getattr(g.model, "n_delay", 0)
+        sites = getattr(g.model, "lat_sites", ())
+        zim = getattr(g.model, "zi_meta", {})
+        if not sites:
+            continue
+        for j in range(len(g.instances)):
+            for (kind, loff, nsl) in sites:
+                if not kind.startswith("zi"):
+                    continue
+                nb, _na = zim[loff]
+                base = int(g.dly_idx[j, nd + loff])
+                n_yh = nsl - 2 - (nb - 1)
+                meta.append((base, nb, n_yh,
+                             base + 2 if nb > 1 else None))
+    return meta
+
+
 def _delay_ac(compiled, x, ctx_ac, params):
-    """Frequency-dependent small-signal stamps for exact-history
-    ``absdelay`` sites (delay_mode="history"): the delayed value enters
-    the residual through the ring-slot aux channel, and its small-signal
-    relation is exactly δd = e^{−jωtd}·(∂u/∂x)·δx, so
+    """Frequency-dependent small-signal stamps for the aux-channel
+    operators:
 
-        A(ω) += (∂S/∂d + jω·∂Q/∂d) · e^{−jωtd} · ∂u/∂x
+    - exact-history ``absdelay`` (delay_mode="history"): the delayed
+      value's small-signal relation is exactly δd = e^{−jωtd}·(∂u/∂x)·δx,
+      so A(ω) += (∂S/∂d + jω·∂Q/∂d)·e^{−jωtd}·∂u/∂x — the exact delay
+      transfer, not a Padé approximation;
+    - ``zi_nd/np/zd/zp`` sampled IIR filters: the latched output's
+      small-signal transfer is the z-domain response at z = e^{jωT},
+      δy = H(e^{jωT})·(∂u/∂x)·δx, with H's coefficients extracted
+      NUMERICALLY from the latch-update map's Jacobians (∂y_new/∂u_hist
+      = numerator taps, −∂y_new/∂y_hist = denominator taps, ∂u_hist0/∂x
+      = the sampled-input gradient) — no symbolic coefficient plumbing.
 
-    — an exact delay transfer, not a Padé approximation (the codegen's
-    delay_mode="pade" alternative).  Returns None when the circuit has no
-    ring sites (and on the sparse path, which owns large circuits).
-    Beyond the reference, which has no absdelay runtime at all."""
-    if getattr(compiled, "n_ring", 0) == 0:
+    Returns None when the circuit has neither (and on the sparse path,
+    which owns large circuits).  Beyond the reference, which has no
+    runtime for either operator family."""
+    n_ring = getattr(compiled, "n_ring", 0)
+    zi_meta = _zi_site_meta(compiled)
+    if n_ring == 0 and not zi_meta:
         return None
     from cedarsim_tpu.core.compile import use_sparse_solver
     if use_sparse_solver(compiled):
         return None
-    u0, td0 = compiled.delay_sources(x, ctx_ac, params)
-    rs = jnp.asarray(np.asarray(compiled.ring_slots, np.int32))
     # aux at the operating point: latches settled, ring slots at u0 — the
-    # (G, C) linearization and the ∂/∂d jacobian both evaluate here
-    dly0 = compiled.latch_init(x, ctx_ac, params).at[rs].set(
-        u0.astype(compiled.dtype))
+    # (G, C) linearization and the ∂/∂aux jacobian both evaluate here
+    dly0 = compiled.latch_init(x, ctx_ac, params)
+    ring = None
+    if n_ring:
+        u0, td0 = compiled.delay_sources(x, ctx_ac, params)
+        rs = jnp.asarray(np.asarray(compiled.ring_slots, np.int32))
+        dly0 = dly0.at[rs].set(u0.astype(compiled.dtype))
     JdS, JdQ = jax.jacfwd(
         lambda d: compiled.residuals(x, ctx_ac, params, dly=d))(dly0)
-    Ux = jax.jacfwd(
-        lambda xx: compiled.delay_sources(xx, ctx_ac, params)[0])(x)
-    return (JdS[:, rs], JdQ[:, rs], Ux, td0, dly0)
+    if n_ring:
+        Ux = jax.jacfwd(
+            lambda xx: compiled.delay_sources(xx, ctx_ac, params)[0])(x)
+        ring = (JdS[:, rs], JdQ[:, rs], Ux, td0)
+    lat = []
+    if zi_meta:
+        # force every site to fire once: any t beyond every t_next (the
+        # settled t_next values sit at slot base+1 and are > 0)
+        tn = jnp.stack([dly0[b + 1] for b, _, _, _ in zi_meta])
+        ctx_f = ctx_ac.at_time(2.0 * jnp.max(tn) + 1e-12)
+
+        def up(w_, x_):
+            return compiled.latch_update(x_, ctx_f, w_, params)
+
+        wnew = up(dly0, x)
+        Ju = jax.jacfwd(lambda w_: up(w_, x))(dly0)
+        Jxl = jax.jacfwd(lambda x_: up(dly0, x_))(x)
+        for base, nb, n_yh, uh0 in zi_meta:
+            T = wnew[base + 1] - dly0[base + 1]
+            alphas = jnp.concatenate(
+                [(-Ju[base, base])[None],
+                 -Ju[base, base + 2 + (nb - 1):base + 2 + (nb - 1) + n_yh]]
+            ) if n_yh else (-Ju[base, base])[None]
+            betas = (Ju[base, base + 2:base + 2 + (nb - 1)]
+                     if nb > 1 else jnp.zeros(0, compiled.dtype))
+            num0 = Jxl[base, :]                       # β0·∂u/∂x
+            ux = Jxl[uh0, :] if uh0 is not None else None
+            lat.append((base, T, alphas, betas, num0, ux,
+                        JdS[:, base], JdQ[:, base]))
+    return dict(dly0=dly0, ring=ring, lat=lat)
 
 
 def _apply_delay_ac(A, wi, dstamp):
     if dstamp is None:
         return A
-    JdS, JdQ, Ux, td0, _ = dstamp
     cd = A.dtype
-    ph = jnp.exp(-1j * wi * td0.astype(cd))
-    return A + (JdS.astype(cd) + 1j * wi * JdQ.astype(cd)) \
-        @ (ph[:, None] * Ux.astype(cd))
+    if dstamp["ring"] is not None:
+        JdS, JdQ, Ux, td0 = dstamp["ring"]
+        ph = jnp.exp(-1j * wi * td0.astype(cd))
+        A = A + (JdS.astype(cd) + 1j * wi * JdQ.astype(cd)) \
+            @ (ph[:, None] * Ux.astype(cd))
+    for base, T, alphas, betas, num0, ux, colS, colQ in dstamp["lat"]:
+        zinv = jnp.exp(-1j * wi * T.astype(cd))
+        den = 1.0 + jnp.sum(alphas.astype(cd)
+                            * zinv ** jnp.arange(1, alphas.shape[0] + 1))
+        num_row = num0.astype(cd)
+        if ux is not None and betas.shape[0]:
+            taps = jnp.sum(betas.astype(cd)
+                           * zinv ** jnp.arange(1, betas.shape[0] + 1))
+            num_row = num_row + taps * ux.astype(cd)
+        r = num_row / den
+        A = A + (colS.astype(cd) + 1j * wi * colQ.astype(cd))[:, None] \
+            * r[None, :]
+    return A
 
 
 def _apply_freq_stamps(A, f_hz, stamps, n):
@@ -180,7 +256,7 @@ def ac(compiled: CompiledCircuit, freqs, params=None, ctx: SimSpec = None,
             # linearize holding the delayed aux fixed at its op value; the
             # delay path re-enters through the exact e^{−jωtd} stamp below
             _, _, G, C = compiled.res_jacs_fwd(x, c, params,
-                                               dly=dstamp[4])
+                                               dly=dstamp["dly0"])
         b = compiled.ac_rhs(params)
         Gc = G.astype(config.complex_dtype)
         Cc = C.astype(config.complex_dtype)
@@ -283,7 +359,7 @@ def noise(compiled: CompiledCircuit, out: str, freqs, params=None,
             G, C = compiled.jacobians(x, c, params)
             dly0 = None
         else:
-            dly0 = dstamp[4]
+            dly0 = dstamp["dly0"]
             _, _, G, C = compiled.res_jacs_fwd(x, c, params, dly=dly0)
         # ∂F/∂ε at the operating point (noise enters the static part)
         Jeps = jax.jacfwd(

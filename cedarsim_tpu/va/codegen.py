@@ -828,6 +828,16 @@ def make_device(module: Module, strict_ranges=False, delay_mode=None,
     VADevice.params = {n: None for n in porder}
     VADevice.__name__ = f"VA_{module.name}"
     VADevice.__qualname__ = VADevice.__name__
+    #: per-site latched-state layout [(kind, slot offset, n_slots)] —
+    #: consumed by analysis/ac._delay_ac to build sampled-system
+    #: H(e^{jωT}) small-signal stamps for zi_* sites; ``zi_meta`` maps a
+    #: zi site's slot offset to its (nb, na) coefficient counts
+    VADevice.lat_sites = [tuple(s) for s in interp.lat_sites]
+    VADevice.zi_meta = {
+        loff: _zi_coeff_counts(module, e)
+        for (e, kind, _n), (k2, loff, _n2) in zip(lat_sites,
+                                                  interp.lat_sites)
+        if kind.startswith("zi")}
 
     zi_clock_exprs = [e for (e, kind, _n) in lat_sites
                       if kind.startswith("zi")]
@@ -1687,10 +1697,11 @@ class _State:
         if self.collect_latch is None and mode in (Modes.DCOP, Modes.TRANOP):
             return x * sum(b) / sum(a)       # sampled steady state
         if self.collect_latch is None and mode == Modes.AC:
-            raise VACodegenError(
-                f"module {it.module.name}: {name}() has no small-signal "
-                "(AC/noise) semantics on this path — analyze the sampled "
-                "system in transient")
+            # hold the latched output as an aux input: the analysis
+            # linearizes ∂F/∂aux and adds the sampled-system H(e^{jωT})
+            # stamp per site (analysis/ac._delay_ac), extracted
+            # numerically from the latch-update map's Jacobians
+            return self.eps[it.n_noise + it.n_dly + loff]
         t = self.ctx.time
         a0v = it.n_noise + it.n_dly + loff
         if self.collect_latch == "init":

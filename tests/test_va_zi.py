@@ -115,3 +115,26 @@ def test_zi_breakpoints_scheduled():
     bps = dev.breakpoints(p, 10.5 * T)
     assert len(bps) == 10
     assert abs(bps[0] - T) < 1e-18
+
+
+def test_zi_ac_matches_z_transfer():
+    """AC small-signal of a zi_* site is the z-domain response at
+    z = e^{jωT} (analysis/ac._delay_ac: coefficients extracted
+    numerically from the latch-update Jacobians).  FIR
+    H = 0.5(1 + z⁻¹) and IIR H = (1−c)/(1 − c·z⁻¹) vs closed form.
+    Round 4 raised on this path."""
+    from cedarsim_tpu import ac
+
+    freqs = np.array([1e3, 5e4, 2e5, 4.3e5])
+    z = np.exp(2j * np.pi * freqs * T)
+
+    c = _ckt(FIR, "vafir", dict(dc=1.0, ac=1.0), pulse=False)
+    h = ac(c, freqs)["vout"]
+    want = 0.5 * (1.0 + 1.0 / z)
+    assert np.allclose(h, want, atol=1e-9), (h, want)
+
+    cc = 0.5
+    c2 = _ckt(IIR, "vaiir", dict(dc=1.0, ac=1.0), pulse=False, c=cc)
+    h2 = ac(c2, freqs)["vout"]
+    want2 = (1.0 - cc) / (1.0 - cc / z)
+    assert np.allclose(h2, want2, atol=1e-9), (h2, want2)
