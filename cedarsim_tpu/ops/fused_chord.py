@@ -123,12 +123,14 @@ class FusedChordPlan:
     MAX_NL_PARAMS = 768
     #: batched-kernel lane ceiling for AUTO selection: the (B, 128) model
     #: tiles and the walk's live (B, ·) temporaries scale the kernel's
-    #: scoped-VMEM stack with B — measured on chip 2026-08-21 at the
-    #: bsim4 DFF shape: B=64 golden-exact (27.9 tr/s), B=128 OOMs the
-    #: 16 MB scoped-vmem stack by 2.05 MB (18.05 MB needed), B=512 far
-    #: over.  Explicit newton_impl="fused" bypasses this (the hard
+    #: scoped-VMEM stack with B.  With the 100 MB vmem_limit_bytes on the
+    #: batched call (the 16 MB compiler default, not hardware, was the
+    #: first wall — B=128 needs 18.05 MB), measured on chip 2026-08-21 at
+    #: the bsim4 DFF shape: B=64 → 27.5 tr/s, **B=128 → 33.2 tr/s**
+    #: (golden-exact, 0 relaunches), B=256 → 7.5 tr/s (VMEM-pressure
+    #: regression).  Explicit newton_impl="fused" bypasses this (the hard
     #: envelope stays MAX_N_BATCHED on n_x, not B).
-    AUTO_MAX_B = 64
+    AUTO_MAX_B = 128
 
     def __init__(self, compiled, ctx, params=None):
         params = compiled.params0 if params is None else params
@@ -752,6 +754,12 @@ class FusedChordPlan:
             with jax.enable_x64(False):
                 return pl.pallas_call(
                     kern,
+                    # raise the scoped-VMEM ceiling from the 16 MB default:
+                    # the batched walk's live (B, ·) temporaries measured
+                    # 18.05 MB at B=128 (v5e carries 128 MB VMEM/core) —
+                    # the 16 MB default, not hardware, was the B wall
+                    compiler_params=pltpu.CompilerParams(
+                        vmem_limit_bytes=100 * 1024 * 1024),
                     in_specs=(
                         [pl.BlockSpec(memory_space=pltpu.VMEM)]
                         * (len(consts) + n_dyn_in + 6)),
