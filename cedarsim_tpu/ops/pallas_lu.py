@@ -140,6 +140,12 @@ def lu_solve_batched_f32(A, b, interpret=False):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
+            # raise the scoped-vmem ceiling from the 16 MB compiler
+            # default (v5e carries 128 MB/core): larger (B, n) shapes --
+            # e.g. the CMG DFF at B=128 under dense_lu="mixed" -- blow
+            # the default kernel stack, not hardware
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, np_, L), lambda i: (i, 0, 0),
@@ -287,6 +293,8 @@ def lu_solve_batched_sublane_f32(A, b, tile_b: int = 128, interpret=False):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             grid=(Bp // TB,),
             in_specs=[
                 pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
@@ -420,6 +428,8 @@ def lu_factor_batched_sublane_f32(A, tile_b: int = 128, interpret=False):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             grid=(Bp // TB,),
             in_specs=[pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
                                    memory_space=pltpu.VMEM)],
@@ -449,6 +459,8 @@ def lu_subst_batched_sublane_f32(LU, b, tile_b: int = 128, interpret=False):
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             grid=(Bp // TB,),
             in_specs=[
                 pl.BlockSpec((np_, TB, L), lambda i: (0, i, 0),
