@@ -167,29 +167,52 @@ class FusedChordPlan:
 
     def _build_split(self, params, ctx):
         compiled = self.compiled
-        rng = np.random.default_rng(0)
-        xa = rng.normal(size=self.n_x) * 0.5
-        xb = rng.normal(size=self.n_x) * 2.0 + 0.25
-        lin_keys, nl_keys = [], []
-        for key in compiled.group_order:
-            if self._group_is_linear(key, params, ctx, xa, xb):
-                lin_keys.append(key)
-            else:
-                nl_keys.append(key)
-        self.lin_keys = lin_keys
-        self.nl_keys = nl_keys
-
-        # --- linear part: G_lin/C_lin at xa (constant by the test above);
-        # offsets come from s_off(t) per call and the constant q_off
         d = compiled.dtype
-        Ga, Ca = self._sub_jac(lin_keys, params, ctx, xa)
-        z = np.zeros(self.n_x)
-        S0, Q0 = [np.asarray(v, np.float64)
-                  for v in self._sub_res(lin_keys, params, ctx, z, 0.0,
-                                          exact=True)]
-        self.G_lin = np.asarray(Ga, np.float64)
-        self.C_lin = np.asarray(Ca, np.float64)
-        self.q_off = Q0 - self.C_lin @ z
+        # the numeric core (linearity probes + linear-subsystem jacobians)
+        # is ~32 s of eager host math per process (measured on chip
+        # 2026-08-21) and depends only on (structure, params, ctx) — cache
+        # it on disk next to the DC artifacts; everything below the core
+        # rebuilds in milliseconds
+        from cedarsim_tpu.utils import artifacts
+        ck = artifacts.plan_key(compiled, params, ctx)
+        core = artifacts.load_plan_core(ck)
+        if core is not None:
+            lin_keys, nl_keys, G_lin, C_lin, q_off = core
+            if set(lin_keys) | set(nl_keys) != set(compiled.group_order):
+                core = None          # stale layout — rebuild
+            else:
+                self.lin_keys = list(lin_keys)
+                self.nl_keys = [k for k in compiled.group_order
+                                if k in set(nl_keys)]
+                self.G_lin = np.asarray(G_lin, np.float64)
+                self.C_lin = np.asarray(C_lin, np.float64)
+                self.q_off = np.asarray(q_off, np.float64)
+        if core is None:
+            rng = np.random.default_rng(0)
+            xa = rng.normal(size=self.n_x) * 0.5
+            xb = rng.normal(size=self.n_x) * 2.0 + 0.25
+            lin_keys, nl_keys = [], []
+            for key in compiled.group_order:
+                if self._group_is_linear(key, params, ctx, xa, xb):
+                    lin_keys.append(key)
+                else:
+                    nl_keys.append(key)
+            self.lin_keys = lin_keys
+            self.nl_keys = nl_keys
+
+            # --- linear part: G_lin/C_lin at xa (constant by the test
+            # above); offsets come from s_off(t) per call and the constant
+            # q_off
+            Ga, Ca = self._sub_jac(lin_keys, params, ctx, xa)
+            z = np.zeros(self.n_x)
+            S0, Q0 = [np.asarray(v, np.float64)
+                      for v in self._sub_res(lin_keys, params, ctx, z, 0.0,
+                                             exact=True)]
+            self.G_lin = np.asarray(Ga, np.float64)
+            self.C_lin = np.asarray(Ca, np.float64)
+            self.q_off = Q0 - self.C_lin @ z
+            artifacts.store_plan_core(ck, self.lin_keys, self.nl_keys,
+                                      self.G_lin, self.C_lin, self.q_off)
         # f32 kernel constants, padded to n_xp with a zero row/col
         self.GlinT = self._padT(self.G_lin)
         self.ClinT = self._padT(self.C_lin)
@@ -198,7 +221,7 @@ class FusedChordPlan:
 
         # --- nonlinear groups: one-hot gather/scatter + baked params
         self.nl: list[_NLGroup] = []
-        for key in nl_keys:
+        for key in self.nl_keys:
             g = compiled.groups[key]
             gp = params[key]
             ni = len(g.instances)
