@@ -474,19 +474,23 @@ def run_chunked(points, backend, chunk=None, segments=2, start_at=0,
         for lane in suspects:
             j = k0 + lane
             c_relaunched += 1
+            lp = jax.tree.map(lambda a: a[lane], pb)
             if lane in bres:
                 tsr, qsr, finr = bres[lane]
                 qr = float(np.interp(6.99e-7, tsr, qsr))
                 if finr and abs(qr - vdds[j]) <= 0.1:
                     errs[lane] = abs(qr - vdds[j])
                     continue
-            lp = jax.tree.map(lambda a: a[lane], pb)
-            tsr, qsr, finr, nw0 = solo_fast(lp)
-            c_newton += nw0
-            qr = float(np.interp(6.99e-7, tsr, qsr))
-            if finr and abs(qr - vdds[j]) <= 0.1:
-                errs[lane] = abs(qr - vdds[j])
-                continue
+                # the pool ran THE SAME program as solo_fast — re-running
+                # it per-lane would be a deterministic repeat; go straight
+                # to the full-refresh tier
+            else:
+                tsr, qsr, finr, nw0 = solo_fast(lp)
+                c_newton += nw0
+                qr = float(np.interp(6.99e-7, tsr, qsr))
+                if finr and abs(qr - vdds[j]) <= 0.1:
+                    errs[lane] = abs(qr - vdds[j])
+                    continue
             sol = solo_tran(lp)
             c_newton += int(sol.n_newton)
             if bool(sol.converged):
